@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All implemented queries, one per operator from SURVEY.md §2. */
-  def all: Seq[GraftQuery] = operators.Relational.queries
+  def all: Seq[GraftQuery] =
+    operators.Relational.queries ++ operators.Stateful.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

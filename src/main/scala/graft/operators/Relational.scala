@@ -54,18 +54,9 @@ object Relational {
     s"floor(($e) * $p + 0.5) / $p"
   }
 
-  /** Great-circle distance (spherical law of cosines, R=6371 km) replicating
-    * FraudDistMetric.java:69-78. Clamped into acos's domain; exact-equality
-    * short-circuit keeps the d(a,a)=0 case stable (acos is ill-conditioned
-    * near 1, where libm last-ulp differences would visibly amplify).
-    */
-  def greatCircleKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
-    val arg = sin(radians(lat1)) * sin(radians(lat2)) +
-      cos(radians(lat1)) * cos(radians(lat2)) * cos(radians(lon1 - lon2))
-    val clamped = least(lit(1.0), greatest(lit(-1.0), arg))
-    when(lat1 === lat2 && lon1 === lon2, lit(0.0))
-      .otherwise(acos(clamped) * lit(6371.0))
-  }
+  /** Great-circle distance — see graft.functions.GeoFunctions.greatCircleKm. */
+  private def greatCircleKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    graft.functions.GeoFunctions.greatCircleKm(lat1, lon1, lat2, lon2)
 
   /** SQL rendering of [[greatCircleKm]] for the DuckDB oracle. */
   private def greatCircleSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
@@ -114,6 +105,9 @@ object Relational {
     val sd = sqrt(greatest(lit(0.0), col("s2") / col("n_used") - (col("s") / col("n_used")) * (col("s") / col("n_used"))))
     m.select(col("user_id"), roundAt(mean + lit(3) * sd, 4).as("ucl"), col("n_used"))
   }
+
+  /** Public accessor for the UCL stage (used by Stateful's snapshot seed). */
+  def uclPerUserPublic(e: DataFrame): DataFrame = uclPerUser(e)
 
   private val uclSql =
     """SELECT user_id,

@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers and sinks mirroring the reference's ingest surface (SURVEY §2.1).
+  *
+  * Scale notes: every reader declares its schema (no inference pass over
+  * 100 TB), CSV options are pushed into the scan, and the JDBC reader pushes
+  * the incremental watermark predicate down to the database — the Sqoop
+  * `--incremental append` pattern (README.md:81-100) without a second full
+  * scan.
+  */
+object Sources {
+
+  /** card_transactions history schema (FDProcBatch.txt:70-82). */
+  val transactionHistorySchema: StructType = StructType(Seq(
+    StructField("card_id", LongType),
+    StructField("member_id", LongType),
+    StructField("amount", DoubleType),
+    StructField("postcode", IntegerType),
+    StructField("pos_id", LongType),
+    StructField("transaction_dt", StringType),
+    StructField("status", StringType),
+  ))
+
+  /** card_member schema (FDProcBatch.txt:177-187). */
+  val cardMemberSchema: StructType = StructType(Seq(
+    StructField("card_id", LongType),
+    StructField("member_id", LongType),
+    StructField("member_joining_dt", StringType),
+    StructField("card_purchase_dt", StringType),
+    StructField("country", StringType),
+    StructField("city", StringType),
+  ))
+
+  /** member_score schema (FDProcBatch.txt:190-196). */
+  val memberScoreSchema: StructType = StructType(Seq(
+    StructField("member_id", LongType),
+    StructField("score", IntegerType),
+  ))
+
+  /** Zip geo schema — 6 columns, no header (FraudDistMetric.java:41-52). */
+  val zipSchema: StructType = StructType(Seq(
+    StructField("zip", StringType),
+    StructField("lat", DoubleType),
+    StructField("lon", DoubleType),
+    StructField("city", StringType),
+    StructField("state", StringType),
+    StructField("post_id", StringType),
+  ))
+
+  /** S4: CSV scan with declared schema + header skip (FDProcBatch.txt:70-86). */
+  def readTransactionsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(transactionHistorySchema)
+      .option("header", "true").option("delimiter", ",")
+      .csv(path)
+
+  /** S5: zip side-input scan; rows with wrong field count dropped like the
+    * reference's length-check skip (FraudDistMetric.java:43).
+    */
+  def readZipCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(zipSchema)
+      .option("header", "false").option("mode", "DROPMALFORMED")
+      .csv(path)
+
+  /** S1: JDBC full-table ingest (Sqoop import analog, FDProcBatch.txt:13-26).
+    * `numPartitions`/`partitionColumn` split the read like Sqoop's mappers.
+    */
+  def readJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: Option[String] = None,
+      numPartitions: Int = 1,
+      bounds: Option[(Long, Long)] = None,
+  ): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    val partitioned = (partitionColumn, bounds) match {
+      case (Some(c), Some((lo, hi))) =>
+        base.option("partitionColumn", c)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", numPartitions)
+      case _ => base
+    }
+    partitioned.load()
+  }
+
+  /** S2: incremental ingest — watermark predicate pushed to the source
+    * (Sqoop `--incremental append --check-column --last-value`,
+    * README.md:81-100). Returns the delta and the new high watermark column.
+    */
+  def readJdbcIncremental(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      checkColumn: String,
+      lastValue: String,
+  ): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"(SELECT * FROM $table WHERE $checkColumn > '$lastValue') AS delta")
+      .load()
+
+  /** S8: full-refresh materialization (INSERT OVERWRITE analog,
+    * FDProcBatch.txt:123-133).
+    */
+  def overwriteSnapshot(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S6: columnar compressed staging write (ORC+Snappy,
+    * FDProcBatch.txt:204-241).
+    */
+  def writeOrcSnappy(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("orc")
+      .option("compression", "snappy").save(path)
+
+  /** S11: append-only master write under a fresh random row id
+    * (HBase Put with UUID key, FDProcBatch.txt:123-133;
+    * HBaseTransLink.java:63-73). uuid() spreads writes across partitions
+    * exactly as the reference's random row keys spread HBase regions.
+    */
+  def appendWithUuid(df: DataFrame, path: String): Unit =
+    df.withColumn("rowid", regexp_replace(expr("uuid()"), "-", ""))
+      .write.mode(SaveMode.Append).parquet(path)
+}

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import graft.functions.GeoFunctions
+import graft.model._
+import graft.rules.Rules
+import graft.sources.Sources
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** The speed layer (SURVEY §2.9, EP2): Kafka JSON transactions → per-card
+  * stateful classification → labeled master append.
+  *
+  * The reference does a per-record HBase Get + Put with a fresh connection
+  * each time (HBaseTransLink.java:33,59) and collects every micro-batch to
+  * the driver (FinFraudGuard.java:89) — both replaced here by keyed state in
+  * `flatMapGroupsWithState`: state lives in the state store partitioned by
+  * card_id, is seeded once from the batch lookup snapshot (initial-state
+  * overload), and no per-record network calls or driver round-trips remain.
+  * At 1000 executors this is the difference between O(records) HBase RPCs
+  * per second and zero.
+  */
+object FraudStream {
+
+  /** Mutable per-card state: (ucl, score) owned by the batch layer, (postcode,
+    * lastTsMillis) owned by the stream — the dual-writer column split of
+    * SURVEY §3 EP3 (README.md:244,282 vs HBaseTransLink.java:76-81).
+    */
+  final case class CardState(
+      ucl: Option[Double],
+      score: Option[Int],
+      postcode: Option[Int],
+      lastTsMillis: Option[Long],
+  )
+
+  /** Kafka JSON payload schema (TransFraudModel.java:9-25). */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("card_id", LongType),
+    StructField("member_id", LongType),
+    StructField("amount", DoubleType),
+    StructField("pos_id", LongType),
+    StructField("postcode", IntegerType),
+    StructField("transaction_dt", StringType),
+  ))
+
+  /** Strict timestamp parse in UTC; None on failure (the reference throws a
+    * swallowed ParseException — FinFraudGuard.java:76 inside the try at :70).
+    */
+  def parseMillis(s: String, fmt: String): Option[Long] =
+    try {
+      val sdf = new java.text.SimpleDateFormat(fmt)
+      sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      sdf.setLenient(false)
+      Option(s).map(v => sdf.parse(v).getTime)
+    } catch { case _: java.text.ParseException => None }
+
+  /** Pure per-card fold: processes one card's transactions in event-time
+    * order against the current state; returns labeled rows + final state.
+    * Shared by the streaming (flatMapGroupsWithState) and batch-replay
+    * (flatMapGroups) paths so both are tested by the same oracle.
+    *
+    * Semantics (FinFraudGuard.java:68-88; SURVEY §7.1):
+    *  - rules: score < threshold, amount > ucl, speed > threshold — each
+    *    abstains when its inputs are missing (first-ever card ⇒ GENUINE
+    *    unless score/UCL fire);
+    *  - speed needs both zips known, both timestamps parsed, Δt > 0;
+    *  - only GENUINE advances (postcode, lastTs) (HBaseTransLink.java:76-81);
+    *  - within a batch, per-card ordering is by parsed event time, not
+    *    arrival (SURVEY §7.5.1); unparseable timestamps sort last.
+    */
+  def processCard(
+      initial: CardState,
+      txns: Seq[Transaction],
+      zip: Map[String, (Double, Double)],
+      cfg: FraudConfig,
+  ): (Seq[LabeledTransaction], CardState) = {
+    var st = initial
+    val ordered = txns.sortBy(t =>
+      (parseMillis(t.transaction_dt, cfg.streamTsFormat).getOrElse(Long.MaxValue), t.pos_id))
+    val out = ordered.map { t =>
+      val tsM = parseMillis(t.transaction_dt, cfg.streamTsFormat)
+      def lookupZip(pc: Int): Option[(Double, Double)] = zip.get(pc.toString) match {
+        case None if cfg.unknownZip == UnknownZipPolicy.Fail =>
+          throw new IllegalArgumentException(s"unknown postcode $pc")
+        case other => other
+      }
+      val speed: Option[Double] = for {
+        prevPc <- st.postcode
+        prevTs <- st.lastTsMillis
+        curTs <- tsM
+        dtSec = (curTs - prevTs) / 1000.0
+        if dtSec > 0
+        prev <- lookupZip(prevPc)
+        cur <- lookupZip(t.postcode)
+      } yield GeoFunctions.greatCircleKmScalar(prev._1, prev._2, cur._1, cur._2) / dtSec
+      val label = Rules.fraudLabelScalar(st.score, t.amount, st.ucl, speed, cfg)
+      if (label == cfg.genuineLabel)
+        st = st.copy(postcode = Some(t.postcode), lastTsMillis = tsM.orElse(st.lastTsMillis))
+      LabeledTransaction(t.card_id, t.member_id, t.amount, t.pos_id, t.postcode, t.transaction_dt, label)
+    }
+    (out, st)
+  }
+
+  /** Lookup snapshot row → initial state (timestamps in the snapshot carry
+    * the batch format — FDProcBatch.txt:289).
+    */
+  def seedState(l: CardLookup, cfg: FraudConfig): CardState =
+    CardState(l.ucl, l.score, l.postcode,
+      l.transaction_dt.flatMap(parseMillis(_, cfg.batchTsFormat)))
+
+  /** K3: the stateful streaming classifier. Works on both streaming and
+    * batch Datasets (Spark runs flatMapGroupsWithState in batch mode with
+    * the same semantics, which is how StreamingSpec cross-checks it).
+    */
+  def classify(
+      txns: Dataset[Transaction],
+      lookupSnapshot: Dataset[CardLookup],
+      zipBc: Broadcast[Map[String, (Double, Double)]],
+      cfg: FraudConfig = FraudConfig(),
+  ): Dataset[LabeledTransaction] = {
+    val spark = txns.sparkSession
+    import spark.implicits._
+    val initial = lookupSnapshot.groupByKey(_.card_id).mapValues(seedState(_, cfg))
+    txns.groupByKey(_.card_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, initial) {
+        (cardId: Long, it: Iterator[Transaction], state: GroupState[CardState]) =>
+          val st0 = state.getOption.getOrElse(CardState(None, None, None, None))
+          val (out, st1) = processCard(st0, it.toSeq, zipBc.value, cfg)
+          state.update(st1)
+          out.iterator
+      }
+  }
+
+  /** K2/F7: decode the Kafka value column (JSON string) into transactions. */
+  def decode(raw: DataFrame): Dataset[Transaction] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.select(from_json(col("value").cast(StringType), payloadSchema).as("t"))
+      .select("t.*").as[Transaction]
+  }
+
+  /** S13→K3→K4/S11: full streaming job wiring — Kafka source, classify,
+    * foreachBatch master-append + console. `1 second` trigger matches the
+    * executable layer (FinFraudGuard.java:41; spec fork §0 says 5s).
+    */
+  def run(
+      spark: SparkSession,
+      brokers: String,
+      topic: String,
+      lookupSnapshot: Dataset[CardLookup],
+      zipBc: Broadcast[Map[String, (Double, Double)]],
+      masterPath: String,
+      checkpoint: String,
+      cfg: FraudConfig = FraudConfig(),
+  ): DataStreamWriter[LabeledTransaction] = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+    classify(decode(raw), lookupSnapshot, zipBc, cfg)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[LabeledTransaction], _: Long) =>
+        Sources.appendWithUuid(batch.toDF(), masterPath)
+      }
+  }
+}
