@@ -7,7 +7,9 @@ object SparkEntry {
 
   /** All implemented queries, one per operator from SURVEY.md §2. */
   def all: Seq[GraftQuery] =
-    operators.Relational.queries ++ operators.Stateful.queries
+    operators.Relational.queries ++ operators.Stateful.queries ++
+      operators.Dedup.queries ++ operators.Similarity.queries ++
+      operators.TextAnalysis.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / resize / frame-sample
+  * operators.
+  *
+  * The decode step is a DETERMINISTIC STUB — this container has no media
+  * libraries, so "decoding" derives pseudo-metadata from the bytes
+  * (hash-based), clearly marked below. Everything around it — the asset
+  * schema, batch shape, chunking, size-aware partitioning — is real Spark
+  * plumbing and is what matters at 100 TB: media bytes never pass through a
+  * shuffle unless the operator genuinely needs them to, and all metadata ops
+  * are codegen'd column expressions over the binary column.
+  */
+object Multimodal {
+
+  /** Canonical media-asset schema: opaque payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType), // "image" | "audio" | "video"
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("sample_rate", IntegerType),
+    ))),
+  ))
+
+  /** STUB decode: derive (width, height, n_frames, sample_rate) from content
+    * bytes. A real deployment replaces the hash-derived values with an
+    * actual decoder behind the same column contract; the schema, null
+    * handling, and plan shape stay identical.
+    */
+  def decodeMeta(content: Column): Column = {
+    val h = abs(xxhash64(content))
+    struct(
+      (h % 1920 + 1).cast(IntegerType).as("width"),
+      (h % 1080 + 1).cast(IntegerType).as("height"),
+      (h % 240 + 1).cast(IntegerType).as("n_frames"),
+      lit(16000).cast(IntegerType).as("sample_rate"),
+    )
+  }
+
+  /** Attach decoded metadata to a raw (asset_id, media_type, content) frame. */
+  def withMeta(assets: DataFrame): DataFrame =
+    assets.withColumn("meta", decodeMeta(col("content")))
+
+  /** STUB resize: a real implementation transcodes `content`; the stub
+    * rewrites only the metadata, preserving the exact operator contract
+    * (same columns in, same columns out).
+    */
+  def resize(assets: DataFrame, width: Int, height: Int): DataFrame =
+    assets.withColumn("meta",
+      col("meta").withField("width", lit(width))
+        .withField("height", lit(height)))
+
+  /** Frame sampling: split the payload into `frameBytes`-sized chunks and
+    * keep every `stride`-th chunk. Pure column expressions
+    * (sequence/transform/substring on binary) — codegen'd, no UDF; the
+    * explode multiplies rows, never bytes (each output row carries one
+    * chunk, not the whole asset).
+    */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nChunks = ceil(octet_length(col("content")).cast("double") / lit(frameBytes)).cast("int")
+    assets
+      .withColumn("frame_idx",
+        explode(filter(sequence(lit(0), nChunks - 1), i => i % stride === 0)))
+      .withColumn("frame",
+        expr(s"substring(content, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .drop("content")
+  }
+
+  /** Size-aware repartitioning: media rows are heavily skewed by payload
+    * size; bucketing by log2(size) bands before heavy per-asset work keeps
+    * task durations even (the scale-path answer to one 4 GB video pinning a
+    * task while 10k thumbnails finish).
+    */
+  def repartitionBySize(assets: DataFrame, partitions: Int): DataFrame =
+    assets
+      .withColumn("size_band", floor(log2(octet_length(col("content")) + lit(1))))
+      .repartition(partitions, col("size_band"), col("asset_id"))
+      .drop("size_band")
+}

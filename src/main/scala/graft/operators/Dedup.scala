@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the large-scale training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
+  * join), SimHash hamming pairs, and n-gram Jaccard.
+  *
+  * Cross-engine determinism: hashes are md5 hex strings (identical in Spark
+  * and DuckDB); MinHash minima are taken lexicographically over the
+  * fixed-width hex strings, which equals numeric order. Jaccard ratios are
+  * exact-integer divisions.
+  *
+  * Scale notes (100 TB): everything is shuffle-bounded by (a) distinct
+  * tokens per doc (bounded by doc length), (b) candidate pairs AFTER
+  * LSH-band/bucket blocking — never the raw doc×doc cross product. The
+  * band join is an equi-join on the band signature so it hash-partitions;
+  * same-source blocking stands in for the band-bucket partitioning where the
+  * verify-scale data would otherwise make every pair a candidate (31-word
+  * vocab ⇒ near-total overlap).
+  */
+object Dedup {
+
+  private val NumHashes = 8
+
+  /** Distinct words per doc — the shingle base for set-similarity ops. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+
+  private val tokensSql =
+    "SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents"
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Exact dedup: hash-groupBy on raw content; canonical id = min doc_id of
+    // the hash group (one shuffle on the 32-char key, not the document body).
+    GraftQuery(
+      "q_dedup_exact",
+      (s, dir) => {
+        val keyed = Tables(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("k"))
+        val w = Window.partitionBy("k")
+        keyed
+          .withColumn("canonical_id", min("doc_id").over(w))
+          .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+          .select("doc_id", "canonical_id", "is_dup")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  min(doc_id) OVER (PARTITION BY k) AS canonical_id,
+             |  doc_id <> min(doc_id) OVER (PARTITION BY k) AS is_dup
+             |FROM (SELECT doc_id, md5(text) AS k FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // MinHash + LSH: 8 hash functions (seeded md5), 2 bands of 4 → candidate
+    // pairs from an equi-join on the band signature, then exact Jaccard
+    // verification on the candidates only. Top-100 most similar pairs.
+    GraftQuery(
+      "q_dedup_minhash",
+      (s, dir) => {
+        val t = tokens(Tables(s, dir, "documents"))
+        val hashAggs = (0 until NumHashes).map(i =>
+          min(md5(concat(lit(s"h$i|"), col("w")))).as(s"h$i"))
+        val sigs = t.groupBy("doc_id", "source").agg(hashAggs.head, hashAggs.tail: _*)
+          .withColumn("band0", concat((0 until 4).map(i => col(s"h$i")): _*))
+          .withColumn("band1", concat((4 until 8).map(i => col(s"h$i")): _*))
+        // candidates: equal band-0 or band-1 signature (two equi-joins, unioned)
+        def bandPairs(band: String) = sigs.as("a")
+          .join(sigs.as("b"), col(s"a.$band") === col(s"b.$band"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val cands = bandPairs("band0").union(bandPairs("band1")).distinct()
+        // exact Jaccard on candidates via token intersection counts
+        val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val ta = t.select(col("doc_id").as("doc_a"), col("w"))
+        val tb = t.select(col("doc_id").as("doc_b"), col("w"))
+        val inter = cands.join(ta, "doc_a").join(tb, Seq("doc_b", "w"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+          .limit(100)
+      },
+      Some(s"""WITH t AS ($tokensSql),
+              |sigs AS (
+              |  SELECT doc_id, source,
+              |${(0 until NumHashes).map(i => s"    min(md5('h$i|' || w)) AS h$i").mkString(",\n")}
+              |  FROM t GROUP BY doc_id, source
+              |),
+              |banded AS (
+              |  SELECT doc_id, h0||h1||h2||h3 AS band0, h4||h5||h6||h7 AS band1 FROM sigs
+              |),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+              |  UNION
+              |  SELECT DISTINCT a.doc_id, b.doc_id
+              |  FROM banded a JOIN banded b
+              |    ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+              |),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+              |  FROM cands c
+              |  JOIN t ta ON ta.doc_id = c.doc_a
+              |  JOIN t tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+              |  GROUP BY c.doc_a, c.doc_b
+              |)
+              |SELECT i.doc_a, i.doc_b,
+              |  CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+              |FROM inter i
+              |JOIN sizes sa ON sa.doc_id = i.doc_a
+              |JOIN sizes sb ON sb.doc_id = i.doc_b
+              |ORDER BY jaccard DESC, i.doc_a, i.doc_b LIMIT 100""".stripMargin),
+    ),
+
+    // SimHash: 16-bit signature from per-word md5 nibble high-bits; near-dup
+    // pairs = hamming(sig_a, sig_b) <= 3 within a source block (xor +
+    // bit_count). At 100 TB the block is the LSH band partition; here the
+    // source column provides equivalent blocking.
+    GraftQuery(
+      "q_dedup_simhash",
+      (s, dir) => {
+        val t = tokens(Tables(s, dir, "documents"))
+        val perBit = t
+          .withColumn("j", explode(sequence(lit(0), lit(15))))
+          .withColumn("vote",
+            when(expr("substring(md5(w), j + 1, 1)")
+              .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+          .groupBy("doc_id", "source", "j")
+          .agg(sum("vote").as("v"))
+        val sigs = perBit
+          .withColumn("bit", when(col("v") > 0, expr("CAST(pow(2.0, j) AS BIGINT)")).otherwise(lit(0L)))
+          .groupBy("doc_id", "source").agg(sum("bit").as("simhash"))
+        sigs.as("a").join(sigs.as("b"),
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+          .filter(col("hamming") <= 3)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.simhash").as("sim_a"), col("hamming"))
+          .orderBy("hamming", "doc_a", "doc_b")
+      },
+      Some(s"""WITH t AS ($tokensSql),
+              |votes AS (
+              |  SELECT doc_id, source, j,
+              |    sum(CASE WHEN substr(md5(w), j + 1, 1) IN ('8','9','a','b','c','d','e','f')
+              |             THEN 1 ELSE -1 END) AS v
+              |  FROM t, range(0, 16) r(j)
+              |  GROUP BY doc_id, source, j
+              |),
+              |sigs AS (
+              |  SELECT doc_id, source,
+              |    CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+              |  FROM votes GROUP BY doc_id, source
+              |)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a,
+              |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+              |FROM sigs a JOIN sigs b
+              |  ON a.source = b.source AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |ORDER BY hamming, doc_a, doc_b""".stripMargin),
+    ),
+
+    // n-gram (word-bigram) Jaccard near-dup within source blocks; top 100.
+    GraftQuery(
+      "q_ngram_jaccard",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val grams = docs
+          .withColumn("ws", split(col("text"), " "))
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(expr(
+              "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            ))).as("g"))
+        val sizes = grams.groupBy("doc_id", "source").agg(count(lit(1)).as("sz"))
+        val inter = grams.as("a").join(grams.as("b"),
+            col("a.source") === col("b.source") && col("a.g") === col("b.g") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+          .limit(100)
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, source, unnest(gs) AS g FROM (
+             |    SELECT doc_id, source,
+             |      list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gs
+             |    FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
+             |  )
+             |),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |  FROM g a JOIN g b
+             |    ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id
+             |)
+             |SELECT i.doc_a, i.doc_b,
+             |  CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+             |FROM inter i
+             |JOIN sizes sa ON sa.doc_id = i.doc_a
+             |JOIN sizes sb ON sb.doc_id = i.doc_b
+             |ORDER BY jaccard DESC, i.doc_a, i.doc_b LIMIT 100""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (`Array[Float]`, 64-dim).
+  *
+  * Embeddings are quantized to integers (×1000, round-half-up — the int16
+  * quantization standard for ANN at scale): dot products and norms become
+  * exact integer arithmetic, so results are bit-identical across engines and
+  * partitionings (a float dot product would differ in the low bits by
+  * summation order). Cosine is then derived in double from the exact
+  * integers.
+  *
+  * Scale notes (100 TB): brute-force is the correctness baseline — O(n²)
+  * pairs is fine at verify scale and intentionally capped there. The scale
+  * path is the bucketed (IVF-style) variant: an equi-join on the coarse
+  * cluster id (here the `label` column as the pre-computed coarse quantizer)
+  * cuts candidates by the bucket count and hash-partitions cleanly; the
+  * top-k window then runs per-bucket. Swap `label` for any learned/LSH
+  * bucket id without touching the plan shape.
+  */
+object Similarity {
+
+  /** transform(embedding, x -> round-half-up(x*1000) as bigint) */
+  private def quantized: Column =
+    transform(col("embedding"), x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
+
+  private val quantizedSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def cosExpr: Column =
+    (dot(col("a.q"), col("b.q")).cast("double") /
+      (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
+
+  private def prepared(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("q", quantized)
+      .withColumn("nrm", dot(col("q"), col("q")))
+      .select("vec_id", "label", "q", "nrm")
+
+  // DuckDB list_dot_product returns double — exact here because every term
+  // and partial sum of the quantized values stays far below 2^53.
+  private def oracleFor(joinCond: String): String =
+    s"""WITH prep AS (
+       |  SELECT vec_id, label, $quantizedSql AS q FROM embeddings
+       |),
+       |normed AS (
+       |  SELECT vec_id, label, q, list_dot_product(q, q) AS nrm FROM prep
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+       |  FROM normed a JOIN normed b ON $joinCond
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pairs
+       |)
+       |SELECT query_id, neighbor_id, rank, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  private def topK(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (floor(col("cos") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Brute-force cosine top-3 per vector — the ANN correctness baseline.
+    GraftQuery(
+      "q_similarity_cosine",
+      (s, dir) => {
+        val p = prepared(s, dir)
+        val pairs = p.as("a").crossJoin(p.as("b"))
+          .filter(col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+            cosExpr.as("cos"))
+        topK(pairs)
+      },
+      Some(oracleFor("a.vec_id <> b.vec_id")),
+    ),
+
+    // IVF-style bucketed variant: candidates restricted to the same coarse
+    // bucket (label) — the 100 TB plan shape (equi-join, per-bucket top-k).
+    GraftQuery(
+      "q_similarity_bucketed",
+      (s, dir) => {
+        val p = prepared(s, dir)
+        val pairs = p.as("a")
+          .join(p.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+            cosExpr.as("cos"))
+        topK(pairs)
+      },
+      Some(oracleFor("a.label = b.label AND a.vec_id <> b.vec_id")),
+    ),
+  )
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: quality scoring,
+  * language ID (marker-word heuristic), token counting (whitespace + a
+  * BPE-ish regex), document fingerprinting, and the binary-column
+  * (multimodal) metadata path.
+  *
+  * All per-document map-side work — no shuffle at all except the final
+  * presentation sort; at 100 TB these run at scan speed with full
+  * whole-stage codegen (plain string/regexp builtins, no UDFs).
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Quality scoring: length/punctuation/stopword signals → a composite
+    // score; the standard pre-training corpus filters.
+    GraftQuery(
+      "q_text_quality",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("n_words", size(col("ws")).cast("long"))
+          .withColumn("n_stop",
+            size(filter(col("ws"), w => w.isInCollection(stopwords))).cast("long"))
+          .withColumn("n_punct",
+            (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("long"))
+          .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+          .withColumn("punct_ratio", col("n_punct").cast("double") / length(col("text")))
+        d.select(
+          col("doc_id"), col("n_words"), col("n_stop"), col("n_punct"),
+          (floor(col("stop_ratio") * lit(1e6) + lit(0.5)) / lit(1e6)).as("stop_ratio"),
+          (floor(col("punct_ratio") * lit(1e6) + lit(0.5)) / lit(1e6)).as("punct_ratio"),
+          (floor(
+            least(lit(1.0), col("n_words").cast("double") / lit(100.0)) *
+              (lit(1.0) - col("stop_ratio")) * (lit(1.0) - col("punct_ratio")) * lit(1e6)
+              + lit(0.5)) / lit(1e6)).as("quality"),
+        ).orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+              |),
+              |m AS (
+              |  SELECT doc_id,
+              |    CAST(len(ws) AS BIGINT) AS n_words,
+              |    CAST(len(list_filter(ws, w -> w IN $stopListSql)) AS BIGINT) AS n_stop,
+              |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+              |    CAST(len(list_filter(ws, w -> w IN $stopListSql)) AS DOUBLE) / len(ws) AS stop_ratio,
+              |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+              |  FROM d
+              |)
+              |SELECT doc_id, n_words, n_stop, n_punct,
+              |  floor(stop_ratio * 1e6 + 0.5) / 1e6 AS stop_ratio,
+              |  floor(punct_ratio * 1e6 + 0.5) / 1e6 AS punct_ratio,
+              |  floor(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * (1.0 - stop_ratio) * (1.0 - punct_ratio) * 1e6 + 0.5) / 1e6 AS quality
+              |FROM m ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Language ID: marker-word n-gram heuristic — per-language marker hits,
+    // argmax with deterministic tie order, 'und' when nothing matches.
+    GraftQuery(
+      "q_lang_id",
+      (s, dir) => {
+        val en = Seq("the", "a", "and", "of")
+        val markers = Seq("en" -> en,
+          "fr" -> Seq("le", "la", "et", "de"),
+          "de" -> Seq("der", "die", "und", "das"))
+        var d = Tables(s, dir, "documents").withColumn("ws", split(col("text"), " "))
+        markers.foreach { case (lang, ms) =>
+          d = d.withColumn(s"hits_$lang",
+            size(filter(col("ws"), w => w.isInCollection(ms))).cast("long"))
+        }
+        d.select(
+          col("doc_id"), col("lang").as("declared_lang"),
+          col("hits_en"), col("hits_fr"), col("hits_de"),
+          when(col("hits_en") >= col("hits_fr") && col("hits_en") >= col("hits_de") && col("hits_en") > 0, "en")
+            .when(col("hits_fr") >= col("hits_de") && col("hits_fr") > 0, "fr")
+            .when(col("hits_de") > 0, "de")
+            .otherwise("und").as("predicted_lang"),
+        ).orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','and','of'))) AS BIGINT) AS hits_en,
+             |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','de'))) AS BIGINT) AS hits_fr,
+             |    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das'))) AS BIGINT) AS hits_de
+             |  FROM documents
+             |)
+             |SELECT doc_id, lang AS declared_lang, hits_en, hits_fr, hits_de,
+             |  CASE WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en > 0 THEN 'en'
+             |       WHEN hits_fr >= hits_de AND hits_fr > 0 THEN 'fr'
+             |       WHEN hits_de > 0 THEN 'de'
+             |       ELSE 'und' END AS predicted_lang
+             |FROM m ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation
+    // (letter runs / digit runs / single symbols).
+    GraftQuery(
+      "q_token_count",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+            size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+              .cast("long").as("bpeish_tokens"),
+            col("n_chars"),
+          ).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpeish_tokens,
+             |  n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Fingerprinting: content hash of the normalized token set (the md5 of
+    // the sorted distinct words) + a short prefix fingerprint.
+    GraftQuery(
+      "q_fingerprint",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .withColumn("fp",
+            md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+          .select(col("doc_id"), col("fp"), substring(col("fp"), 1, 16).as("fp16"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, fp, substr(fp, 1, 16) AS fp16 FROM (
+             |  SELECT doc_id,
+             |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             |  FROM documents
+             |) ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Multimodal binary-column plumbing: opaque bytes + typed metadata —
+    // byte length, content hash, head bytes in base64. The decode /
+    // feature-extract stage for real media lives in graft.multimodal
+    // (deterministic stub — no media libs in this container).
+    GraftQuery(
+      "q_multimodal_meta",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .withColumn("blob", col("text").cast("binary"))
+          .select(
+            col("doc_id"),
+            expr("octet_length(blob)").cast("long").as("n_bytes"),
+            md5(col("blob")).as("content_md5"),
+            base64(substring(col("text"), 1, 8).cast("binary")).as("head_b64"),
+          ).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS content_md5,
+             |  to_base64(encode(substr(text, 1, 8))) AS head_b64
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Invariants for the dedup/similarity/text/multimodal extensions at
+  * sf0.001 (exact equivalence is pinned by the DuckDB oracle gate).
+  */
+class ExtensionsSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+
+  test("minhash/ngram jaccard values are valid ratios, descending") {
+    Seq("q_dedup_minhash", "q_ngram_jaccard").foreach { name =>
+      val rows = SparkEntry.queries(name)(spark, dir)
+        .select("jaccard").as[Double](org.apache.spark.sql.Encoders.scalaDouble).collect()
+      assert(rows.nonEmpty, name)
+      assert(rows.forall(j => j >= 0.0 && j <= 1.0), name)
+      assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)), name)
+    }
+  }
+
+  test("simhash hamming pairs are within threshold and well-formed") {
+    val df = SparkEntry.queries("q_dedup_simhash")(spark, dir)
+    assert(df.filter(col("hamming") > 3 || col("hamming") < 0).count() == 0)
+    assert(df.filter(col("doc_a") >= col("doc_b")).count() == 0)
+  }
+
+  test("cosine top-k: bounded, k<=3 per query, bucketed is a subset universe") {
+    val brute = SparkEntry.queries("q_similarity_cosine")(spark, dir)
+    assert(brute.filter(col("cos") > 1.000001 || col("cos") < -1.000001).count() == 0)
+    val perQuery = brute.groupBy("query_id").count()
+    assert(perQuery.filter(col("count") > 3).count() == 0)
+    // bucketed rank-1 cosine can never beat brute-force rank-1
+    val b1 = SparkEntry.queries("q_similarity_bucketed")(spark, dir)
+      .filter(col("rank") === 1).select(col("query_id"), col("cos").as("bcos"))
+    val f1 = brute.filter(col("rank") === 1).select(col("query_id"), col("cos").as("fcos"))
+    assert(b1.join(f1, "query_id").filter(col("bcos") > col("fcos") + lit(1e-9)).count() == 0)
+  }
+
+  test("exact dedup: canonical ids are minimal and self-consistent") {
+    val df = SparkEntry.queries("q_dedup_exact")(spark, dir)
+    assert(df.filter(col("canonical_id") > col("doc_id")).count() == 0)
+    assert(df.filter(col("is_dup") && col("canonical_id") === col("doc_id")).count() == 0)
+  }
+
+  test("multimodal: meta decode, resize contract, frame sampling math") {
+    val s = spark
+    import s.implicits._
+    val assets = Seq(
+      (1L, "image", ("x" * 100).getBytes("UTF-8")),
+      (2L, "video", ("y" * 1000).getBytes("UTF-8")),
+    ).toDF("asset_id", "media_type", "content")
+    val withMeta = Multimodal.withMeta(assets)
+    assert(withMeta.select("meta.width").as[Int].collect().forall(w => w >= 1 && w <= 1920))
+    val resized = Multimodal.resize(withMeta, 64, 64)
+    assert(resized.select("meta.width").as[Int].collect().forall(_ == 64))
+    assert(resized.columns.toSeq == withMeta.columns.toSeq)
+    // 1000 bytes / 100-byte frames = 10 chunks, stride 2 → frames 0,2,4,6,8
+    val frames = Multimodal.sampleFrames(withMeta.filter($"asset_id" === 2), 100, 2)
+    assert(frames.count() == 5)
+    assert(frames.select(max(octet_length(col("frame")))).head().getInt(0) == 100)
+    // partitioning helper preserves rows
+    assert(Multimodal.repartitionBySize(withMeta, 4).count() == 2)
+  }
+}
