@@ -69,9 +69,14 @@ object Dedup {
         val sigs = t.groupBy("doc_id", "source").agg(hashAggs.head, hashAggs.tail: _*)
           .withColumn("band0", concat((0 until 4).map(i => col(s"h$i")): _*))
           .withColumn("band1", concat((4 until 8).map(i => col(s"h$i")): _*))
-        // candidates: equal band-0 or band-1 signature (two equi-joins, unioned)
+        // candidates: equal band signature within a source shard. The extra
+        // source key bounds band-bucket size (this synthetic corpus has a
+        // 31-word vocab, so bare band groups degenerate toward all-pairs);
+        // at scale this is exactly sharded dedup — band join partitions by
+        // (shard, band).
         def bandPairs(band: String) = sigs.as("a")
-          .join(sigs.as("b"), col(s"a.$band") === col(s"b.$band"))
+          .join(sigs.as("b"),
+            col("a.source") === col("b.source") && col(s"a.$band") === col(s"b.$band"))
           .filter(col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         val cands = bandPairs("band0").union(bandPairs("band1")).distinct()
@@ -96,16 +101,16 @@ object Dedup {
               |  FROM t GROUP BY doc_id, source
               |),
               |banded AS (
-              |  SELECT doc_id, h0||h1||h2||h3 AS band0, h4||h5||h6||h7 AS band1 FROM sigs
+              |  SELECT doc_id, source, h0||h1||h2||h3 AS band0, h4||h5||h6||h7 AS band1 FROM sigs
               |),
               |cands AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |  FROM banded a JOIN banded b
-              |    ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+              |    ON a.source = b.source AND a.band0 = b.band0 AND a.doc_id < b.doc_id
               |  UNION
               |  SELECT DISTINCT a.doc_id, b.doc_id
               |  FROM banded a JOIN banded b
-              |    ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+              |    ON a.source = b.source AND a.band1 = b.band1 AND a.doc_id < b.doc_id
               |),
               |sizes AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
               |inter AS (
