@@ -58,12 +58,18 @@ object Sources {
       .csv(path)
 
   /** S5: zip side-input scan; rows with wrong field count dropped like the
-    * reference's length-check skip (FraudDistMetric.java:43).
+    * reference's length-check skip (FraudDistMetric.java:43). Short rows are
+    * null-padded by the CSV reader, so the field-count check becomes a
+    * null filter on the coordinates and trailing column; rows whose numerics
+    * fail to parse are dropped (DROPMALFORMED) rather than aborting the load
+    * as the reference would (lenient policy, SURVEY §7.1).
     */
   def readZipCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(zipSchema)
       .option("header", "false").option("mode", "DROPMALFORMED")
       .csv(path)
+      .filter(col("zip").isNotNull && col("lat").isNotNull &&
+        col("lon").isNotNull && col("post_id").isNotNull)
 
   /** S1: JDBC full-table ingest (Sqoop import analog, FDProcBatch.txt:13-26).
     * `numPartitions`/`partitionColumn` split the read like Sqoop's mappers.

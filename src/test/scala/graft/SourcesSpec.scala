@@ -1,0 +1,69 @@
+package graft
+
+import graft.sources.Sources
+import java.nio.file.Files
+
+/** Sink/reader roundtrips: CSV with declared schema + header skip (S4), zip
+  * CSV with malformed-row drop (S5), ORC+snappy staging write (S6),
+  * overwrite snapshot (S8), uuid append master (S11).
+  */
+class SourcesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sources").toString
+
+  test("transactions CSV: declared schema, header skipped") {
+    val dir = tmp()
+    val p = s"$dir/tx.csv"
+    Files.writeString(java.nio.file.Paths.get(p),
+      """card_id,member_id,amount,postcode,pos_id,transaction_dt,status
+        |1,101,42.50,10524,9001,2024-01-01 10:00:00,GENUINE
+        |2,102,13.37,10001,9002,2024-01-01 11:00:00,FRAUDULENT
+        |""".stripMargin)
+    val df = Sources.readTransactionsCsv(spark, p)
+    assert(df.schema == Sources.transactionHistorySchema)
+    assert(df.count() == 2)
+    assert(df.filter($"card_id" === 1).head().getDouble(2) == 42.50)
+  }
+
+  test("zip CSV: wrong-field-count rows dropped (FraudDistMetric.java:43)") {
+    val dir = tmp()
+    val p = s"$dir/zip.csv"
+    Files.writeString(java.nio.file.Paths.get(p),
+      """10524,41.3706,-73.922,Garrison,New York,008478487970070
+        |badrow,1.0
+        |10001,40.7506,-73.9971,New York,New York,761343519600829
+        |""".stripMargin)
+    val df = Sources.readZipCsv(spark, p)
+    assert(df.count() == 2)
+    val m = graft.geo.Geo.zipMap(spark, p)
+    assert(m.keySet == Set("10524", "10001"))
+    assert(m("10524") == ((41.3706, -73.922)))
+  }
+
+  test("ORC+snappy staging write roundtrips") {
+    val out = tmp() + "/orc"
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("card_id", "ucl")
+    Sources.writeOrcSnappy(df, out)
+    val back = spark.read.orc(out)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("card_id", "ucl"))
+  }
+
+  test("overwrite snapshot replaces; uuid append accumulates with unique row ids") {
+    val snap = tmp() + "/snap"
+    Sources.overwriteSnapshot(Seq((1L, 1.0)).toDF("card_id", "ucl"), snap)
+    Sources.overwriteSnapshot(Seq((2L, 2.0), (3L, 3.0)).toDF("card_id", "ucl"), snap)
+    assert(spark.read.parquet(snap).count() == 2) // second overwrite wins
+
+    val master = tmp() + "/master"
+    val batch = Seq((1L, "GENUINE"), (2L, "FRAUD")).toDF("card_id", "status")
+    Sources.appendWithUuid(batch, master)
+    Sources.appendWithUuid(batch, master)
+    val got = spark.read.parquet(master)
+    assert(got.count() == 4) // append mode accumulates
+    assert(got.select("rowid").distinct().count() == 4) // fresh uuid per row
+    assert(got.select("rowid").as[String].head().matches("[0-9a-f]{32}")) // dashes stripped
+  }
+}
