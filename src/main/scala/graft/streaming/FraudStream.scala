@@ -133,11 +133,16 @@ object FraudStream {
       }
   }
 
-  /** K2/F7: decode the Kafka value column (JSON string) into transactions. */
+  /** K2/F7: decode the Kafka value column (JSON string) into transactions.
+    * Undecodable payloads are dropped — the reference swallows the Jackson
+    * parse exception and skips the record (FinFraudGuard.java:62-65 inside
+    * the try at :70).
+    */
   def decode(raw: DataFrame): Dataset[Transaction] = {
     val spark = raw.sparkSession
     import spark.implicits._
     raw.select(from_json(col("value").cast(StringType), payloadSchema).as("t"))
+      .filter(col("t").isNotNull && col("t.card_id").isNotNull)
       .select("t.*").as[Transaction]
   }
 

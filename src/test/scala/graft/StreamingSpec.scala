@@ -116,6 +116,45 @@ class StreamingSpec extends SparkSuite {
     assert(got == Map(1L -> "FRAUD", 2L -> "GENUINE", 3L -> "FRAUD"))
   }
 
+  test("decode (F7): JSON payload strings → typed Transactions") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      """{"card_id": 1234, "member_id": 5678, "amount": 42.5, "pos_id": 9012, "postcode": 10524, "transaction_dt": "12-08-2026 10:15:30"}""",
+      """not json at all""",
+    ).toDF("value")
+    val got = FraudStream.decode(raw).collect()
+    assert(got.head == Transaction(1234L, 5678L, 42.5, 9012L, 10524, "12-08-2026 10:15:30"))
+    assert(got.length == 1) // undecodable payload dropped (FinFraudGuard.java:62-65)
+  }
+
+  test("foreachBatch master sink (K4/S11): uuid append across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-master").toString + "/master"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[Transaction]
+    val snapshot = spark.emptyDataset[CardLookup]
+    val zipBc = spark.sparkContext.broadcast(zip)
+    val q = FraudStream.classify(input.toDS(), snapshot, zipBc, cfg)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[LabeledTransaction], _: Long) =>
+        graft.sources.Sources.appendWithUuid(batch.toDF(), out)
+      }.start()
+    try {
+      input.addData(txn(1, 5.0, 11111, "01-01-2024 10:00:00", 1))
+      q.processAllAvailable()
+      input.addData(txn(1, 6.0, 11111, "01-01-2024 10:05:00", 2))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+      assert(got.count() == 2)
+      assert(got.select("rowid").distinct().count() == 2)
+      assert(got.columns.contains("status"))
+    } finally q.stop()
+  }
+
   test("end-to-end MemoryStream: labels across micro-batches with carried state") {
     val s = spark
     import s.implicits._
