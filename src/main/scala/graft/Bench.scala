@@ -12,10 +12,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/shuffle/codegen paths once so the first measured query
-    // doesn't absorb session startup (~4s otherwise).
+    // Warm the JVM/shuffle/codegen/parquet/broadcast paths once so the first
+    // measured query doesn't absorb session startup (~4s otherwise).
     spark.range(1L << 20).selectExpr("id % 97 AS k")
       .groupBy("k").count().count()
+    locally {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select("c_custkey", "c_mktsegment").limit(100)
+      val d = c.select(col("c_custkey").as("k2"))
+      c.join(broadcast(d), c("c_custkey") === d("k2"))
+        .selectExpr("row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn")
+        .count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -69,28 +69,39 @@ object Dedup {
         val sigs = t.groupBy("doc_id", "source").agg(hashAggs.head, hashAggs.tail: _*)
           .withColumn("band0", concat((0 until 4).map(i => col(s"h$i")): _*))
           .withColumn("band1", concat((4 until 8).map(i => col(s"h$i")): _*))
+        import s.implicits._
         // candidates: equal band signature within a source shard. The extra
         // source key bounds band-bucket size (this synthetic corpus has a
         // 31-word vocab, so bare band groups degenerate toward all-pairs);
         // at scale this is exactly sharded dedup — band join partitions by
-        // (shard, band).
-        def bandPairs(band: String) = sigs.as("a")
+        // (shard, band). Candidates carry the source so verification can
+        // co-locate with the per-source token sets.
+        def bandPairsSrc(band: String) = sigs.as("a")
           .join(sigs.as("b"),
             col("a.source") === col("b.source") && col(s"a.$band") === col(s"b.$band"))
           .filter(col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        val cands = bandPairs("band0").union(bandPairs("band1")).distinct()
-        // exact Jaccard on candidates via token intersection counts
-        val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val ta = t.select(col("doc_id").as("doc_a"), col("w"))
-        val tb = t.select(col("doc_id").as("doc_b"), col("w"))
-        val inter = cands.join(ta, "doc_a").join(tb, Seq("doc_b", "w"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+          .select(col("a.source").as("source"),
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val cands = bandPairsSrc("band0").union(bandPairsSrc("band1")).distinct()
+          .as[(String, Long, Long)]
+        // exact Jaccard on candidates: cogroup candidate pairs with the
+        // source's token sets and intersect in a kernel (the token
+        // equi-join + re-aggregate formulation shuffles |cands|·|tokens|
+        // rows; this shuffles each side once)
+        val docSets = Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            array_distinct(split(col("text"), " ")).as("ws"))
+          .as[(String, Long, Seq[String])]
+        cands.groupByKey(_._1)
+          .cogroup(docSets.groupByKey(_._1)) { (_, candIt, setIt) =>
+            val sets = setIt.map { case (_, id, ws) => id -> ws.toSet }.toMap
+            candIt.map { case (_, a, b) =>
+              val (ga, gb) = (sets(a), sets(b))
+              val inter = if (ga.size <= gb.size) ga.count(gb.contains) else gb.count(ga.contains)
+              (a, b, inter.toDouble / (ga.size + gb.size - inter))
+            }
+          }
+          .toDF("doc_a", "doc_b", "jaccard")
           .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
           .limit(100)
       },
@@ -136,16 +147,18 @@ object Dedup {
       "q_dedup_simhash",
       (s, dir) => {
         val t = tokens(Tables(s, dir, "documents"))
-        val perBit = t
-          .withColumn("j", explode(sequence(lit(0), lit(15))))
-          .withColumn("vote",
-            when(expr("substring(md5(w), j + 1, 1)")
-              .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
-          .groupBy("doc_id", "source", "j")
-          .agg(sum("vote").as("v"))
-        val sigs = perBit
-          .withColumn("bit", when(col("v") > 0, expr("CAST(pow(2.0, j) AS BIGINT)")).otherwise(lit(0L)))
-          .groupBy("doc_id", "source").agg(sum("bit").as("simhash"))
+        // one aggregation pass: a vote column per bit (16 aggs) instead of a
+        // 16× row explosion — same shuffle key, 1/16th the shuffled rows
+        val voteAggs = (0 until 16).map { j =>
+          sum(when(expr(s"substring(md5(w), ${j + 1}, 1)")
+            .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v$j")
+        }
+        val bitSum = (0 until 16).map { j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val sigs = t.groupBy("doc_id", "source").agg(voteAggs.head, voteAggs.tail: _*)
+          .withColumn("simhash", bitSum)
+          .select("doc_id", "source", "simhash")
         sigs.as("a").join(sigs.as("b"),
             col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
           .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
@@ -156,16 +169,14 @@ object Dedup {
       },
       Some(s"""WITH t AS ($tokensSql),
               |votes AS (
-              |  SELECT doc_id, source, j,
-              |    sum(CASE WHEN substr(md5(w), j + 1, 1) IN ('8','9','a','b','c','d','e','f')
-              |             THEN 1 ELSE -1 END) AS v
-              |  FROM t, range(0, 16) r(j)
-              |  GROUP BY doc_id, source, j
+              |  SELECT doc_id, source,
+              |${(0 until 16).map(j => s"    sum(CASE WHEN substr(md5(w), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j").mkString(",\n")}
+              |  FROM t GROUP BY doc_id, source
               |),
               |sigs AS (
               |  SELECT doc_id, source,
-              |    CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-              |  FROM votes GROUP BY doc_id, source
+              |    ${(0 until 16).map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
+              |  FROM votes
               |)
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a,
               |  bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -176,27 +187,36 @@ object Dedup {
     ),
 
     // n-gram (word-bigram) Jaccard near-dup within source blocks; top 100.
+    // Physical strategy: one shuffle on the block key, then a per-block
+    // set-intersection kernel — the explode + token self-join formulation
+    // shuffles |docs|·|grams| rows and re-aggregates, ~4× slower here and
+    // strictly worse at scale (the block kernel touches each doc's gram set
+    // once; oversized blocks would be sub-tiled the same way).
     GraftQuery(
       "q_ngram_jaccard",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val grams = docs
+        import s.implicits._
+        val grams = Tables(s, dir, "documents")
           .withColumn("ws", split(col("text"), " "))
           .select(col("doc_id"), col("source"),
-            explode(array_distinct(expr(
+            array_distinct(expr(
               "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
-            ))).as("g"))
-        val sizes = grams.groupBy("doc_id", "source").agg(count(lit(1)).as("sz"))
-        val inter = grams.as("a").join(grams.as("b"),
-            col("a.source") === col("b.source") && col("a.g") === col("b.g") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+            )).as("gs"))
+          .as[(Long, String, Seq[String])]
+        grams.groupByKey(_._2)
+          .flatMapGroups { (_, it) =>
+            val docs = it.map { case (id, _, gs) => (id, gs.toSet) }.toArray.sortBy(_._1)
+            for {
+              i <- docs.indices.iterator
+              j <- Iterator.range(i + 1, docs.length)
+            } yield {
+              val (a, ga) = docs(i)
+              val (b, gb) = docs(j)
+              val inter = if (ga.size <= gb.size) ga.count(gb.contains) else gb.count(ga.contains)
+              (a, b, inter.toDouble / (ga.size + gb.size - inter))
+            }
+          }
+          .toDF("doc_a", "doc_b", "jaccard")
           .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
           .limit(100)
       },

@@ -126,6 +126,35 @@ object Relational {
       |  GROUP BY user_id
       |)""".stripMargin
 
+  /** The fully-enriched fraud frame (location, Δt, speed, UCL, score, label)
+    * that q_fraud_rules projects from; also the feature source for the MLlib
+    * layer (graft.ml.FraudScorer).
+    */
+  def fraudEnriched(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val located = withCoords(e)
+      .withColumn("prev_lat", lag("lat", 1).over(w))
+      .withColumn("prev_lon", lag("lon", 1).over(w))
+      .withColumn("dt_s", col("ts").cast(DoubleType) - lag(col("ts").cast(DoubleType), 1).over(w))
+    val speed = when(col("dt_s") > 0,
+      greatCircleKm(col("prev_lat"), col("prev_lon"), col("lat"), col("lon")) / col("dt_s"))
+    val ucl = uclPerUser(e).select("user_id", "ucl")
+    val score = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_acctbal").as("score"))
+    located
+      .withColumn("speed_kms", speed)
+      .join(ucl, Seq("user_id"), "left")
+      .join(broadcast(score), Seq("user_id"), "left")
+      .withColumn("label",
+        when(
+          (col("score").isNotNull && col("score") < 200) ||
+            (col("ucl").isNotNull && col("value") > col("ucl")) ||
+            (col("speed_kms").isNotNull && col("speed_kms") > 0.25),
+          lit("FRAUD"),
+        ).otherwise(lit("GENUINE")))
+  }
+
   // ---- queries -------------------------------------------------------------
 
   val queries: Seq[GraftQuery] = Seq(
@@ -478,33 +507,9 @@ object Relational {
     // (FinFraudGuard.java:82-83), batch-mode re-expression of EP2.
     GraftQuery(
       "q_fraud_rules",
-      (s, dir) => {
-        val e = Tables(s, dir, "events")
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        val located = withCoords(e)
-          .withColumn("prev_lat", lag("lat", 1).over(w))
-          .withColumn("prev_lon", lag("lon", 1).over(w))
-          .withColumn("dt_s", col("ts").cast(DoubleType) - lag(col("ts").cast(DoubleType), 1).over(w))
-        val speed = when(col("dt_s") > 0,
-          greatCircleKm(col("prev_lat"), col("prev_lon"), col("lat"), col("lon")) / col("dt_s"))
-        val ucl = uclPerUser(e).select("user_id", "ucl")
-        val score = Tables(s, dir, "customer")
-          .select(col("c_custkey").as("user_id"), col("c_acctbal").as("score"))
-        located
-          .withColumn("speed_kms", speed)
-          .join(ucl, Seq("user_id"), "left")
-          .join(broadcast(score), Seq("user_id"), "left")
-          .select(
-            col("event_id"), col("user_id"), col("value"),
-            when(
-              (col("score").isNotNull && col("score") < 200) ||
-                (col("ucl").isNotNull && col("value") > col("ucl")) ||
-                (col("speed_kms").isNotNull && col("speed_kms") > 0.25),
-              lit("FRAUD"),
-            ).otherwise(lit("GENUINE")).as("label"),
-          )
-          .orderBy("event_id")
-      },
+      (s, dir) => fraudEnriched(s, dir)
+        .select("event_id", "user_id", "value", "label")
+        .orderBy("event_id"),
       Some(s"""WITH located AS ($coordsSql),
               |seq AS (
               |  SELECT event_id, user_id, value, lat, lon,

@@ -143,6 +143,56 @@ object Similarity {
       Some(oracleFor("a.vec_id <> b.vec_id")),
     ),
 
+    // Embedding-cosine near-dup (the dedup-by-embedding variant): all pairs
+    // above a similarity threshold, via the same broadcast-corpus kernel
+    // scanning only ids greater than the query id (each unordered pair
+    // computed once). Threshold 0.4 ≈ the far tail of this corpus's cosine
+    // distribution (max ≈ 0.51); production near-dup would sit at 0.9+ with
+    // LSH/IVF blocking ahead of the scan.
+    GraftQuery(
+      "q_dedup_embedding",
+      (s, dir) => {
+        val p = prepared(s, dir)
+        val corpus = p.select("vec_id", "nrm", "q").collect().map { r =>
+          (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray)
+        }.sortBy(_._1)
+        val bc = s.sparkContext.broadcast(corpus)
+        import s.implicits._
+        p.select("vec_id", "nrm", "q").as[(Long, Long, Array[Long])]
+          .flatMap { case (qid, qn, qv) =>
+            val all = bc.value
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            var i = 0
+            while (i < all.length) {
+              val (nid, nn, nv) = all(i)
+              if (nid > qid) {
+                var dot = 0L
+                var j = 0
+                while (j < qv.length) { dot += qv(j) * nv(j); j += 1 }
+                val cos = dot.toDouble / (math.sqrt(qn.toDouble) * math.sqrt(nn.toDouble))
+                if (cos >= 0.4)
+                  out += ((qid, nid, math.floor(cos * 1e6 + 0.5) / 1e6))
+              }
+              i += 1
+            }
+            out
+          }
+          .toDF("vec_a", "vec_b", "cos")
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""WITH prep AS (
+              |  SELECT vec_id, $quantizedSql AS q FROM embeddings
+              |),
+              |normed AS (
+              |  SELECT vec_id, q, list_dot_product(q, q) AS nrm FROM prep
+              |)
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |  floor(list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) * 1e6 + 0.5) / 1e6 AS cos
+              |FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+              |WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.4
+              |ORDER BY vec_a, vec_b""".stripMargin),
+    ),
+
     // IVF-style bucketed variant — the 100 TB scale path: shuffle once on
     // the coarse bucket id (here `label`, standing in for a learned/LSH
     // coarse quantizer), then run the same top-k kernel within each bucket.

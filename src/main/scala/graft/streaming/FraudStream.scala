@@ -47,12 +47,23 @@ object FraudStream {
 
   /** Strict timestamp parse in UTC; None on failure (the reference throws a
     * swallowed ParseException — FinFraudGuard.java:76 inside the try at :70).
+    * Formatters are cached per thread — SimpleDateFormat is neither
+    * thread-safe nor cheap to construct, and this sits on the per-record
+    * streaming path.
     */
+  private val formatters =
+    new ThreadLocal[scala.collection.mutable.HashMap[String, java.text.SimpleDateFormat]] {
+      override def initialValue() = scala.collection.mutable.HashMap.empty
+    }
+
   def parseMillis(s: String, fmt: String): Option[Long] =
     try {
-      val sdf = new java.text.SimpleDateFormat(fmt)
-      sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-      sdf.setLenient(false)
+      val sdf = formatters.get().getOrElseUpdate(fmt, {
+        val f = new java.text.SimpleDateFormat(fmt)
+        f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        f.setLenient(false)
+        f
+      })
       Option(s).map(v => sdf.parse(v).getTime)
     } catch { case _: java.text.ParseException => None }
 

@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.ml.FraudScorer
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** MLlib fraud scorer: a seeded shallow tree trained on rule-engine labels
+  * recovers the rule thresholds (consistency between the ML path and the
+  * rule path), plus rolling-hash fingerprint properties.
+  */
+class MLSpec extends SparkSuite {
+
+  test("decision tree recovers the rule labels from rule-shaped features") {
+    val features = FraudScorer.featurize(Relational.fraudEnriched(spark, sf("sf0.001"))).cache()
+    val model = FraudScorer.train(features)
+    val scored = FraudScorer.score(model, features)
+    val agree = scored.filter(col("prediction") === col("is_fraud")).count().toDouble /
+      scored.count()
+    assert(agree > 0.97, s"rule/ML agreement $agree")
+    assert(FraudScorer.auc(scored) > 0.97)
+    // both classes present in the training frame (guards a degenerate fit)
+    assert(features.select("is_fraud").distinct().count() == 2)
+  }
+
+  test("rolling hash: equal sequences equal, permutation differs, fold is sequential") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "spark table join merge"),
+      ("b", "spark table join merge"),
+      ("c", "merge join table spark"),
+    ).toDF("id", "text")
+      .withColumn("h", TextFunctions.rollingHash(col("text")))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c")) // order-sensitive, unlike the sorted-set md5 fingerprint
+    assert(m.values.forall(h => h >= 0L && h < 2147483647L))
+  }
+}
