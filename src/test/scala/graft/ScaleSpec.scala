@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+/** Scale primitives: bucketed join is shuffle-free (plan-asserted), salted
+  * join/aggregation equal their unsalted forms, partitioned writes prune.
+  */
+class ScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bucketed co-located join has no shuffle exchange in the final plan") {
+    val li = Tables(spark, sf("sf0.001"), "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables(spark, sf("sf0.001"), "orders")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Scale.writeBucketed(li, "b_lineitem", "l_orderkey", 4)
+    Scale.writeBucketed(ord, "b_orders", "l_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
+      val n = joined.count()
+      assert(n > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join, got:\n$plan")
+      // cross-check against the plain join
+      val plain = li.join(ord, "l_orderkey").count()
+      assert(n == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted join equals plain join on a skewed key distribution") {
+    // 90% of rows share one hot key — the salting target
+    val big = spark.range(10000)
+      .select(when($"id" % 10 === 0, $"id" % 7).otherwise(lit(42L)).as("k"), $"id".as("payload"))
+    val small = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "tag")
+    val salted = Scale.saltedJoin(big, small, "k", saltFactor = 8)
+    val plain = big.join(small, "k")
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy("tag").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = plain.groupBy("tag").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("salted distinct count equals plain distinct count") {
+    val df = spark.range(5000)
+      .select(($"id" % 3).as("k"), ($"id" % 97).as("v"))
+    val got = Scale.saltedDistinctCount(df, "k", "v", saltFactor = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("k").agg(countDistinct("v").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("partitioned write prunes: filter on partition col reads one directory") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    val e = Tables(spark, sf("sf0.001"), "events")
+      .withColumn("day", to_date($"ts"))
+    Scale.writePartitioned(e, out, Seq("day"))
+    val back = spark.read.parquet(out)
+    val oneDay = back.filter($"day" === back.select(min("day")).head().getDate(0))
+    val n = oneDay.count()
+    assert(n > 0 && n < e.count())
+    // partition pruning shows up as a PartitionFilters entry in the scan
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan.take(500))
+  }
+}
