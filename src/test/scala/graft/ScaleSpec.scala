@@ -15,12 +15,17 @@ class ScaleSpec extends SparkSuite {
     val ord = Tables(spark, sf("sf0.001"), "orders")
       .select("o_orderkey", "o_totalprice")
       .withColumnRenamed("o_orderkey", "l_orderkey")
-    Scale.writeBucketed(li, "b_lineitem", "l_orderkey", 4)
-    Scale.writeBucketed(ord, "b_orders", "l_orderkey", 4)
+    // unique names: the managed-table location in /tmp/graft-warehouse
+    // survives across JVMs while the in-memory catalog does not
+    val tag = System.nanoTime()
+    val tLi = s"b_lineitem_$tag"
+    val tOrd = s"b_orders_$tag"
+    Scale.writeBucketed(li, tLi, "l_orderkey", 4)
+    Scale.writeBucketed(ord, tOrd, "l_orderkey", 4)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
-      val joined = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
+      val joined = spark.table(tLi).join(spark.table(tOrd), "l_orderkey")
       val n = joined.count()
       assert(n > 0)
       val plan = joined.queryExecution.executedPlan.toString
