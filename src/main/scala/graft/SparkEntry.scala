@@ -9,7 +9,8 @@ object SparkEntry {
   def all: Seq[GraftQuery] =
     operators.Relational.queries ++ operators.Stateful.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
-      operators.TextAnalysis.queries ++ operators.Windows.queries
+      operators.TextAnalysis.queries ++ operators.Windows.queries ++
+      operators.Analytics.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

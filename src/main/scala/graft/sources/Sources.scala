@@ -81,9 +81,11 @@ object Sources {
       partitionColumn: Option[String] = None,
       numPartitions: Int = 1,
       bounds: Option[(Long, Long)] = None,
+      driver: Option[String] = None,
   ): DataFrame = {
-    val base = spark.read.format("jdbc")
+    val base0 = spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
+    val base = driver.fold(base0)(d => base0.option("driver", d))
     val partitioned = (partitionColumn, bounds) match {
       case (Some(c), Some((lo, hi))) =>
         base.option("partitionColumn", c)
@@ -96,7 +98,9 @@ object Sources {
 
   /** S2: incremental ingest — watermark predicate pushed to the source
     * (Sqoop `--incremental append --check-column --last-value`,
-    * README.md:81-100). Returns the delta and the new high watermark column.
+    * README.md:81-100). `lastValue` is a SQL literal rendered verbatim
+    * (numeric: `"40"`, string/date: `"'2024-01-01'"`) so the comparison
+    * keeps the column's type on the database side.
     */
   def readJdbcIncremental(
       spark: SparkSession,
@@ -104,11 +108,13 @@ object Sources {
       table: String,
       checkColumn: String,
       lastValue: String,
-  ): DataFrame =
-    spark.read.format("jdbc")
+      driver: Option[String] = None,
+  ): DataFrame = {
+    val base0 = spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", s"(SELECT * FROM $table WHERE $checkColumn > '$lastValue') AS delta")
-      .load()
+      .option("dbtable", s"(SELECT * FROM $table WHERE $checkColumn > $lastValue) delta")
+    driver.fold(base0)(d => base0.option("driver", d)).load()
+  }
 
   /** S8: full-refresh materialization (INSERT OVERWRITE analog,
     * FDProcBatch.txt:123-133).
