@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -49,6 +50,42 @@ object Analytics {
              |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+    ),
+
+    // As-of join: each event matched to its customer's most recent order at
+    // or before the event time — the canonical Spark formulation (one union,
+    // one shuffle+sort per key, last-value-ignore-nulls carry-forward), which
+    // scales as a single window pass instead of a per-row range probe. The
+    // right side is pre-reduced to one row per (key, time) so tie-breaking
+    // is deterministic in both engines; the oracle uses DuckDB's native
+    // ASOF JOIN.
+    GraftQuery(
+      "q_asof_join",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts").as("t"), col("event_id"),
+            lit(null).cast("long").as("o_orderkey"), lit(1).as("is_event"))
+        val o = Tables(s, dir, "orders")
+          .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("t"))
+          .agg(max("o_orderkey").as("o_orderkey"))
+          .select(col("user_id"), col("t"), lit(null).cast("long").as("event_id"),
+            col("o_orderkey"), lit(0).as("is_event"))
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("is_event"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.unionByName(o)
+          .withColumn("matched_order", last("o_orderkey", ignoreNulls = true).over(w))
+          .filter(col("is_event") === 1)
+          .select(col("event_id"), col("user_id"), col("matched_order"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ou AS (
+             |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+             |  FROM orders GROUP BY o_custkey, o_orderdate
+             |)
+             |SELECT e.event_id, e.user_id, ou.o_orderkey AS matched_order
+             |FROM events e ASOF LEFT JOIN ou
+             |  ON e.user_id = ou.o_custkey AND e.ts >= ou.o_orderdate
+             |ORDER BY e.event_id""".stripMargin),
     ),
 
     // Distinct aggregation (count distinct over two columns + plain count).

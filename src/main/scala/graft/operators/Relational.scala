@@ -216,13 +216,17 @@ object Relational {
       "q_latest_per_key",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        // ts emitted as a canonical string: raw timestamp columns read back
+        // tz-aware from Spark parquet but naive from DuckDB, which a
+        // value-compare harness can see as different values
         Tables(s, dir, "events")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
-          .select("user_id", "event_id", "ts", "value")
+          .select(col("user_id"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"), col("value"))
           .orderBy("user_id")
       },
-      Some("""SELECT user_id, event_id, ts, value FROM (
+      Some("""SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, value FROM (
              |  SELECT user_id, event_id, ts, value,
              |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
              |  FROM events

@@ -24,10 +24,11 @@ object Windows {
             count(lit(1)).as("n"),
             sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType).as("sum_value"),
           )
-          .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("event_type"), col("n"), col("sum_value"))
           .orderBy("hour_start", "event_type")
       },
-      Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
              |  count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
@@ -46,7 +47,9 @@ object Windows {
             count(lit(1)).as("n"),
             sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType).as("sum_value"),
           )
-          .select(col("user_id"), col("w.start").as("session_start"), col("n"), col("sum_value"))
+          .select(col("user_id"),
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            col("n"), col("sum_value"))
           .orderBy("user_id", "session_start")
       },
       Some("""WITH seq AS (
@@ -61,7 +64,7 @@ object Windows {
              |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
              |  FROM seq
              |)
-             |SELECT user_id, min(ts) AS session_start, count(*) AS n,
+             |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
              |FROM sessions GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin),
