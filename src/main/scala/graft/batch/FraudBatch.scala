@@ -67,6 +67,33 @@ object FraudBatch {
       .join(score, Seq("card_id"))
       .select("card_id", "ucl", "postcode", "transaction_dt", "score")
 
+  /** EP3 dual-writer merge (SURVEY §3 EP3, §7.5): the lookup table has two
+    * writers racing column-wise — the batch refresh owns (ucl, score)
+    * (README.md:244,282) and the stream owns (postcode, transaction_dt)
+    * (HBaseTransLink.java:76-81). On (re)start the fresh batch snapshot's
+    * parameters are merged with the stream's last-known location/time:
+    * full-outer on card_id, each column taken from its owner, falling back
+    * to the other side when the owner has no row (a card seen only by the
+    * stream keeps its location; a card with no stream history yet keeps the
+    * batch's last-known location).
+    */
+  def mergeLookup(batchSnapshot: DataFrame, streamState: DataFrame): DataFrame = {
+    val b = batchSnapshot.select(
+      col("card_id"), col("ucl").as("b_ucl"), col("score").as("b_score"),
+      col("postcode").as("b_postcode"), col("transaction_dt").as("b_dt"))
+    val s = streamState.select(
+      col("card_id"), col("ucl").as("s_ucl"), col("score").as("s_score"),
+      col("postcode").as("s_postcode"), col("transaction_dt").as("s_dt"))
+    b.join(s, Seq("card_id"), "full_outer")
+      .select(
+        col("card_id"),
+        coalesce(col("b_ucl"), col("s_ucl")).as("ucl"),
+        coalesce(col("s_postcode"), col("b_postcode")).as("postcode"),
+        coalesce(col("s_dt"), col("b_dt")).as("transaction_dt"),
+        coalesce(col("b_score"), col("s_score")).as("score"),
+      )
+  }
+
   /** The full pipeline: history + dimensions → lookup snapshot (EP1). */
   def lookupPipeline(
       tx: DataFrame,

@@ -90,6 +90,25 @@ class FraudBatchSpec extends SparkSuite {
     assert(joined.filter($"card_id" === 1 && $"status" === "FRAUDULENT").count() == 1)
   }
 
+  test("mergeLookup: batch owns (ucl, score), stream owns (postcode, dt), full-outer fallback") {
+    val batch = Seq(
+      (1L, 100.0, 10524, "2024-01-01 10:00:00", 700), // card also seen by stream
+      (2L, 200.0, 10001, "2024-01-02 10:00:00", 650), // batch-only card
+    ).toDF("card_id", "ucl", "postcode", "transaction_dt", "score")
+    val stream = Seq(
+      (1L, 90.0, 10526, "2024-01-05 12:00:00", 700), // stale ucl carried in state
+      (3L, 50.0, 10527, "2024-01-06 12:00:00", 300), // stream-only card
+    ).toDF("card_id", "ucl", "postcode", "transaction_dt", "score")
+    val merged = graft.batch.FraudBatch.mergeLookup(batch, stream)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(merged(1L).getDouble(1) == 100.0) // batch's fresh ucl wins
+    assert(merged(1L).getInt(2) == 10526) // stream's newer location wins
+    assert(merged(1L).getString(3) == "2024-01-05 12:00:00")
+    assert(merged(2L).getInt(2) == 10001) // no stream row → batch location kept
+    assert(merged(3L).getDouble(1) == 50.0) // no batch row → stream ucl kept
+    assert(merged(3L).getInt(4) == 300)
+  }
+
   test("config fork: spec thresholds are expressible (README 500 km/h vs code 0.25 km/s)") {
     val spec = FraudConfig(speedThresholdKmPerSec = 500.0 / 3600.0)
     assert(spec.speedThresholdKmPerSec < FraudConfig().speedThresholdKmPerSec)
