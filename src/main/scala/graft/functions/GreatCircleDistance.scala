@@ -61,7 +61,10 @@ object GreatCircleDistance {
   * `spark.sql.extensions=graft.functions.GraftExtensions` conf.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((GreatCircleDistance.identifier, GreatCircleDistance.info,
       GreatCircleDistance.builder))
+    e.injectFunction((MinHashSketch.identifier, MinHashSketch.info,
+      MinHashSketch.builder))
+  }
 }

@@ -64,11 +64,15 @@ object Dedup {
       "q_dedup_minhash",
       (s, dir) => {
         val t = tokens(Tables(s, dir, "documents"))
-        val hashAggs = (0 until NumHashes).map(i =>
-          min(md5(concat(lit(s"h$i|"), col("w")))).as(s"h$i"))
-        val sigs = t.groupBy("doc_id", "source").agg(hashAggs.head, hashAggs.tail: _*)
-          .withColumn("band0", concat((0 until 4).map(i => col(s"h$i")): _*))
-          .withColumn("band1", concat((4 until 8).map(i => col(s"h$i")): _*))
+        // 8 hash functions from ONE md5 per token: 4-hex-char digest slices
+        // (independent-enough bits, 8× fewer digest computations — the
+        // standard one-hash-many-slices sketch trick), aggregated in a
+        // single pass by the custom TypedImperativeAggregate (map-side
+        // partials shuffle 8 short strings per key, not the token stream)
+        graft.functions.MinHashSketch.register(s)
+        val sigs = t.groupBy("doc_id", "source").agg(expr("minhash_sketch(w)").as("sig"))
+          .withColumn("band0", concat((0 until 4).map(i => col("sig").getItem(i)): _*))
+          .withColumn("band1", concat((4 until 8).map(i => col("sig").getItem(i)): _*))
         import s.implicits._
         // candidates: equal band signature within a source shard. The extra
         // source key bounds band-bucket size (this synthetic corpus has a
@@ -108,7 +112,7 @@ object Dedup {
       Some(s"""WITH t AS ($tokensSql),
               |sigs AS (
               |  SELECT doc_id, source,
-              |${(0 until NumHashes).map(i => s"    min(md5('h$i|' || w)) AS h$i").mkString(",\n")}
+              |${(0 until NumHashes).map(i => s"    min(substr(md5(w), ${i * 4 + 1}, 4)) AS h$i").mkString(",\n")}
               |  FROM t GROUP BY doc_id, source
               |),
               |banded AS (
