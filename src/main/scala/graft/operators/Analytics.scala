@@ -88,6 +88,67 @@ object Analytics {
              |ORDER BY e.event_id""".stripMargin),
     ),
 
+    // Pivot: per-user value totals spread across event-type columns (the
+    // oracle is the equivalent conditional aggregation — identical results).
+    GraftQuery(
+      "q_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables(s, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType))
+          .na.fill(0.0, types)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  coalesce(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE), 0.0) AS click,
+             |  coalesce(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE), 0.0) AS error,
+             |  coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE), 0.0) AS purchase,
+             |  coalesce(CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE), 0.0) AS signup,
+             |  coalesce(CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE), 0.0) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS): customers with and without
+    // open orders, as labeled counts.
+    GraftQuery(
+      "q_semi_anti",
+      (s, dir) => {
+        val s_ = s
+        import s_.implicits._
+        val cust = Tables(s, dir, "customer").select("c_custkey")
+        val open = Tables(s, dir, "orders")
+          .filter(col("o_orderstatus") === "O").select("o_custkey")
+          .withColumnRenamed("o_custkey", "c_custkey")
+        val semi = cust.join(open, Seq("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).select(lit("with_open").as("kind"), $"n")
+        val anti = cust.join(open, Seq("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("without_open").as("kind"), $"n")
+        semi.union(anti).orderBy("kind")
+      },
+      Some("""SELECT 'with_open' AS kind, count(*) AS n FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+             |UNION ALL
+             |SELECT 'without_open', count(*) FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+             |ORDER BY kind""".stripMargin),
+    ),
+
+    // Generator/UDTF surface (LATERAL VIEW explode): global word frequencies.
+    GraftQuery(
+      "q_explode_words",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w"))
+      },
+      Some("""SELECT w, count(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |GROUP BY w ORDER BY n DESC, w""".stripMargin),
+    ),
+
     // Distinct aggregation (count distinct over two columns + plain count).
     GraftQuery(
       "q_distinct_agg",
