@@ -150,11 +150,13 @@ object Dedup {
     GraftQuery(
       "q_dedup_simhash",
       (s, dir) => {
-        val t = tokens(Tables(s, dir, "documents"))
-        // one aggregation pass: a vote column per bit (16 aggs) instead of a
+        // one md5 per token, hoisted out of the 16 vote aggregates; one
+        // aggregation pass with a vote column per bit (16 aggs) instead of a
         // 16× row explosion — same shuffle key, 1/16th the shuffled rows
+        val t = tokens(Tables(s, dir, "documents"))
+          .withColumn("h", md5(col("w")))
         val voteAggs = (0 until 16).map { j =>
-          sum(when(expr(s"substring(md5(w), ${j + 1}, 1)")
+          sum(when(expr(s"substring(h, ${j + 1}, 1)")
             .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v$j")
         }
         val bitSum = (0 until 16).map { j =>
@@ -171,10 +173,10 @@ object Dedup {
             col("a.simhash").as("sim_a"), col("hamming"))
           .orderBy("hamming", "doc_a", "doc_b")
       },
-      Some(s"""WITH t AS ($tokensSql),
+      Some(s"""WITH t AS (SELECT doc_id, source, md5(w) AS h FROM ($tokensSql)),
               |votes AS (
               |  SELECT doc_id, source,
-              |${(0 until 16).map(j => s"    sum(CASE WHEN substr(md5(w), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j").mkString(",\n")}
+              |${(0 until 16).map(j => s"    sum(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j").mkString(",\n")}
               |  FROM t GROUP BY doc_id, source
               |),
               |sigs AS (
