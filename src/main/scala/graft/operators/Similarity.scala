@@ -117,7 +117,67 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: integer weights
+    * in [-3, 3] from a fixed mixing formula, materialized as array literals
+    * on both engines so the bucket assignment is exact integer math.
+    */
+  private val NumPlanes = 8
+  private val Dim = 64
+  private def planeWeight(p: Int, d: Int): Int = ((p * 131 + d * 37 + 17) % 7) - 3
+  private def planeArray(p: Int): Column =
+    array((0 until Dim).map(d => lit(planeWeight(p, d).toLong)): _*)
+  private def planeSqlList(p: Int): String =
+    (0 until Dim).map(d => planeWeight(p, d).toString).mkString("[", ", ", "]")
+
   val queries: Seq[GraftQuery] = Seq(
+
+    // Sign-LSH bucketed ANN — the second scale path (vs the IVF/label one):
+    // bucket = sign bits of 8 hyperplane dots (exact integer math on the
+    // quantized vectors), candidates restricted to the same bucket, top-3
+    // by cosine within the bucket. One shuffle on the bucket id; recall
+    // trades off against bucket count exactly as in production sign-LSH.
+    GraftQuery(
+      "q_similarity_lsh",
+      (s, dir) => {
+        val p = prepared(s, dir)
+        val bucket = (0 until NumPlanes).map { pl =>
+          when(dot(col("q"), planeArray(pl)) > 0, lit(1L << pl)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val bucketed = p.withColumn("bucket", bucket)
+        import s.implicits._
+        bucketed.select("bucket", "vec_id", "nrm", "q").as[(Long, Long, Long, Array[Long])]
+          .groupByKey(_._1)
+          .flatMapGroups { (_, it) =>
+            val b = it.map { case (_, id, n, q) => (id, n, q) }.toArray.sortBy(_._1)
+            b.iterator.flatMap { case (qid, qn, qv) => topKScan(qid, qn, qv, b, 3) }
+          }
+          .toDF("query_id", "neighbor_id", "rank", "cos")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH prep AS (
+              |  SELECT vec_id, $quantizedSql AS q FROM embeddings
+              |),
+              |normed AS (
+              |  SELECT vec_id, q, list_dot_product(q, q) AS nrm,
+              |${(0 until NumPlanes).map(pl => s"    (CASE WHEN list_dot_product(q, ${planeSqlList(pl)}) > 0 THEN ${1L << pl} ELSE 0 END)").mkString(" +\n")}
+              |    AS bucket
+              |  FROM prep
+              |),
+              |pairs AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+              |  FROM normed a JOIN normed b
+              |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              |),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              |  FROM pairs
+              |)
+              |SELECT query_id, neighbor_id, rank, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+              |FROM ranked WHERE rank <= 3
+              |ORDER BY query_id, rank""".stripMargin),
+    ),
 
     // Brute-force cosine top-3 per vector — the ANN correctness baseline.
     // Physical strategy: broadcast the (small) corpus matrix and scan the
