@@ -192,6 +192,29 @@ object Dedup {
               |ORDER BY hamming, doc_a, doc_b""".stripMargin),
     ),
 
+    // Fuzzy matching: Levenshtein edit distance on a fixed-length prefix,
+    // within source blocks (identical DP definition in both engines;
+    // prefix-capped so the O(len²) cell count stays bounded per pair — at
+    // scale the cap is also what makes the cost model predictable).
+    GraftQuery(
+      "q_edit_distance",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), substring(col("text"), 1, 60).as("head"))
+        d.as("a").join(d.as("b"),
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            levenshtein(col("a.head"), col("b.head")).as("dist"))
+          .orderBy(col("dist"), col("doc_a"), col("doc_b"))
+          .limit(100)
+      },
+      Some("""WITH d AS (SELECT doc_id, source, substr(text, 1, 60) AS head FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  levenshtein(a.head, b.head) AS dist
+             |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+             |ORDER BY dist, doc_a, doc_b LIMIT 100""".stripMargin),
+    ),
+
     // n-gram (word-bigram) Jaccard near-dup within source blocks; top 100.
     // Physical strategy: one shuffle on the block key, then a per-block
     // set-intersection kernel — the explode + token self-join formulation

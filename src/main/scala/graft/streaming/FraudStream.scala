@@ -88,10 +88,11 @@ object FraudStream {
       cfg: FraudConfig,
   ): (Seq[LabeledTransaction], CardState) = {
     var st = initial
-    val ordered = txns.sortBy(t =>
-      (parseMillis(t.transaction_dt, cfg.streamTsFormat).getOrElse(Long.MaxValue), t.pos_id))
-    val out = ordered.map { t =>
-      val tsM = parseMillis(t.transaction_dt, cfg.streamTsFormat)
+    // parse once per txn (shared by the sort key and the speed rule)
+    val ordered = txns
+      .map(t => (t, parseMillis(t.transaction_dt, cfg.streamTsFormat)))
+      .sortBy { case (t, m) => (m.getOrElse(Long.MaxValue), t.pos_id) }
+    val out = ordered.map { case (t, tsM) =>
       def lookupZip(pc: Int): Option[(Double, Double)] = zip.get(pc.toString) match {
         case None if cfg.unknownZip == UnknownZipPolicy.Fail =>
           throw new IllegalArgumentException(s"unknown postcode $pc")
