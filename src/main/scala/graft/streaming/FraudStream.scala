@@ -145,6 +145,32 @@ object FraudStream {
       }
   }
 
+  /** EP3 restart path: recover the stream's half of the lookup state from
+    * the labeled master table — the latest GENUINE row per card is exactly
+    * what the state's (postcode, lastTs) would be (only GENUINE advances
+    * them, HBaseTransLink.java:76-81). Feed the result to
+    * `FraudBatch.mergeLookup` with a fresh batch snapshot to seed
+    * `classify` after a restart.
+    */
+  def stateFromMaster(master: DataFrame, cfg: FraudConfig = FraudConfig()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("card_id")
+      .orderBy(unix_timestamp(col("transaction_dt"), cfg.streamTsFormat).desc, col("pos_id").desc)
+    master.filter(col("status") === cfg.genuineLabel)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("card_id"),
+        lit(null).cast("double").as("ucl"),
+        lit(null).cast("int").as("score"),
+        col("postcode"),
+        // master rows carry the stream's day-first format; the merged
+        // snapshot is uniformly batch-formatted (fork §0 normalization)
+        date_format(to_timestamp(col("transaction_dt"), cfg.streamTsFormat), cfg.batchTsFormat)
+          .as("transaction_dt"),
+      )
+  }
+
   /** K2/F7: decode the Kafka value column (JSON string) into transactions.
     * Undecodable payloads are dropped — the reference swallows the Jackson
     * parse exception and skips the record (FinFraudGuard.java:62-65 inside
