@@ -88,6 +88,28 @@ object Analytics {
              |ORDER BY e.event_id""".stripMargin),
     ),
 
+    // Statistical aggregates: sample correlation and covariance per group
+    // (same definitions both engines; transcendental values are boundary-safe
+    // under primitive rounding).
+    GraftQuery(
+      "q_stats_corr",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            (floor(corr(col("l_quantity"), col("l_extendedprice")) * lit(1e4) + lit(0.5)) / lit(1e4)).as("corr_qty_price"),
+            (floor(covar_samp(col("l_quantity"), col("l_discount")) * lit(1e4) + lit(0.5)) / lit(1e4)).as("cov_qty_disc"),
+            count(lit(1)).as("n"),
+          )
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  floor(corr(l_quantity, l_extendedprice) * 1e4 + 0.5) / 1e4 AS corr_qty_price,
+             |  floor(covar_samp(l_quantity, l_discount) * 1e4 + 0.5) / 1e4 AS cov_qty_disc,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
     // Pivot: per-user value totals spread across event-type columns (the
     // oracle is the equivalent conditional aggregation — identical results).
     GraftQuery(

@@ -139,6 +139,35 @@ object TextAnalysis {
              |) ORDER BY doc_id""".stripMargin),
     ),
 
+    // Character-distribution entropy: a corpus-statistics quality signal
+    // (low entropy ⇒ repetitive/degenerate text). Transcendental sums are
+    // safe under primitive rounding (no exact half-boundaries).
+    GraftQuery(
+      "q_char_entropy",
+      (s, dir) => {
+        val counts = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("n"))
+        val withLen = counts
+          .withColumn("len", sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+          .withColumn("p", col("n").cast("double") / col("len"))
+        withLen.groupBy("doc_id")
+          .agg((floor(-sum(col("p") * log(col("p"))) * lit(1e4) + lit(0.5)) / lit(1e4)).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH counts AS (
+             |  SELECT doc_id, ch, count(*) AS n FROM (
+             |    SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents
+             |  ) GROUP BY doc_id, ch
+             |),
+             |p AS (
+             |  SELECT doc_id, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY doc_id) AS p
+             |  FROM counts
+             |)
+             |SELECT doc_id, floor(-sum(p * ln(p)) * 1e4 + 0.5) / 1e4 AS entropy
+             |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
     // Multimodal binary-column plumbing: opaque bytes + typed metadata —
     // byte length, content hash, head bytes in base64. The decode /
     // feature-extract stage for real media lives in graft.multimodal
