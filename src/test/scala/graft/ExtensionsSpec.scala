@@ -38,6 +38,16 @@ class ExtensionsSpec extends SparkSuite {
     assert(b1.join(f1, "query_id").filter(col("bcos") > col("fcos") + lit(1e-9)).count() == 0)
   }
 
+  test("approximate distinct (HLL): within 5% of exact, mergeable across partitions") {
+    val li = Tables(spark, sf("sf0.01"), "lineitem")
+    val exact = li.select("l_partkey").distinct().count().toDouble
+    // repartition forces partial-sketch merges across 16 partitions
+    val approx = li.repartition(16)
+      .agg(approx_count_distinct(col("l_partkey")).as("n"))
+      .head().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+  }
+
   test("exact dedup: canonical ids are minimal and self-consistent") {
     val df = SparkEntry.queries("q_dedup_exact")(spark, dir)
     assert(df.filter(col("canonical_id") > col("doc_id")).count() == 0)
