@@ -88,6 +88,99 @@ object Analytics {
              |ORDER BY e.event_id""".stripMargin),
     ),
 
+    // The remaining ranking-window family the reference never used (SURVEY
+    // §2.5 notes only row_number appears): rank/dense_rank over a tied
+    // ordering, lag/lead/ntile over a fully-deterministic ordering.
+    GraftQuery(
+      "q_window_ranks",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wTies = Window.partitionBy("user_id").orderBy("event_type")
+        val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables(s, dir, "events")
+          .select(
+            col("event_id"), col("user_id"),
+            rank().over(wTies).as("rnk"),
+            dense_rank().over(wTies).as("drnk"),
+            lag("value", 1).over(wSeq).as("prev_value"),
+            lead("value", 1).over(wSeq).as("next_value"),
+            ntile(4).over(wSeq).as("quartile"),
+          )
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  rank() OVER wt AS rnk,
+             |  dense_rank() OVER wt AS drnk,
+             |  lag(value) OVER ws AS prev_value,
+             |  lead(value) OVER ws AS next_value,
+             |  ntile(4) OVER ws AS quartile
+             |FROM events
+             |WINDOW wt AS (PARTITION BY user_id ORDER BY event_type),
+             |       ws AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin),
+    ),
+
+    // Date/time function breadth: parts, truncation, arithmetic, diffs.
+    GraftQuery(
+      "q_date_fns",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            dayofmonth(col("o_orderdate")).as("d"),
+            dayofweek(col("o_orderdate")).as("dow"),
+            quarter(col("o_orderdate")).as("q"),
+            date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+            datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"),
+            date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+          )
+          .orderBy("o_orderkey")
+      },
+      // DuckDB: dayofweek is 0-based Sunday; Spark 1-based Sunday — +1 aligns
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INTEGER) AS y,
+             |  CAST(month(o_orderdate) AS INTEGER) AS m,
+             |  CAST(day(o_orderdate) AS INTEGER) AS d,
+             |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+             |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
+             |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    // String function breadth: pad/trim/translate/position/case/reverse.
+    GraftQuery(
+      "q_string_more",
+      (s, dir) => {
+        Tables(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            lpad(col("c_mktsegment"), 12, "*").as("padded"),
+            trim(lit(" x "), lit(" ")).as("trimmed"),
+            translate(col("c_name"), "#", "-").as("translated"),
+            upper(col("c_mktsegment")).as("up"),
+            lower(col("c_name")).as("lo"),
+            reverse(col("c_mktsegment")).as("rev"),
+            instr(col("c_name"), "0").cast("long").as("pos0"),
+            substring(col("c_name"), 1, 8).as("head8"),
+          )
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  lpad(c_mktsegment, 12, '*') AS padded,
+             |  trim(' x ', ' ') AS trimmed,
+             |  replace(c_name, '#', '-') AS translated,
+             |  upper(c_mktsegment) AS up,
+             |  lower(c_name) AS lo,
+             |  reverse(c_mktsegment) AS rev,
+             |  CAST(position('0' IN c_name) AS BIGINT) AS pos0,
+             |  substr(c_name, 1, 8) AS head8
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+    ),
+
     // Statistical aggregates: sample correlation and covariance per group
     // (same definitions both engines; transcendental values are boundary-safe
     // under primitive rounding).
