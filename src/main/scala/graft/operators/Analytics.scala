@@ -88,6 +88,33 @@ object Analytics {
              |ORDER BY e.event_id""".stripMargin),
     ),
 
+    // Array + nested-struct surface (the reference's data model is flat —
+    // SURVEY §1.1 "no arrays/maps/nested types"; the engine supports them):
+    // list ops over the embedding column and a struct build/extract
+    // round-trip, flattened back to scalars for the compare.
+    GraftQuery(
+      "q_array_struct",
+      (s, dir) => {
+        Tables(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            size(col("embedding")).as("dim"),
+            array_max(col("embedding")).cast("double").as("vmax"),
+            array_min(col("embedding")).cast("double").as("vmin"),
+            element_at(col("embedding"), 1).cast("double").as("first"),
+            struct(col("vec_id").as("id"), col("label")).getField("label").as("label_rt"),
+          )
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS INTEGER) AS dim,
+             |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+             |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+             |  CAST(embedding[1] AS DOUBLE) AS first,
+             |  struct_pack(id := vec_id, label := label).label AS label_rt
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+    ),
+
     // The remaining ranking-window family the reference never used (SURVEY
     // §2.5 notes only row_number appears): rank/dense_rank over a tied
     // ordering, lag/lead/ntile over a fully-deterministic ordering.
