@@ -23,6 +23,19 @@ class MLSpec extends SparkSuite {
     assert(features.select("is_fraud").distinct().count() == 2)
   }
 
+  test("model persistence: saved pipeline reloads with identical predictions") {
+    val features = FraudScorer.featurize(Relational.fraudEnriched(spark, sf("sf0.001")))
+    val model = FraudScorer.train(features)
+    val path = java.nio.file.Files.createTempDirectory("graft-model").toString + "/m"
+    model.write.overwrite().save(path)
+    val reloaded = org.apache.spark.ml.PipelineModel.load(path)
+    val a = FraudScorer.score(model, features).select("prediction")
+      .collect().map(_.getDouble(0)).toSeq
+    val b = FraudScorer.score(reloaded, features).select("prediction")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(a == b)
+  }
+
   test("rolling hash: equal sequences equal, permutation differs, fold is sequential") {
     val s = spark
     import s.implicits._
