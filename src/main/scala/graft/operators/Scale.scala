@@ -54,7 +54,7 @@ object Scale {
       saltFactor: Int,
   ): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
