@@ -1,11 +1,15 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over the embedding column (`Array[Float]`, 64-dim).
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Public DataFrame-level API ([[bruteForceTopK]], [[bucketedTopK]],
+  * [[signLshTopK]], [[nearDupPairs]]) over any (id, vector[, bucket]) frame;
+  * the verify queries below delegate to it against the `embeddings` fixture.
   *
   * Embeddings are quantized to integers (×1000, round-half-up — the int16
   * quantization standard for ANN at scale): dot products and norms become
@@ -14,64 +18,47 @@ import org.apache.spark.sql.functions._
   * summation order). Cosine is then derived in double from the exact
   * integers.
   *
-  * Scale notes (100 TB): brute-force is the correctness baseline — O(n²)
-  * pairs is fine at verify scale and intentionally capped there. The scale
-  * path is the bucketed (IVF-style) variant: an equi-join on the coarse
-  * cluster id (here the `label` column as the pre-computed coarse quantizer)
-  * cuts candidates by the bucket count and hash-partitions cleanly; the
-  * top-k window then runs per-bucket. Swap `label` for any learned/LSH
-  * bucket id without touching the plan shape.
+  * Scale notes (100 TB): brute-force broadcasts the corpus matrix and scans
+  * the query side with a primitive kernel (no pair materialization — at
+  * scale the corpus is broadcast in blocks). The bucketed variants shuffle
+  * each vector exactly once on the bucket id (a precomputed coarse-quantizer
+  * cell for IVF, sign bits of hyperplane dots for LSH) and run the same
+  * kernel per bucket.
   */
 object Similarity {
 
-  /** transform(embedding, x -> round-half-up(x*1000) as bigint) */
-  private def quantized: Column =
-    transform(col("embedding"), x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
+  /** transform(vec, x -> round-half-up(x*1000) as bigint) */
+  private def quantized(vecCol: String): Column =
+    transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
 
   private val quantizedSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
 
-  /** Exact integer dot product of two quantized vectors. */
-  private def dot(a: Column, b: Column): Column =
+  /** Exact integer dot product of two quantized vector columns. */
+  def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  private def cosExpr: Column =
-    (dot(col("a.q"), col("b.q")).cast("double") /
-      (sqrt(col("a.nrm").cast("double")) * sqrt(col("b.nrm").cast("double"))))
-
-  private def prepared(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
-      .withColumn("q", quantized)
+  /** Quantize + norm: (idCol, vecCol, ...) → (__id, q, nrm[, __bucket]). */
+  private def prepare(df: DataFrame, idCol: String, vecCol: String,
+      bucketCol: Option[String] = None): DataFrame = {
+    val base = df
+      .withColumn("q", quantized(vecCol))
       .withColumn("nrm", dot(col("q"), col("q")))
-      .select("vec_id", "label", "q", "nrm")
+      .withColumn("__id", col(idCol).cast("long"))
+    bucketCol match {
+      case Some(b) => base.select(col("__id"), col("q"), col("nrm"), col(b).cast("long").as("__bucket"))
+      case None => base.select("__id", "q", "nrm")
+    }
+  }
 
-  // DuckDB list_dot_product returns double — exact here because every term
-  // and partial sum of the quantized values stays far below 2^53.
-  private def oracleFor(joinCond: String): String =
-    s"""WITH prep AS (
-       |  SELECT vec_id, label, $quantizedSql AS q FROM embeddings
-       |),
-       |normed AS (
-       |  SELECT vec_id, label, q, list_dot_product(q, q) AS nrm FROM prep
-       |),
-       |pairs AS (
-       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |    list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
-       |  FROM normed a JOIN normed b ON $joinCond
-       |),
-       |ranked AS (
-       |  SELECT query_id, neighbor_id, cos,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-       |  FROM pairs
-       |)
-       |SELECT query_id, neighbor_id, rank, floor(cos * 1e6 + 0.5) / 1e6 AS cos
-       |FROM ranked WHERE rank <= 3
-       |ORDER BY query_id, rank""".stripMargin
+  private def collectCorpus(p: DataFrame): Array[(Long, Long, Array[Long])] =
+    p.select("__id", "nrm", "q").collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray)
+    }.sortBy(_._1)
 
   /** Tight-loop top-k kernel over primitive arrays: for one query vector,
     * scan a corpus slice and keep the best `k` by (cos desc, neighbor_id
-    * asc). Exact integer dots; shared by the broadcast brute-force and the
-    * per-bucket variants.
+    * asc). Exact integer dots; shared by all variants.
     */
   private[operators] def topKScan(
       qid: Long, qn: Long, qv: Array[Long],
@@ -107,13 +94,35 @@ object Similarity {
     }
   }
 
-  private def topK(pairs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    pairs
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        (floor(col("cos") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cos"))
+  /** Brute-force exact cosine top-k per vector: broadcast corpus + kernel
+    * scan. Output: (query_id, neighbor_id, rank, cos).
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val p = prepare(df, idCol, vecCol)
+    val bc = s.sparkContext.broadcast(collectCorpus(p))
+    p.as[(Long, Array[Long], Long)]
+      .flatMap { case (qid, qv, qn) => topKScan(qid, qn, qv, bc.value, k) }
+      .toDF("query_id", "neighbor_id", "rank", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-style top-k within precomputed coarse buckets: one shuffle on the
+    * bucket id, kernel per bucket.
+    */
+  def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, k: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    prepare(df, idCol, vecCol, Some(bucketCol))
+      .select("__bucket", "__id", "nrm", "q").as[(Long, Long, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val b = it.map { case (_, id, n, q) => (id, n, q) }.toArray.sortBy(_._1)
+        b.iterator.flatMap { case (qid, qn, qv) => topKScan(qid, qn, qv, b, k) }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "cos")
       .orderBy("query_id", "rank")
   }
 
@@ -129,31 +138,98 @@ object Similarity {
   private def planeSqlList(p: Int): String =
     (0 until Dim).map(d => planeWeight(p, d).toString).mkString("[", ", ", "]")
 
+  /** Sign-LSH bucket id column for a quantized vector column. */
+  def lshBucket(q: Column): Column =
+    (0 until NumPlanes).map { pl =>
+      when(dot(q, planeArray(pl)) > 0, lit(1L << pl)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Sign-LSH top-k: bucket by hyperplane sign bits, kernel per bucket. */
+  def signLshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val withBucket = df
+      .withColumn("__q0", quantized(vecCol))
+      .withColumn("__lsh", lshBucket(col("__q0")))
+      .drop("__q0")
+    bucketedTopK(withBucket, idCol, vecCol, "__lsh", k)
+  }
+
+  /** Embedding-cosine near-dup pairs (unordered, each computed once):
+    * all pairs with cosine >= threshold. Output: (vec_a, vec_b, cos).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val p = prepare(df, idCol, vecCol)
+    val bc = s.sparkContext.broadcast(collectCorpus(p))
+    p.as[(Long, Array[Long], Long)]
+      .flatMap { case (qid, qv, qn) =>
+        val all = bc.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < all.length) {
+          val (nid, nn, nv) = all(i)
+          if (nid > qid) {
+            var dot = 0L
+            var j = 0
+            while (j < qv.length) { dot += qv(j) * nv(j); j += 1 }
+            val cos = dot.toDouble / (math.sqrt(qn.toDouble) * math.sqrt(nn.toDouble))
+            if (cos >= threshold)
+              out += ((qid, nid, math.floor(cos * 1e6 + 0.5) / 1e6))
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // ---- verify queries ------------------------------------------------------
+
+  // DuckDB list_dot_product returns double — exact here because every term
+  // and partial sum of the quantized values stays far below 2^53.
+  private def oracleFor(joinCond: String): String =
+    s"""WITH prep AS (
+       |  SELECT vec_id, label, $quantizedSql AS q FROM embeddings
+       |),
+       |normed AS (
+       |  SELECT vec_id, label, q, list_dot_product(q, q) AS nrm FROM prep
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+       |  FROM normed a JOIN normed b ON $joinCond
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pairs
+       |)
+       |SELECT query_id, neighbor_id, rank, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
 
-    // Sign-LSH bucketed ANN — the second scale path (vs the IVF/label one):
-    // bucket = sign bits of 8 hyperplane dots (exact integer math on the
-    // quantized vectors), candidates restricted to the same bucket, top-3
-    // by cosine within the bucket. One shuffle on the bucket id; recall
-    // trades off against bucket count exactly as in production sign-LSH.
+    // Brute-force cosine top-3 per vector — the ANN correctness baseline.
+    GraftQuery(
+      "q_similarity_cosine",
+      (s, dir) => bruteForceTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding", 3),
+      Some(oracleFor("a.vec_id <> b.vec_id")),
+    ),
+
+    // IVF-style bucketed variant using the label column as the coarse cell.
+    GraftQuery(
+      "q_similarity_bucketed",
+      (s, dir) => bucketedTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding", "label", 3),
+      Some(oracleFor("a.label = b.label AND a.vec_id <> b.vec_id")),
+    ),
+
+    // Sign-LSH bucketed variant: 8 integer hyperplanes → sign-bit bucket.
     GraftQuery(
       "q_similarity_lsh",
-      (s, dir) => {
-        val p = prepared(s, dir)
-        val bucket = (0 until NumPlanes).map { pl =>
-          when(dot(col("q"), planeArray(pl)) > 0, lit(1L << pl)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        val bucketed = p.withColumn("bucket", bucket)
-        import s.implicits._
-        bucketed.select("bucket", "vec_id", "nrm", "q").as[(Long, Long, Long, Array[Long])]
-          .groupByKey(_._1)
-          .flatMapGroups { (_, it) =>
-            val b = it.map { case (_, id, n, q) => (id, n, q) }.toArray.sortBy(_._1)
-            b.iterator.flatMap { case (qid, qn, qv) => topKScan(qid, qn, qv, b, 3) }
-          }
-          .toDF("query_id", "neighbor_id", "rank", "cos")
-          .orderBy("query_id", "rank")
-      },
+      (s, dir) => signLshTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding", 3),
       Some(s"""WITH prep AS (
               |  SELECT vec_id, $quantizedSql AS q FROM embeddings
               |),
@@ -179,67 +255,12 @@ object Similarity {
               |ORDER BY query_id, rank""".stripMargin),
     ),
 
-    // Brute-force cosine top-3 per vector — the ANN correctness baseline.
-    // Physical strategy: broadcast the (small) corpus matrix and scan the
-    // query side with a primitive-array kernel — the MLlib-style design for
-    // dense brute-force KNN. No pair materialization, no shuffle of pairs:
-    // a crossJoin + zip_with formulation is ~50× slower because Catalyst
-    // evaluates higher-order lambdas interpreted, per pair. At 100 TB the
-    // same shape holds with the query set broadcast in blocks.
-    GraftQuery(
-      "q_similarity_cosine",
-      (s, dir) => {
-        val p = prepared(s, dir)
-        val corpus = p.select("vec_id", "nrm", "q").collect().map { r =>
-          (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray)
-        }.sortBy(_._1)
-        val bc = s.sparkContext.broadcast(corpus)
-        import s.implicits._
-        p.select("vec_id", "nrm", "q").as[(Long, Long, Array[Long])]
-          .flatMap { case (qid, qn, qv) => topKScan(qid, qn, qv, bc.value, 3) }
-          .toDF("query_id", "neighbor_id", "rank", "cos")
-          .orderBy("query_id", "rank")
-      },
-      Some(oracleFor("a.vec_id <> b.vec_id")),
-    ),
-
-    // Embedding-cosine near-dup (the dedup-by-embedding variant): all pairs
-    // above a similarity threshold, via the same broadcast-corpus kernel
-    // scanning only ids greater than the query id (each unordered pair
-    // computed once). Threshold 0.4 ≈ the far tail of this corpus's cosine
-    // distribution (max ≈ 0.51); production near-dup would sit at 0.9+ with
-    // LSH/IVF blocking ahead of the scan.
+    // Embedding-cosine near-dup: threshold 0.4 ≈ the far tail of this
+    // corpus's cosine distribution (max ≈ 0.51); production near-dup sits
+    // at 0.9+ with LSH/IVF blocking ahead of the scan.
     GraftQuery(
       "q_dedup_embedding",
-      (s, dir) => {
-        val p = prepared(s, dir)
-        val corpus = p.select("vec_id", "nrm", "q").collect().map { r =>
-          (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray)
-        }.sortBy(_._1)
-        val bc = s.sparkContext.broadcast(corpus)
-        import s.implicits._
-        p.select("vec_id", "nrm", "q").as[(Long, Long, Array[Long])]
-          .flatMap { case (qid, qn, qv) =>
-            val all = bc.value
-            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-            var i = 0
-            while (i < all.length) {
-              val (nid, nn, nv) = all(i)
-              if (nid > qid) {
-                var dot = 0L
-                var j = 0
-                while (j < qv.length) { dot += qv(j) * nv(j); j += 1 }
-                val cos = dot.toDouble / (math.sqrt(qn.toDouble) * math.sqrt(nn.toDouble))
-                if (cos >= 0.4)
-                  out += ((qid, nid, math.floor(cos * 1e6 + 0.5) / 1e6))
-              }
-              i += 1
-            }
-            out
-          }
-          .toDF("vec_a", "vec_b", "cos")
-          .orderBy("vec_a", "vec_b")
-      },
+      (s, dir) => nearDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4),
       Some(s"""WITH prep AS (
               |  SELECT vec_id, $quantizedSql AS q FROM embeddings
               |),
@@ -251,29 +272,6 @@ object Similarity {
               |FROM normed a JOIN normed b ON a.vec_id < b.vec_id
               |WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.4
               |ORDER BY vec_a, vec_b""".stripMargin),
-    ),
-
-    // IVF-style bucketed variant — the 100 TB scale path: shuffle once on
-    // the coarse bucket id (here `label`, standing in for a learned/LSH
-    // coarse quantizer), then run the same top-k kernel within each bucket.
-    // Candidates drop by the bucket count and the shuffle moves each vector
-    // exactly once; buckets too large for one task would be sub-blocked the
-    // same way.
-    GraftQuery(
-      "q_similarity_bucketed",
-      (s, dir) => {
-        import s.implicits._
-        val p = prepared(s, dir)
-        p.select("label", "vec_id", "nrm", "q").as[(Int, Long, Long, Array[Long])]
-          .groupByKey(_._1)
-          .flatMapGroups { (_, it) =>
-            val bucket = it.map { case (_, id, n, q) => (id, n, q) }.toArray.sortBy(_._1)
-            bucket.iterator.flatMap { case (qid, qn, qv) => topKScan(qid, qn, qv, bucket, 3) }
-          }
-          .toDF("query_id", "neighbor_id", "rank", "cos")
-          .orderBy("query_id", "rank")
-      },
-      Some(oracleFor("a.label = b.label AND a.vec_id <> b.vec_id")),
     ),
   )
 }
