@@ -29,6 +29,38 @@ class RulesSpec extends SparkSuite {
     }
   }
 
+  test("property: UCL >= mean for any amounts (sigma >= 0) — SURVEY §5.4") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val amounts = Gen.nonEmptyListOf(Gen.choose(0.0, 10000.0))
+    val prop = Prop.forAll(amounts) { xs =>
+      val df = xs.zipWithIndex
+        .map { case (a, i) => (1L, a, 10524, i.toLong, f"2024-01-01 ${i % 24}%02d:00:00", "GENUINE") }
+        .toDF("card_id", "amount", "postcode", "pos_id", "transaction_dt", "status")
+      val ucl = graft.batch.FraudBatch.cardUcl(df.select("card_id", "amount"))
+        .head().getDouble(1)
+      val mean = xs.sum / xs.size
+      ucl >= mean - 1e-9
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: UCL-rule label is monotone in amount (higher amount never flips FRAUD->GENUINE)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val g = for {
+      ucl <- Gen.choose(0.0, 1000.0)
+      a <- Gen.choose(0.0, 2000.0)
+      b <- Gen.choose(0.0, 2000.0)
+    } yield (ucl, math.min(a, b), math.max(a, b))
+    val prop = Prop.forAll(g) { case (ucl, lo, hi) =>
+      val lowLabel = Rules.fraudLabelScalar(None, lo, Some(ucl), None, cfg)
+      val hiLabel = Rules.fraudLabelScalar(None, hi, Some(ucl), None, cfg)
+      !(lowLabel == "FRAUD" && hiLabel == "GENUINE")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("column expression matches the scalar on the same table, nulls included") {
     val df = Seq(
       (Some(199), 1.0, Some(1000.0), Some(0.0)),
