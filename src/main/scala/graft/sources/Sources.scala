@@ -116,6 +116,17 @@ object Sources {
     driver.fold(base0)(d => base0.option("driver", d)).load()
   }
 
+  /** JSON-lines reader with declared schema (the Kafka payload format,
+    * TransFraudModel.java:9-25, as a file source); undecodable lines yield
+    * null fields under the default PERMISSIVE mode.
+    */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSON-lines writer (interchange format for downstream consumers). */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** S8: full-refresh materialization (INSERT OVERWRITE analog,
     * FDProcBatch.txt:123-133).
     */

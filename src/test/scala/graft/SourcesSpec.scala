@@ -42,6 +42,22 @@ class SourcesSpec extends SparkSuite {
     assert(m("10524") == ((41.3706, -73.922)))
   }
 
+  test("JSON lines roundtrip with the streaming payload schema") {
+    val dir = tmp()
+    val p = s"$dir/tx.jsonl"
+    Files.writeString(java.nio.file.Paths.get(p),
+      """{"card_id": 1, "member_id": 101, "amount": 42.5, "pos_id": 9001, "postcode": 10524, "transaction_dt": "12-08-2026 10:15:30"}
+        |{"card_id": 2, "member_id": 102, "amount": 13.37, "pos_id": 9002, "postcode": 10001, "transaction_dt": "12-08-2026 11:00:00"}
+        |""".stripMargin)
+    val df = Sources.readJsonLines(spark, p, graft.streaming.FraudStream.payloadSchema)
+    assert(df.count() == 2)
+    assert(df.filter($"card_id" === 1).head().getDouble(2) == 42.5)
+    val out = s"$dir/out"
+    Sources.writeJsonLines(df, out)
+    val back = Sources.readJsonLines(spark, out, graft.streaming.FraudStream.payloadSchema)
+    assert(back.orderBy("card_id").collect().toSeq == df.orderBy("card_id").collect().toSeq)
+  }
+
   test("ORC+snappy staging write roundtrips") {
     val out = tmp() + "/orc"
     val df = Seq((1L, 10.0), (2L, 20.0)).toDF("card_id", "ucl")
