@@ -126,22 +126,29 @@ object Dedup {
     val grams = df
       .withColumn("ws", split(col(textCol), " "))
       .select(col(idCol).cast("long").as("__id"), col(blockCol).cast("string").as("__blk"),
+        // bigrams as zip(ws, ws[1:]) — total on single-word docs (the
+        // sequence(1, size-1) formulation reverses into [1, 0] when size = 1
+        // and faults on element_at): zip_with pads the shorter slice with
+        // null, concat null-propagates, and the filter drops the pad slot.
         array_distinct(expr(
-          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+          "filter(zip_with(ws, slice(ws, 2, size(ws)), (a, b) -> concat(a, ' ', b)), g -> g IS NOT NULL)"
         )).as("gs"))
       .as[(Long, String, Seq[String])]
     grams.groupByKey(_._2)
       .flatMapGroups { (_, it) =>
         val docs = it.map { case (id, _, gs) => (id, gs.toSet) }.toArray.sortBy(_._1)
+        // Pairs sharing no gram are not near-dups and are skipped — this also
+        // keeps the output aligned with a relational formulation (the oracle's
+        // gram self-join can only emit pairs with >= 1 shared gram) and guards
+        // the 0/0 = NaN case when both docs are single-word (empty bigram set).
         for {
           i <- docs.indices.iterator
           j <- Iterator.range(i + 1, docs.length)
-        } yield {
-          val (a, ga) = docs(i)
-          val (b, gb) = docs(j)
-          val inter = if (ga.size <= gb.size) ga.count(gb.contains) else gb.count(ga.contains)
-          (a, b, inter.toDouble / (ga.size + gb.size - inter))
-        }
+          (a, ga) = docs(i)
+          (b, gb) = docs(j)
+          inter = if (ga.size <= gb.size) ga.count(gb.contains) else gb.count(ga.contains)
+          if inter > 0
+        } yield (a, b, inter.toDouble / (ga.size + gb.size - inter))
       }
       .toDF("doc_a", "doc_b", "jaccard")
   }

@@ -14,6 +14,24 @@ import org.apache.spark.sql.types._
   */
 object Sources {
 
+  /** SQL identifier allow-list for values interpolated into JDBC pushdown
+    * SQL: dot-separated bare identifiers only. Anything else (quotes,
+    * spaces, semicolons, parens) is rejected — these strings reach the
+    * remote database verbatim, so a permissive accept would make the public
+    * reader API injection-prone.
+    */
+  private val IdentifierRe = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*".r
+
+  /** Watermark literals: a plain SQL number or a single-quoted string with
+    * no embedded quote. Keeps `lastValue` a data value rather than SQL text.
+    */
+  private val LiteralRe = "-?[0-9]+(\\.[0-9]+)?|'[^']*'".r
+
+  private def requireMatch(re: scala.util.matching.Regex, kind: String, v: String): String = {
+    require(re.pattern.matcher(v).matches(), s"unsafe $kind for JDBC pushdown: '$v'")
+    v
+  }
+
   /** card_transactions history schema (FDProcBatch.txt:70-82). */
   val transactionHistorySchema: StructType = StructType(Seq(
     StructField("card_id", LongType),
@@ -84,7 +102,7 @@ object Sources {
       driver: Option[String] = None,
   ): DataFrame = {
     val base0 = spark.read.format("jdbc")
-      .option("url", url).option("dbtable", table)
+      .option("url", url).option("dbtable", requireMatch(IdentifierRe, "table name", table))
     val base = driver.fold(base0)(d => base0.option("driver", d))
     val partitioned = (partitionColumn, bounds) match {
       case (Some(c), Some((lo, hi))) =>
@@ -98,9 +116,13 @@ object Sources {
 
   /** S2: incremental ingest — watermark predicate pushed to the source
     * (Sqoop `--incremental append --check-column --last-value`,
-    * README.md:81-100). `lastValue` is a SQL literal rendered verbatim
-    * (numeric: `"40"`, string/date: `"'2024-01-01'"`) so the comparison
-    * keeps the column's type on the database side.
+    * README.md:81-100). `lastValue` is a SQL literal rendered into the
+    * pushed-down predicate (numeric: `"40"`, string/date:
+    * `"'2024-01-01'"`) so the comparison keeps the column's type on the
+    * database side. Because all three values are interpolated into SQL sent
+    * to the remote database, `table`/`checkColumn` must be bare (possibly
+    * dot-qualified) identifiers and `lastValue` a number or single-quoted
+    * string — anything else throws rather than reaching the database.
     */
   def readJdbcIncremental(
       spark: SparkSession,
@@ -110,9 +132,12 @@ object Sources {
       lastValue: String,
       driver: Option[String] = None,
   ): DataFrame = {
+    val t = requireMatch(IdentifierRe, "table name", table)
+    val c = requireMatch(IdentifierRe, "check column", checkColumn)
+    val v = requireMatch(LiteralRe, "watermark literal", lastValue)
     val base0 = spark.read.format("jdbc")
       .option("url", url)
-      .option("dbtable", s"(SELECT * FROM $table WHERE $checkColumn > $lastValue) delta")
+      .option("dbtable", s"(SELECT * FROM $t WHERE $c > $v) delta")
     driver.fold(base0)(d => base0.option("driver", d)).load()
   }
 
@@ -144,8 +169,29 @@ object Sources {
     * (HBase Put with UUID key, FDProcBatch.txt:123-133;
     * HBaseTransLink.java:63-73). uuid() spreads writes across partitions
     * exactly as the reference's random row keys spread HBase regions.
+    *
+    * One-shot batch materializations only: the random rowid makes a re-run
+    * append a second copy. Streaming `foreachBatch` sinks (at-least-once
+    * replay on failure) must use [[appendMasterBatch]] instead.
     */
   def appendWithUuid(df: DataFrame, path: String): Unit =
     df.withColumn("rowid", regexp_replace(expr("uuid()"), "-", ""))
       .write.mode(SaveMode.Append).parquet(path)
+
+  /** S11 for streaming sinks: idempotent per-micro-batch master write.
+    * `foreachBatch` is at-least-once — after a failure the same batchId is
+    * replayed — so the write must be a deterministic function of
+    * (batchId, rows): the batch lands in its own `batch_id=N` partition
+    * directory in Overwrite mode (a replay overwrites the same directory
+    * instead of appending a duplicate copy), and the rowid is an md5 of the
+    * batch id and the full row content rather than a fresh uuid. Readers of
+    * `path` see one extra `batch_id` partition column; partition pruning on
+    * it gives per-epoch replay/audit for free.
+    */
+  def appendMasterBatch(df: DataFrame, path: String, batchId: Long): Unit = {
+    val dataCols = df.columns.map(col)
+    df.withColumn("rowid",
+        md5(concat_ws("|", lit(batchId) +: dataCols: _*)))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/batch_id=$batchId")
+  }
 }

@@ -108,8 +108,14 @@ object FraudStream {
         cur <- lookupZip(t.postcode)
       } yield GeoFunctions.greatCircleKmScalar(prev._1, prev._2, cur._1, cur._2) / dtSec
       val label = Rules.fraudLabelScalar(st.score, t.amount, st.ucl, speed, cfg)
-      if (label == cfg.genuineLabel)
-        st = st.copy(postcode = Some(t.postcode), lastTsMillis = tsM.orElse(st.lastTsMillis))
+      // (postcode, lastTs) advance together or not at all — the reference's
+      // lookup Put writes both columns atomically (HBaseTransLink.java:76-81).
+      // A GENUINE row whose timestamp fails to parse advances neither, so the
+      // next speed computation never pairs a location with a timestamp taken
+      // from a different transaction, and recovery via stateFromMaster (latest
+      // parseable GENUINE row) reconstructs the same state.
+      if (label == cfg.genuineLabel && tsM.isDefined)
+        st = st.copy(postcode = Some(t.postcode), lastTsMillis = tsM)
       LabeledTransaction(t.card_id, t.member_id, t.amount, t.pos_id, t.postcode, t.transaction_dt, label)
     }
     (out, st)
@@ -208,8 +214,10 @@ object FraudStream {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.ProcessingTime("1 second"))
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[LabeledTransaction], _: Long) =>
-        Sources.appendWithUuid(batch.toDF(), masterPath)
+      .foreachBatch { (batch: Dataset[LabeledTransaction], batchId: Long) =>
+        // idempotent under foreachBatch's at-least-once replay (ADVICE r1):
+        // deterministic rowid + per-batchId overwrite, not uuid + append
+        Sources.appendMasterBatch(batch.toDF(), masterPath, batchId)
       }
   }
 }

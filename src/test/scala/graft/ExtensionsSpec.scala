@@ -20,6 +20,22 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("ngram jaccard: zero-overlap and single-word (empty-gram) pairs are skipped, never NaN") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "one", "blk"),                  // single word → empty bigram set
+      (2L, "two", "blk"),                  // ditto: pair (1,2) must not be 0/0=NaN
+      (3L, "a b c", "blk"),
+      (4L, "x y z", "blk"),                // no gram shared with 3 → skipped
+      (5L, "a b q", "blk"),                // shares "a b" with 3
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == Set((3L, 5L, 1.0 / 3.0)))
+    assert(got.forall(t => !t._3.isNaN && t._3 > 0.0))
+  }
+
   test("simhash hamming pairs are within threshold and well-formed") {
     val df = SparkEntry.queries("q_dedup_simhash")(spark, dir)
     assert(df.filter(col("hamming") > 3 || col("hamming") < 0).count() == 0)

@@ -38,5 +38,22 @@ class JdbcSpec extends SparkSuite {
     assert(delta.count() == 10)
     assert(delta.agg(org.apache.spark.sql.functions.min("member_id"))
       .head().getLong(0) == 41L)
+
+    // injection surface (ADVICE r1): values interpolated into pushdown SQL
+    // must be identifiers / plain literals, never SQL text
+    intercept[IllegalArgumentException] {
+      Sources.readJdbc(spark, url, "member_score; DROP TABLE member_score", driver = driver)
+    }
+    intercept[IllegalArgumentException] {
+      Sources.readJdbcIncremental(spark, url, "member_score",
+        checkColumn = "member_id) UNION SELECT * FROM secrets --", lastValue = "40", driver = driver)
+    }
+    intercept[IllegalArgumentException] {
+      Sources.readJdbcIncremental(spark, url, "member_score",
+        checkColumn = "member_id", lastValue = "40 OR 1=1", driver = driver)
+    }
+    // quoted string watermark stays accepted
+    assert(Sources.readJdbcIncremental(spark, url, "member_score",
+      checkColumn = "joined", lastValue = "'2024-01-20'", driver = driver).count() > 0)
   }
 }

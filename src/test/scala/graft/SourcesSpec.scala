@@ -82,4 +82,19 @@ class SourcesSpec extends SparkSuite {
     assert(got.select("rowid").distinct().count() == 4) // fresh uuid per row
     assert(got.select("rowid").as[String].head().matches("[0-9a-f]{32}")) // dashes stripped
   }
+
+  test("appendMasterBatch: deterministic rowid, replaying a batchId does not duplicate") {
+    val master = tmp() + "/master"
+    val b0 = Seq((1L, "GENUINE"), (2L, "FRAUD")).toDF("card_id", "status")
+    Sources.appendMasterBatch(b0, master, batchId = 0L)
+    Sources.appendMasterBatch(b0, master, batchId = 0L) // foreachBatch replay
+    val afterReplay = spark.read.parquet(master)
+    assert(afterReplay.count() == 2) // overwrite, not append
+    val b1 = Seq((3L, "GENUINE")).toDF("card_id", "status")
+    Sources.appendMasterBatch(b1, master, batchId = 1L)
+    val got = spark.read.parquet(master)
+    assert(got.count() == 3) // distinct epochs accumulate
+    assert(got.select("rowid").distinct().count() == 3)
+    assert(got.select("batch_id").distinct().count() == 2)
+  }
 }

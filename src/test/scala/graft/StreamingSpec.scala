@@ -59,6 +59,20 @@ class StreamingSpec extends SparkSuite {
     assert(st1.lastTsMillis == FraudStream.parseMillis("01-01-2024 11:00:00", cfg.streamTsFormat))
   }
 
+  test("genuine txn with unparseable timestamp advances neither postcode nor lastTs") {
+    // (postcode, lastTs) move atomically (HBaseTransLink.java:76-81): pairing
+    // a new location with an older timestamp would corrupt the speed rule.
+    val t0 = FraudStream.parseMillis("01-01-2024 10:00:00", cfg.streamTsFormat)
+    val st = CardState(Some(1000.0), Some(700), Some(11111), t0)
+    val (out, st1) = FraudStream.processCard(st, Seq(txn(1, 5.0, 33333, "not-a-date")), zip, cfg)
+    assert(out.map(_.status) == Seq("GENUINE")) // speed abstains, other rules pass
+    assert(st1.postcode.contains(11111) && st1.lastTsMillis == t0)
+    // and a subsequent parseable genuine txn advances both together
+    val (_, st2) = FraudStream.processCard(st1, Seq(txn(1, 5.0, 33333, "01-01-2024 11:00:00")), zip, cfg)
+    assert(st2.postcode.contains(33333))
+    assert(st2.lastTsMillis == FraudStream.parseMillis("01-01-2024 11:00:00", cfg.streamTsFormat))
+  }
+
   test("first-ever card: all rules abstain → GENUINE, state seeded") {
     val (out, st1) = FraudStream.processCard(CardState(None, None, None, None),
       Seq(txn(9, 1e9, 11111, "01-01-2024 10:00:00")), zip, cfg)
@@ -128,7 +142,7 @@ class StreamingSpec extends SparkSuite {
     assert(got.length == 1) // undecodable payload dropped (FinFraudGuard.java:62-65)
   }
 
-  test("foreachBatch master sink (K4/S11): uuid append across micro-batches") {
+  test("foreachBatch master sink (K4/S11): idempotent per-batch append across micro-batches") {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -137,11 +151,16 @@ class StreamingSpec extends SparkSuite {
     val input = MemoryStream[Transaction]
     val snapshot = spark.emptyDataset[CardLookup]
     val zipBc = spark.sparkContext.broadcast(zip)
+    var lastBatch: Option[(org.apache.spark.sql.DataFrame, Long)] = None
     val q = FraudStream.classify(input.toDS(), snapshot, zipBc, cfg)
       .writeStream.outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[LabeledTransaction], _: Long) =>
-        graft.sources.Sources.appendWithUuid(batch.toDF(), out)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[LabeledTransaction], batchId: Long) =>
+        val df = batch.toDF()
+        df.persist()
+        df.count()
+        lastBatch = Some((df, batchId))
+        graft.sources.Sources.appendMasterBatch(df, out, batchId)
       }.start()
     try {
       input.addData(txn(1, 5.0, 11111, "01-01-2024 10:00:00", 1))
@@ -152,6 +171,13 @@ class StreamingSpec extends SparkSuite {
       assert(got.count() == 2)
       assert(got.select("rowid").distinct().count() == 2)
       assert(got.columns.contains("status"))
+      assert(got.columns.contains("batch_id")) // per-epoch partition column
+      // at-least-once replay of the same micro-batch must not duplicate rows
+      val (df, bid) = lastBatch.get
+      graft.sources.Sources.appendMasterBatch(df, out, bid)
+      val replayed = spark.read.parquet(out)
+      assert(replayed.count() == 2)
+      assert(replayed.select("rowid").distinct().count() == 2)
     } finally q.stop()
   }
 
