@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.drop(1).foreach { q =>
+      println(s"==== $q ====")
+      SparkEntry.queries(q)(spark, args(0)).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -32,6 +32,79 @@ object Dedup {
 
   private val NumHashes = 8
 
+  /** Parallelism for pairwise kernel stages. The fixtures are single-row-group
+    * parquet (one scan task), and an O(pairs) stage must never inherit the
+    * scan's partitioning — at 100 TB the same rule holds with the roles
+    * reversed: rebalance to the cluster's parallelism before the quadratic
+    * work, whatever the scan happened to give you.
+    */
+  private def kernelParallelism(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
+  /** Pairwise Jaccard kernel over one co-located group: intern tokens into a
+    * dense integer id space, pack each doc's set into Long bitmap words, and
+    * intersect with AND + popcount — ~8 word ops per pair instead of ~|set|
+    * string hash probes. `candidates = None` means all pairs (blocked
+    * all-pairs dedup); `Some(pairs)` verifies exactly those (LSH candidates).
+    * Pairs with an empty intersection are skipped (not near-dups; also the
+    * 0/0 guard).
+    */
+  private def jaccardKernel(
+      docs: Array[(Long, Seq[String])],
+      candidates: Option[Iterator[(Long, Long)]],
+  ): Iterator[(Long, Long, Double)] = {
+    val n = docs.length
+    val dict = new java.util.HashMap[String, Integer]()
+    var vocab = 0
+    val tokenIds = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      val gs = docs(i)._2 // already distinct
+      val ids = new Array[Int](gs.size)
+      var j = 0
+      gs.foreach { g =>
+        var id = dict.get(g)
+        if (id == null) { id = Integer.valueOf(vocab); dict.put(g, id); vocab += 1 }
+        ids(j) = id.intValue(); j += 1
+      }
+      tokenIds(i) = ids
+      i += 1
+    }
+    val words = (vocab + 63) >> 6
+    val bits = new Array[Array[Long]](n)
+    i = 0
+    while (i < n) {
+      val w = new Array[Long](words)
+      tokenIds(i).foreach(id => w(id >> 6) |= 1L << (id & 63))
+      bits(i) = w
+      i += 1
+    }
+    def inter(a: Int, b: Int): Int = {
+      val wa = bits(a); val wb = bits(b)
+      var s = 0; var k = 0
+      while (k < words) { s += java.lang.Long.bitCount(wa(k) & wb(k)); k += 1 }
+      s
+    }
+    def emit(a: Int, b: Int): Option[(Long, Long, Double)] = {
+      val in = inter(a, b)
+      if (in == 0) None
+      else Some((docs(a)._1, docs(b)._1,
+        in.toDouble / (tokenIds(a).length + tokenIds(b).length - in)))
+    }
+    candidates match {
+      case None =>
+        for {
+          a <- docs.indices.iterator
+          b <- Iterator.range(a + 1, n)
+          out <- emit(a, b).iterator
+        } yield out
+      case Some(pairs) =>
+        val idx = new java.util.HashMap[Long, Integer]()
+        docs.indices.foreach(k => idx.put(docs(k)._1, k))
+        pairs.flatMap { case (ida, idb) => emit(idx.get(ida), idx.get(idb)) }
+    }
+  }
+
   /** Distinct words per row: (__id, __blk, w). */
   private def tokens(df: DataFrame, idCol: String, textCol: String, blockCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("__id"), col(blockCol).cast("string").as("__blk"),
@@ -63,27 +136,29 @@ object Dedup {
     import s.implicits._
     graft.functions.MinHashSketch.register(s)
     val t = tokens(df, idCol, textCol, blockCol)
-    val sigs = t.groupBy("__id", "__blk").agg(expr("minhash_sketch(w)").as("sig"))
-      .withColumn("band0", concat((0 until 4).map(i => col("sig").getItem(i)): _*))
-      .withColumn("band1", concat((4 until 8).map(i => col("sig").getItem(i)): _*))
-    def bandPairs(band: String) = sigs.as("a")
-      .join(sigs.as("b"),
-        col("a.__blk") === col("b.__blk") && col(s"a.$band") === col(s"b.$band"))
-      .filter(col("a.__id") < col("b.__id"))
+    // One signature pass, then ONE equi-join over (block, band_idx, band_key)
+    // with both bands unpivoted into rows — same candidate set as two
+    // per-band self-joins unioned, at half the join legs. distinct()
+    // collapses pairs that collide in both bands.
+    val banded = t.groupBy("__id", "__blk").agg(expr("minhash_sketch(w)").as("sig"))
+      .select(col("__id"), col("__blk"), posexplode(array(
+        concat((0 until 4).map(i => col("sig").getItem(i)): _*),
+        concat((4 until 8).map(i => col("sig").getItem(i)): _*),
+      )).as(Seq("band_idx", "band_key")))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") && col("a.__id") < col("b.__id"))
       .select(col("a.__blk").as("__blk"), col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-    val cands = bandPairs("band0").union(bandPairs("band1")).distinct()
+      .distinct()
       .as[(String, Long, Long)]
     val docSets = df.select(col(blockCol).cast("string").as("__blk"), col(idCol).cast("long").as("__id"),
         array_distinct(split(col(textCol), " ")).as("ws"))
       .as[(String, Long, Seq[String])]
     cands.groupByKey(_._1)
       .cogroup(docSets.groupByKey(_._1)) { (_, candIt, setIt) =>
-        val sets = setIt.map { case (_, id, ws) => id -> ws.toSet }.toMap
-        candIt.map { case (_, a, b) =>
-          val (ga, gb) = (sets(a), sets(b))
-          val inter = if (ga.size <= gb.size) ga.count(gb.contains) else gb.count(ga.contains)
-          (a, b, inter.toDouble / (ga.size + gb.size - inter))
-        }
+        jaccardKernel(setIt.map { case (_, id, ws) => (id, ws) }.toArray.sortBy(_._1),
+          Some(candIt.map { case (_, a, b) => (a, b) }))
       }
       .toDF("doc_a", "doc_b", "jaccard")
   }
@@ -95,10 +170,16 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
       maxHamming: Int): DataFrame = {
+    // Per-token vote mask: the high bit of hex char j is bit (31 - 4j) of the
+    // 8-char slice parsed as an integer — one conv() per half-digest replaces
+    // 16 substring+IN string probes per token (the oracle keeps the string
+    // form; the extracted bits, and therefore every signature, are identical).
     val t = tokens(df, idCol, textCol, blockCol).withColumn("h", md5(col("w")))
+      .withColumn("m_hi", expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)"))
+      .withColumn("m_lo", expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)"))
     val voteAggs = (0 until 16).map { j =>
-      sum(when(expr(s"substring(h, ${j + 1}, 1)")
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v$j")
+      val (m, j0) = if (j < 8) (col("m_hi"), j) else (col("m_lo"), j - 8)
+      sum(shiftright(m, 31 - 4 * j0).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j")
     }
     val bitSum = (0 until 16).map { j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
@@ -106,7 +187,9 @@ object Dedup {
     val sigs = t.groupBy("__id", "__blk").agg(voteAggs.head, voteAggs.tail: _*)
       .withColumn("simhash", bitSum)
       .select("__id", "__blk", "simhash")
-    sigs.as("a").join(sigs.as("b"),
+    // Probe side spread across the cluster before the O(pairs) row
+    // generation; the build side broadcasts, so no co-partitioning is lost.
+    sigs.repartition(kernelParallelism(df)).as("a").join(sigs.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
       .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .filter(col("hamming") <= maxHamming)
@@ -136,19 +219,7 @@ object Dedup {
       .as[(Long, String, Seq[String])]
     grams.groupByKey(_._2)
       .flatMapGroups { (_, it) =>
-        val docs = it.map { case (id, _, gs) => (id, gs.toSet) }.toArray.sortBy(_._1)
-        // Pairs sharing no gram are not near-dups and are skipped — this also
-        // keeps the output aligned with a relational formulation (the oracle's
-        // gram self-join can only emit pairs with >= 1 shared gram) and guards
-        // the 0/0 = NaN case when both docs are single-word (empty bigram set).
-        for {
-          i <- docs.indices.iterator
-          j <- Iterator.range(i + 1, docs.length)
-          (a, ga) = docs(i)
-          (b, gb) = docs(j)
-          inter = if (ga.size <= gb.size) ga.count(gb.contains) else gb.count(ga.contains)
-          if inter > 0
-        } yield (a, b, inter.toDouble / (ga.size + gb.size - inter))
+        jaccardKernel(it.map { case (id, _, gs) => (id, gs) }.toArray.sortBy(_._1), None)
       }
       .toDF("doc_a", "doc_b", "jaccard")
   }
@@ -163,7 +234,10 @@ object Dedup {
     val d = df.select(col(idCol).cast("long").as("__id"), col(blockCol).cast("string").as("__blk"),
       expr(s"length($textCol) div $lenBucket").as("__lenb"),
       substring(col(textCol), 1, prefixLen).as("__head"))
-    d.as("a").join(d.as("b"),
+    // The O(len²) DP per pair dominates; spread the probe side so the join's
+    // pair generation (and the levenshtein work above it) parallelizes
+    // instead of inheriting the scan's partition count.
+    d.repartition(kernelParallelism(df)).as("a").join(d.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.__lenb") === col("b.__lenb") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),

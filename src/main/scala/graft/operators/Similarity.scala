@@ -102,7 +102,9 @@ object Similarity {
     import s.implicits._
     val p = prepare(df, idCol, vecCol)
     val bc = s.sparkContext.broadcast(collectCorpus(p))
-    p.as[(Long, Array[Long], Long)]
+    // spread the query-side scan: the O(|queries|·|corpus|·dim) kernel must
+    // not inherit the file scan's partitioning (one task on a one-file input)
+    p.repartition(s.sparkContext.defaultParallelism).as[(Long, Array[Long], Long)]
       .flatMap { case (qid, qv, qn) => topKScan(qid, qn, qv, bc.value, k) }
       .toDF("query_id", "neighbor_id", "rank", "cos")
       .orderBy("query_id", "rank")
@@ -112,11 +114,17 @@ object Similarity {
     * bucket id, kernel per bucket.
     */
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,
-      bucketCol: String, k: Int): DataFrame = {
-    val s = df.sparkSession
+      bucketCol: String, k: Int): DataFrame =
+    topKPerBucket(prepare(df, idCol, vecCol, Some(bucketCol))
+      .select("__bucket", "__id", "nrm", "q"), k)
+
+  /** Shared bucket kernel: one shuffle on the bucket id, top-k scan within
+    * each bucket. Input columns: (__bucket, __id, nrm, q).
+    */
+  private def topKPerBucket(prepared: DataFrame, k: Int): DataFrame = {
+    val s = prepared.sparkSession
     import s.implicits._
-    prepare(df, idCol, vecCol, Some(bucketCol))
-      .select("__bucket", "__id", "nrm", "q").as[(Long, Long, Long, Array[Long])]
+    prepared.as[(Long, Long, Long, Array[Long])]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val b = it.map { case (_, id, n, q) => (id, n, q) }.toArray.sortBy(_._1)
@@ -144,13 +152,37 @@ object Similarity {
       when(dot(q, planeArray(pl)) > 0, lit(1L << pl)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Sign-LSH top-k: bucket by hyperplane sign bits, kernel per bucket. */
+  /** Sign-LSH top-k: bucket by hyperplane sign bits, kernel per bucket.
+    *
+    * The bucket bits are computed in one primitive pass over the quantized
+    * vector rather than via [[lshBucket]]'s 8 column-level `aggregate`
+    * lambdas — higher-order functions are interpreted per element, which is
+    * 8·dim interpreted evals per row in the hot path; the integer math (and
+    * thus the bucket id and every result) is identical.
+    */
   def signLshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val withBucket = df
-      .withColumn("__q0", quantized(vecCol))
-      .withColumn("__lsh", lshBucket(col("__q0")))
-      .drop("__q0")
-    bucketedTopK(withBucket, idCol, vecCol, "__lsh", k)
+    val s = df.sparkSession
+    import s.implicits._
+    val planes: Array[Array[Long]] =
+      Array.tabulate(NumPlanes, Dim)((p, d) => planeWeight(p, d).toLong)
+    val prepared = prepare(df, idCol, vecCol)
+      .as[(Long, Array[Long], Long)]
+      .map { case (id, q, nrm) =>
+        var bucket = 0L
+        var pl = 0
+        while (pl < NumPlanes) {
+          val w = planes(pl)
+          var dot = 0L
+          var d = 0
+          val lim = math.min(q.length, Dim)
+          while (d < lim) { dot += q(d) * w(d); d += 1 }
+          if (dot > 0) bucket |= 1L << pl
+          pl += 1
+        }
+        (bucket, id, nrm, q)
+      }
+      .toDF("__bucket", "__id", "nrm", "q")
+    topKPerBucket(prepared, k)
   }
 
   /** Embedding-cosine near-dup pairs (unordered, each computed once):
@@ -162,7 +194,7 @@ object Similarity {
     import s.implicits._
     val p = prepare(df, idCol, vecCol)
     val bc = s.sparkContext.broadcast(collectCorpus(p))
-    p.as[(Long, Array[Long], Long)]
+    p.repartition(s.sparkContext.defaultParallelism).as[(Long, Array[Long], Long)]
       .flatMap { case (qid, qv, qn) =>
         val all = bc.value
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
