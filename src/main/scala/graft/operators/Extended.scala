@@ -1,0 +1,287 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+
+/** Second wave of beyond-parity operator coverage (SURVEY §2.4/§2.7 note the
+  * engine inherits these from Spark; here each is demonstrated and
+  * oracle-pinned): CUBE / GROUPING SETS with grouping markers, range
+  * (theta) joins, correlated and scalar subqueries, JSON functions,
+  * time-range window frames, the first/last/nth_value family, unpivot,
+  * max_by/min_by, and deterministic hash sampling.
+  *
+  * Cross-engine parity rules follow Relational.scala: decimal-exact sums
+  * cast to double at the end, floor-based rounding, and unique tie-break
+  * keys anywhere an ordering feeds a row-selecting function.
+  */
+object Extended {
+
+  private def exactSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(30, 6))).cast(DoubleType)
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // CUBE: all 4 grouping combinations with explicit grouping markers
+    // (grouping() per column — Spark's grouping_id bit order is pinned by
+    // deriving the two bits separately in both engines).
+    GraftQuery(
+      "q_cube",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(
+            grouping(col("l_returnflag")).as("g_flag"),
+            grouping(col("l_linestatus")).as("g_status"),
+            count(lit(1)).as("n_lines"),
+            exactSum(col("l_quantity")).as("sum_qty"),
+          )
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+             |  CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
+             |  count(*) AS n_lines,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+    ),
+
+    // GROUPING SETS: two hand-picked sets (by market segment / by order
+    // status), sharing one scan — the general form of rollup/cube.
+    GraftQuery(
+      "q_grouping_sets",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val cust = Tables(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+          .createOrReplaceTempView("ext_oc")
+        s.sql("""SELECT c_mktsegment, o_orderstatus,
+                |  count(*) AS n_orders,
+                |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+                |FROM ext_oc
+                |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))
+                |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, o_orderstatus,
+             |  count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))
+             |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),
+    ),
+
+    // Range (theta) join: price bands as a tiny literal dimension joined on
+    // an interval predicate — broadcast nested-loop on the Spark side, the
+    // scale path for banding joins (the band table is O(10) rows; the fact
+    // side streams through unshuffled).
+    GraftQuery(
+      "q_range_join",
+      (s, dir) => {
+        val s_ = s
+        import s_.implicits._
+        val bands = (0 until 10)
+          .map(i => (i.toLong, i * 11000.0, (i + 1) * 11000.0))
+          .toDF("band_id", "lo", "hi")
+        val li = Tables(s, dir, "lineitem")
+        li.join(broadcast(bands),
+            li("l_extendedprice") >= bands("lo") && li("l_extendedprice") < bands("hi"))
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n_lines"), exactSum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("band_id")
+      },
+      Some("""WITH bands AS (
+             |  SELECT CAST(i AS BIGINT) AS band_id, i * 11000.0 AS lo, (i + 1) * 11000.0 AS hi
+             |  FROM range(10) t(i)
+             |)
+             |SELECT band_id, count(*) AS n_lines,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN bands
+             |  ON l_extendedprice >= lo AND l_extendedprice < hi
+             |GROUP BY band_id ORDER BY band_id""".stripMargin),
+    ),
+
+    // Subquery surface: correlated scalar (per-customer order count),
+    // uncorrelated scalar (global mean balance, decimal-exact), correlated
+    // EXISTS (big-ticket customers only). Catalyst decorrelates all three
+    // into joins — asserted in PLANS.md rather than hand-built here.
+    GraftQuery(
+      "q_subqueries",
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("ext_customer")
+        Tables(s, dir, "orders").createOrReplaceTempView("ext_orders")
+        s.sql("""SELECT c_custkey, c_acctbal,
+                |  (SELECT count(*) FROM ext_orders o
+                |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+                |  c_acctbal - (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                |               / count(*) FROM ext_customer) AS bal_vs_avg
+                |FROM ext_customer c
+                |WHERE EXISTS (SELECT 1 FROM ext_orders o
+                |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+             |  (SELECT count(*) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+             |  c_acctbal - (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+             |               / count(*) FROM customer) AS bal_vs_avg
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+             |ORDER BY c_custkey""".stripMargin),
+    ),
+
+    // JSON functions: path extraction from the event payload plus a
+    // constructed nested document (object field + array element) — the
+    // schema-on-read slice of F7 beyond from_json.
+    GraftQuery(
+      "q_json_fns",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val nested = concat(lit("""{"meta":{"k":"""), get_json_object(col("props"), "$.k"),
+          lit(""","tags":[10,20,30]}}"""))
+        e.select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+          get_json_object(nested, "$.meta.k").cast(IntegerType).as("k_nested"),
+          get_json_object(nested, "$.meta.tags[1]").cast(IntegerType).as("tag1"),
+        ).orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             |  CAST(json_extract_string('{"meta":{"k":' || json_extract_string(props, '$.k') || ',"tags":[10,20,30]}}', '$.meta.k') AS INTEGER) AS k_nested,
+             |  CAST(json_extract_string('{"meta":{"k":' || json_extract_string(props, '$.k') || ',"tags":[10,20,30]}}', '$.meta.tags[1]') AS INTEGER) AS tag1
+             |FROM events ORDER BY event_id""".stripMargin),
+    ),
+
+    // RANGE frame over event time: trailing 5-minute sum/count per user —
+    // the range-bounded sibling of q_sliding_stats' ROWS frame. Ordering is
+    // by epoch seconds (unique-enough not required: a RANGE frame is a
+    // function of the ordering value, so ties share a frame and the result
+    // is deterministic).
+    GraftQuery(
+      "q_window_range_frame",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .withColumn("epoch_s", unix_timestamp(col("ts")))
+        val w = Window.partitionBy("user_id").orderBy(col("epoch_s"))
+          .rangeBetween(-300, Window.currentRow)
+        e.select(
+          col("event_id"), col("user_id"),
+          sum(col("value").cast(DecimalType(30, 6))).over(w).cast(DoubleType).as("sum_5m"),
+          count(lit(1)).over(w).as("n_5m"),
+        ).orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_5m,
+             |  count(*) OVER w AS n_5m
+             |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             |             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin),
+    ),
+
+    // first/last/nth_value family with IGNORE NULLS over a running frame:
+    // error events null out their value, last_value carries the latest
+    // non-null forward (the gap-fill idiom).
+    GraftQuery(
+      "q_first_last",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .withColumn("v", when(col("event_type") =!= "error", col("value")))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.select(
+          col("event_id"), col("user_id"),
+          expr("first_value(v) IGNORE NULLS").over(w).as("first_v"),
+          expr("last_value(v) IGNORE NULLS").over(w).as("carry_v"),
+          expr("nth_value(v, 2) IGNORE NULLS").over(w).as("second_v"),
+        ).orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  first_value(v IGNORE NULLS) OVER w AS first_v,
+             |  last_value(v IGNORE NULLS) OVER w AS carry_v,
+             |  nth_value(v, 2 IGNORE NULLS) OVER w AS second_v
+             |FROM (SELECT *, CASE WHEN event_type <> 'error' THEN value END AS v FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin),
+    ),
+
+    // Unpivot (wide → long): per-user counts of two event types melted into
+    // (metric, n) rows via Dataset.unpivot — the relational inverse of
+    // q_pivot.
+    GraftQuery(
+      "q_unpivot",
+      (s, dir) => {
+        val wide = Tables(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
+          )
+        wide.unpivot(
+          Array(col("user_id")),
+          Array(col("purchases"), col("errors")),
+          "metric", "n",
+        ).orderBy("user_id", "metric")
+      },
+      Some("""WITH wide AS (
+             |  SELECT user_id,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+             |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+             |  FROM events GROUP BY user_id
+             |)
+             |SELECT user_id, 'purchases' AS metric, CAST(purchases AS BIGINT) AS n FROM wide
+             |UNION ALL
+             |SELECT user_id, 'errors', CAST(errors AS BIGINT) FROM wide
+             |ORDER BY user_id, metric""".stripMargin),
+    ),
+
+    // max_by/min_by (argmax/argmin): the event id at each user's extreme
+    // value. The comparison key folds in event_id so ties on value resolve
+    // identically in both engines (row-selecting aggregates are otherwise
+    // tie-nondeterministic).
+    GraftQuery(
+      "q_minmax_by",
+      (s, dir) => {
+        val key = floor(col("value") * 100 + 0.5).cast(LongType) * 1000000 + col("event_id")
+        Tables(s, dir, "events")
+          .withColumn("ord", key)
+          .groupBy("user_id")
+          .agg(
+            max_by(col("event_id"), col("ord")).as("top_event"),
+            min_by(col("event_id"), col("ord")).as("bottom_event"),
+            count(lit(1)).as("n"),
+          )
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  arg_max(event_id, ord) AS top_event,
+             |  arg_min(event_id, ord) AS bottom_event,
+             |  count(*) AS n
+             |FROM (SELECT *,
+             |  CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000 + event_id AS ord
+             |  FROM events)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // Deterministic hash sampling: an md5-prefix predicate selects a stable
+    // ~10% of rows on any engine and any partitioning — the reproducible
+    // alternative to TABLESAMPLE for pipeline subsetting.
+    GraftQuery(
+      "q_hash_sample",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .filter(substring(md5(col("event_id").cast("string")), 1, 2) < "1a")
+          .select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events
+             |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
+             |ORDER BY event_id""".stripMargin),
+    ),
+  )
+}
