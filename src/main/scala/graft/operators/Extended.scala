@@ -267,6 +267,50 @@ object Extended {
              |GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
 
+    // Distribution windows: percent_rank and cume_dist complete the ranking
+    // family of q_window_ranks (both are pure functions of the ordering, so
+    // ties are deterministic).
+    GraftQuery(
+      "q_window_dist",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        Tables(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "refund"))
+          .select(
+            col("event_id"), col("event_type"),
+            (floor(percent_rank().over(w) * 1e6 + 0.5) / 1e6).as("pct_rank"),
+            (floor(cume_dist().over(w) * 1e6 + 0.5) / 1e6).as("cume"),
+          ).orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type,
+             |  floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+             |  floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
+             |FROM events
+             |WHERE event_type IN ('purchase', 'refund')
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+             |ORDER BY event_id""".stripMargin),
+    ),
+
+    // Regex surface beyond F3's regexp_replace: group capture, match
+    // detection, and occurrence counting over the raw payload text.
+    GraftQuery(
+      "q_regex_extract",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .select(
+            col("event_id"),
+            regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(IntegerType).as("k_caught"),
+            col("props").rlike("[0-9]{2,}").as("has_2digits"),
+            size(split(col("event_type"), "[aeiou]")).minus(1).as("n_vowels"),
+          ).orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k_caught,
+             |  regexp_matches(props, '[0-9]{2,}') AS has_2digits,
+             |  len(regexp_split_to_array(event_type, '[aeiou]')) - 1 AS n_vowels
+             |FROM events ORDER BY event_id""".stripMargin),
+    ),
+
     // Deterministic hash sampling: an md5-prefix predicate selects a stable
     // ~10% of rows on any engine and any partitioning — the reproducible
     // alternative to TABLESAMPLE for pipeline subsetting.
