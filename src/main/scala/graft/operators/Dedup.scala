@@ -169,6 +169,14 @@ object Dedup {
     * bit_count. Output: (doc_a, doc_b, sim_a, hamming).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      maxHamming: Int): DataFrame =
+    simHashPairsBlocked(df, idCol, textCol, blockCol, maxHamming)
+      .select("doc_a", "doc_b", "sim_a", "hamming")
+
+  /** [[simHashPairs]] with the block key retained — consumers that exploit
+    * the pairs-are-intra-block invariant (e.g. [[nearDupClusters]]) key on it.
+    */
+  private def simHashPairsBlocked(df: DataFrame, idCol: String, textCol: String, blockCol: String,
       maxHamming: Int): DataFrame = {
     // Per-token vote mask: the high bit of hex char j is bit (31 - 4j) of the
     // 8-char slice parsed as an integer — one conv() per half-digest replaces
@@ -193,7 +201,7 @@ object Dedup {
         col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
       .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+      .select(col("a.__blk").as("__blk"), col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
         col("a.simhash").as("sim_a"), col("hamming"))
   }
 
@@ -242,6 +250,87 @@ object Dedup {
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
         levenshtein(col("a.__head"), col("b.__head")).as("dist"))
+  }
+
+  /** Near-dup clustering: connected components over the SimHash near-dup
+    * graph, labeled by the component's minimum doc id — the step a real
+    * dedup pipeline runs between pair generation and dropping duplicates
+    * (keep one doc per cluster, not one per pair). Output:
+    * (doc_id, canonical_id, cluster_size) for every document; docs with no
+    * near-dup are their own singleton cluster.
+    *
+    * Implementation is Pregel-style min-label propagation: each iteration
+    * pushes labels across edges with one equi-join + min-aggregate, until a
+    * fixpoint (near-dup components are near-cliques, so few iterations;
+    * worst-case chains are bounded by the iteration cap and asserted
+    * converged). At 100 TB this is the standard scalable formulation —
+    * iterations of hash-partitioned joins, no driver-side graph.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      maxHamming: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    // SimHash pairs are intra-block by construction, so components cannot
+    // span blocks: union-find runs as ONE co-located kernel per block (one
+    // shuffle of the pair set), no iteration. For pair sets that do span
+    // blocks, use the general iterative [[clusterPairs]].
+    val comp = simHashPairsBlocked(df, idCol, textCol, blockCol, maxHamming)
+      .select(col("__blk"), col("doc_a"), col("doc_b"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var r = x0
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var x = x0
+          while (parent.getOrDefault(x, x) != r) { val nxt = parent.get(x); parent.put(x, r); x = nxt }
+          r
+        }
+        it.foreach { case (_, a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        parent.keySet().forEach(k => out += ((k, find(k))))
+        out.iterator
+      }
+      .toDF("doc_id", "canonical_id")
+    val ids = df.select(col(idCol).cast("long").as("doc_id"))
+    val labeled = ids.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+    labeled.withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("canonical_id")))
+  }
+
+  /** Connected components over an explicit near-dup pair set (doc_a, doc_b)
+    * covering the node frame `ids` (one `doc_id` column). Public so any
+    * pair generator (SimHash, MinHash, embedding threshold) can feed it.
+    */
+  def clusterPairs(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    // localCheckpoint truncates lineage each round — without it the plan
+    // doubles per iteration and the final result replays the whole loop
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("a", "b").localCheckpoint()
+    var labels = ids.select(col("doc_id").cast("long").as("id"))
+      .withColumn("lab", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val prop = edges.join(labels, edges("a") === labels("id"))
+        .select(col("b").as("id"), col("lab"))
+      val next = labels.select("id", "lab").union(prop)
+        .groupBy("id").agg(min("lab").as("lab")).localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lab") =!= col("o.lab")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $iter iterations")
+    val w = Window.partitionBy("canonical_id")
+    labels.select(col("id").as("doc_id"), col("lab").as("canonical_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
   }
 
   // ---- verify queries ------------------------------------------------------
@@ -318,6 +407,42 @@ object Dedup {
               |  ON a.source = b.source AND a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
               |ORDER BY hamming, doc_a, doc_b""".stripMargin),
+    ),
+
+    GraftQuery(
+      "q_dedup_clusters",
+      (s, dir) => nearDupClusters(Tables(s, dir, "documents"), "doc_id", "text", "source", 3)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE
+              |t AS (SELECT doc_id, source, md5(w) AS h FROM ($tokensSql)),
+              |votes AS (
+              |  SELECT doc_id, source,
+              |${(0 until 16).map(j => s"    sum(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j").mkString(",\n")}
+              |  FROM t GROUP BY doc_id, source
+              |),
+              |sigs AS (
+              |  SELECT doc_id, source,
+              |    ${(0 until 16).map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
+              |  FROM votes
+              |),
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
+              |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |),
+              |edges AS (
+              |  SELECT doc_a AS a, doc_b AS b FROM pairs
+              |  UNION SELECT doc_b, doc_a FROM pairs
+              |),
+              |reach(id, lab) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+              |),
+              |labels AS (SELECT id AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY id)
+              |SELECT doc_id, canonical_id,
+              |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+              |FROM labels ORDER BY doc_id""".stripMargin),
     ),
 
     GraftQuery(

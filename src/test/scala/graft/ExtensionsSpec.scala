@@ -36,6 +36,18 @@ class ExtensionsSpec extends SparkSuite {
     assert(got.forall(t => !t._3.isNaN && t._3 > 0.0))
   }
 
+  test("near-dup clusters: transitive closure, min-id canonical, singletons kept") {
+    val s = spark
+    import s.implicits._
+    // a chain 5–2–7 (no direct 5–7 pair) must close transitively to
+    // canonical 2; 9 has no pair and stays a singleton
+    val ids = Seq(2L, 5L, 7L, 9L).toDF("doc_id")
+    val pairs = Seq((5L, 2L), (2L, 7L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.clusterPairs(ids, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 2L, 3L), (5L, 2L, 3L), (7L, 2L, 3L), (9L, 9L, 1L)))
+  }
+
   test("simhash hamming pairs are within threshold and well-formed") {
     val df = SparkEntry.queries("q_dedup_simhash")(spark, dir)
     assert(df.filter(col("hamming") > 3 || col("hamming") < 0).count() == 0)
