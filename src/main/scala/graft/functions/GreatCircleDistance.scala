@@ -66,5 +66,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GreatCircleDistance.builder))
     e.injectFunction((MinHashSketch.identifier, MinHashSketch.info,
       MinHashSketch.builder))
+    e.injectOptimizerRule(_ => ZeroDistanceFold)
   }
 }

@@ -50,6 +50,32 @@ object Multimodal {
   def withMeta(assets: DataFrame): DataFrame =
     assets.withColumn("meta", decodeMeta(col("content")))
 
+  /** Media-lake ingest via Spark's built-in `binaryFile` source: a directory
+    * of media files becomes (asset_id, media_type, content) rows — asset id
+    * as a stable hash of the path, media type from the extension. The
+    * source never splits a file, pushes `pathGlobFilter` down to listing,
+    * and caps memory per task via files.maxPartitionBytes — the correct
+    * ingestion path for billions of objects (listing parallelizes; bytes
+    * stream straight from storage into the binary column).
+    */
+  def readMediaDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: Option[String] = None): DataFrame = {
+    val r0 = spark.read.format("binaryFile")
+    val reader = glob.fold(r0)(g => r0.option("pathGlobFilter", g))
+    val ext = element_at(split(col("path"), "\\."), -1)
+    reader.load(dir)
+      .select(
+        xxhash64(col("path")).as("asset_id"),
+        when(ext.isin("jpg", "jpeg", "png", "gif"), "image")
+          .when(ext.isin("wav", "mp3", "flac"), "audio")
+          .when(ext.isin("mp4", "avi", "mkv"), "video")
+          .otherwise("binary").as("media_type"),
+        col("content"),
+        col("path"),
+        col("length").as("byte_length"),
+      )
+  }
+
   /** STUB resize: a real implementation transcodes `content`; the stub
     * rewrites only the metadata, preserving the exact operator contract
     * (same columns in, same columns out).

@@ -82,6 +82,25 @@ class ExtensionsSpec extends SparkSuite {
     assert(df.filter(col("is_dup") && col("canonical_id") === col("doc_id")).count() == 0)
   }
 
+  test("multimodal: binaryFile media-lake ingest with glob and type mapping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), Array.fill[Byte](100)(7))
+    java.nio.file.Files.write(dir.resolve("b.mp4"), Array.fill[Byte](500)(9))
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "hi".getBytes)
+    val all = Multimodal.readMediaDir(spark, dir.toString)
+    assert(all.count() == 3)
+    val byType = all.groupBy("media_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("image" -> 1L, "video" -> 1L, "binary" -> 1L))
+    assert(all.filter(col("media_type") === "video")
+      .select("byte_length").head().getLong(0) == 500L)
+    // glob pushdown: only images listed
+    val imgs = Multimodal.readMediaDir(spark, dir.toString, Some("*.jpg"))
+    assert(imgs.count() == 1)
+    // the ingest feeds the existing meta/frame pipeline unchanged
+    assert(Multimodal.withMeta(imgs).select("meta.width").head().getInt(0) >= 1)
+  }
+
   test("multimodal: meta decode, resize contract, frame sampling math") {
     val s = spark
     import s.implicits._

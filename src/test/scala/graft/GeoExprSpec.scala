@@ -33,6 +33,33 @@ class GeoExprSpec extends SparkSuite {
     assert(got(2).getDouble(0) == 0.0)
   }
 
+  test("ZeroDistanceFold rewrites same-point distance to a literal at plan time") {
+    val s = registered
+    import s.implicits._
+    s.sessionState.experimentalMethods.extraOptimizations =
+      s.sessionState.experimentalMethods.extraOptimizations :+ graft.functions.ZeroDistanceFold
+    try {
+      val df = Seq((Some(1.5), Some(2.5)), (None, Some(2.5)))
+        .toDF("la", "lo")
+        .selectExpr("great_circle_km(la, lo, la, lo) AS d")
+      // folded: the optimized plan carries no distance expression at all
+      val optimized = df.queryExecution.optimizedPlan
+      assert(!optimized.expressions.exists(_.exists(_.isInstanceOf[GreatCircleDistance])))
+      val got = df.collect()
+      assert(got(0).getDouble(0) == 0.0)
+      assert(got(1).isNullAt(0)) // null coordinate still propagates
+      // distinct points stay unfolded (non-constant inputs, different exprs)
+      val moving = s.range(3)
+        .selectExpr("great_circle_km(CAST(id AS DOUBLE), 0.0D, CAST(id + 1 AS DOUBLE), 0.0D) AS d")
+      assert(moving.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[GreatCircleDistance])))
+    } finally {
+      s.sessionState.experimentalMethods.extraOptimizations =
+        s.sessionState.experimentalMethods.extraOptimizations
+          .filterNot(_ == graft.functions.ZeroDistanceFold)
+    }
+  }
+
   test("null inputs yield null; codegen path executes over a real scan") {
     val s = registered
     import s.implicits._
