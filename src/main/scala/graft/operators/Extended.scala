@@ -311,6 +311,60 @@ object Extended {
              |FROM events ORDER BY event_id""".stripMargin),
     ),
 
+    // Ordered-sequence funnel: per user, the first view, the first click
+    // strictly after it, the first purchase strictly after that — each stage
+    // as a chained min-aggregate + join (set-based, no per-row loop; the
+    // standard scalable funnel formulation). Output is stage flags + depth;
+    // timestamps stay internal so no cross-engine timestamp rendering.
+    GraftQuery(
+      "q_funnel",
+      (s, dir) => {
+        val e = Tables(s, dir, "events").select("user_id", "event_type", "ts")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = e.filter(col("event_type") === "click").as("e")
+          .join(v.as("v"), col("e.user_id") === col("v.user_id") && col("e.ts") > col("v.t1"))
+          .groupBy(col("e.user_id").as("user_id")).agg(min("ts").as("t2"))
+        val p = e.filter(col("event_type") === "purchase").as("e")
+          .join(c.as("c"), col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.t2"))
+          .groupBy(col("e.user_id").as("user_id")).agg(min("ts").as("t3"))
+        v.select("user_id")
+          .join(c.select(col("user_id"), lit(1).as("clicked")), Seq("user_id"), "left")
+          .join(p.select(col("user_id"), lit(1).as("purchased")), Seq("user_id"), "left")
+          .select(
+            col("user_id"),
+            coalesce(col("clicked"), lit(0)).as("clicked"),
+            coalesce(col("purchased"), lit(0)).as("purchased"),
+            (lit(1) + coalesce(col("clicked"), lit(0)) + coalesce(col("purchased"), lit(0)))
+              .as("funnel_depth"),
+          )
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id
+             |),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS t2
+             |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+             |  WHERE e.event_type = 'click' GROUP BY e.user_id
+             |),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS t3
+             |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+             |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+             |)
+             |SELECT v.user_id,
+             |  CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS clicked,
+             |  CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS purchased,
+             |  1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+             |    + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS funnel_depth
+             |FROM v
+             |LEFT JOIN c ON v.user_id = c.user_id
+             |LEFT JOIN p ON v.user_id = p.user_id
+             |ORDER BY v.user_id""".stripMargin),
+    ),
+
     // Deterministic hash sampling: an md5-prefix predicate selects a stable
     // ~10% of rows on any engine and any partitioning — the reproducible
     // alternative to TABLESAMPLE for pipeline subsetting.
