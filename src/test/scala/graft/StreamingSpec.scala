@@ -59,6 +59,30 @@ class StreamingSpec extends SparkSuite {
     assert(st1.lastTsMillis == FraudStream.parseMillis("01-01-2024 11:00:00", cfg.streamTsFormat))
   }
 
+  test("parseMillis fast path agrees with SimpleDateFormat on every input class") {
+    val fmt = "dd-MM-yyyy HH:mm:ss"
+    val sdf = new java.text.SimpleDateFormat(fmt)
+    sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    sdf.setLenient(false)
+    def slow(s: String): Option[Long] =
+      try Some(sdf.parse(s).getTime) catch { case _: java.text.ParseException => None }
+    val cases = Seq(
+      "05-03-2024 23:59:59",       // canonical → fast path
+      "29-02-2024 00:00:00",       // leap day valid
+      "29-02-2023 00:00:00",       // leap day invalid → None both
+      "31-04-2024 10:00:00",       // April 31 invalid
+      "01-01-2024 24:00:00",       // hour 24 invalid (non-lenient)
+      "1-1-2024 1:2:3",            // 1-digit fields: SDF accepts → fallback
+      "01-01-2024 10:00:00Z",      // trailing char: SDF accepts prefix → fallback
+      "01-01-2024 10:00:0",        // short seconds: SDF accepts → fallback
+      "not-a-date",
+      "00-01-2024 10:00:00",       // day 0 invalid
+    )
+    cases.foreach { s =>
+      assert(FraudStream.parseMillis(s, fmt) == slow(s), s"disagreement on '$s'")
+    }
+  }
+
   test("genuine txn with unparseable timestamp advances neither postcode nor lastTs") {
     // (postcode, lastTs) move atomically (HBaseTransLink.java:76-81): pairing
     // a new location with an older timestamp would corrupt the speed rule.
