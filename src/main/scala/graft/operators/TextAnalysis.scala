@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Text-analysis operators for the training-data pipeline: quality scoring,
   * language ID (marker-word heuristic), token counting (whitespace + a
@@ -137,6 +138,40 @@ object TextAnalysis {
              |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
              |  FROM documents
              |) ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Order-SENSITIVE document fingerprint: Karp–Rabin rolling hash folded
+    // over the word sequence (q_fingerprint's sorted-set md5 is the
+    // order-insensitive twin). Word values come from the first 8 md5 hex
+    // chars so both engines fold identical integers; base/mod sized so
+    // h·base + w stays under 2^51 (no 64-bit wrap, which the engines
+    // handle differently).
+    GraftQuery(
+      "q_rolling_hash",
+      (s, dir) => {
+        val mod = 2147483647L
+        val base = 1000003L
+        val words = split(col("text"), " ")
+        Tables(s, dir, "documents")
+          .withColumn("rh",
+            aggregate(
+              transform(words, w => conv(substring(md5(w), 1, 8), 16, 10).cast(LongType)),
+              lit(0L),
+              (h, wv) => (h * lit(base) + wv) % lit(mod),
+            ))
+          .select(col("doc_id"), col("rh"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '),
+             |      w -> list_reduce(
+             |        list_transform(string_split_regex(substr(md5(w), 1, 8), ''),
+             |          c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+             |        (a, b) -> a * 16 + b))),
+             |    (h, wv) -> (h * 1000003 + wv) % 2147483647
+             |  ) AS rh
+             |FROM documents ORDER BY doc_id""".stripMargin),
     ),
 
     // Character-distribution entropy: a corpus-statistics quality signal
