@@ -365,6 +365,25 @@ object Extended {
              |ORDER BY v.user_id""".stripMargin),
     ),
 
+    // Deterministic string aggregation: collect_set is unordered in any
+    // engine, so sort before joining — the reproducible LISTAGG idiom.
+    GraftQuery(
+      "q_string_agg",
+      (s, dir) => {
+        Tables(s, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            array_join(array_sort(collect_set(col("event_type"))), ",").as("types_csv"),
+            countDistinct(col("event_type")).as("n_types"),
+          )
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_csv,
+             |  count(DISTINCT event_type) AS n_types
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
     // Deterministic hash sampling: an md5-prefix predicate selects a stable
     // ~10% of rows on any engine and any partitioning — the reproducible
     // alternative to TABLESAMPLE for pipeline subsetting.

@@ -174,6 +174,49 @@ object TextAnalysis {
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
 
+    // TF-IDF-style term scoring, exact-ratio variant: score = tf·N/df with
+    // integer tf/df/N so the only float op is one IEEE division (identical
+    // bits in both engines; ln-based idf would risk 1-ulp libm divergence).
+    // Top-3 terms per doc by (score desc, term) — the canonical
+    // tokenize → aggregate → join → window keyword-extraction pipeline.
+    GraftQuery(
+      "q_tfidf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df_ = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+        tf.join(df_, "w")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("tf") * col("n_docs")).cast("double") / col("df"))
+          .withColumn("rn", row_number().over(win))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("w").as("term"), col("rn"), col("score"))
+          .orderBy("doc_id", "rn")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+             |),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+             |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.w, CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+             |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+             |),
+             |ranked AS (
+             |  SELECT doc_id, w, score,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+             |  FROM scored
+             |)
+             |SELECT doc_id, w AS term, rn, score FROM ranked WHERE rn <= 3
+             |ORDER BY doc_id, rn""".stripMargin),
+    ),
+
     // Character-distribution entropy: a corpus-statistics quality signal
     // (low entropy ⇒ repetitive/degenerate text). Transcendental sums are
     // safe under primitive rounding (no exact half-boundaries).
