@@ -365,6 +365,40 @@ object Extended {
              |ORDER BY v.user_id""".stripMargin),
     ),
 
+    // Single-pass data-quality audit: null counts, domain bounds, and
+    // constraint-violation counts for the fact table — the validation stage
+    // every ingest pipeline runs before publishing a snapshot. One scan,
+    // conditional aggregates only.
+    GraftQuery(
+      "q_data_quality",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+            sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+            sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("nonpositive_qty"),
+            sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
+              .as("discount_out_of_range"),
+            sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+              .as("bad_returnflag"),
+            countDistinct(col("l_orderkey")).as("distinct_orders"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+          )
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+             |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+             |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_qty,
+             |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_out_of_range,
+             |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag,
+             |  count(DISTINCT l_orderkey) AS distinct_orders,
+             |  min(l_quantity) AS min_qty,
+             |  max(l_quantity) AS max_qty
+             |FROM lineitem""".stripMargin),
+    ),
+
     // Deterministic string aggregation: collect_set is unordered in any
     // engine, so sort before joining — the reproducible LISTAGG idiom.
     GraftQuery(
