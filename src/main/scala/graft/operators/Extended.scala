@@ -365,6 +365,42 @@ object Extended {
              |ORDER BY v.user_id""".stripMargin),
     ),
 
+    // Date-spine gap fill: per user, a contiguous day range from first to
+    // last activity left-joined to daily counts, absent days filled with 0 —
+    // the calendar-alignment op behind retention/training-window features.
+    // Days render as strings so no cross-engine DATE representation is
+    // compared.
+    GraftQuery(
+      "q_date_spine",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val daily = e.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+        val spine = e.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select(
+            col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+            coalesce(col("n"), lit(0L)).as("n"),
+          )
+          .orderBy("user_id", "day_str")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+             |daily AS (SELECT user_id, day, count(*) AS n FROM e GROUP BY user_id, day),
+             |spine AS (
+             |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+             |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY user_id)
+             |)
+             |SELECT s.user_id,
+             |  strftime(s.day, '%Y-%m-%d') AS day_str,
+             |  COALESCE(d.n, 0) AS n
+             |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+             |ORDER BY s.user_id, day_str""".stripMargin),
+    ),
+
     // Single-pass data-quality audit: null counts, domain bounds, and
     // constraint-violation counts for the fact table — the validation stage
     // every ingest pipeline runs before publishing a snapshot. One scan,
