@@ -52,6 +52,10 @@ object Dedup {
   private def jaccardKernel(
       docs: Array[(Long, Seq[String])],
       candidates: Option[Iterator[(Long, Long)]],
+      // Jaccard |∩|/|∪| by default; containment |∩|/min(|a|,|b|) catches
+      // subset-duplicates (a short doc embedded in a longer one) whose
+      // symmetric Jaccard is diluted by the size difference
+      containment: Boolean = false,
   ): Iterator[(Long, Long, Double)] = {
     val n = docs.length
     val dict = new java.util.HashMap[String, Integer]()
@@ -88,8 +92,12 @@ object Dedup {
     def emit(a: Int, b: Int): Option[(Long, Long, Double)] = {
       val in = inter(a, b)
       if (in == 0) None
-      else Some((docs(a)._1, docs(b)._1,
-        in.toDouble / (tokenIds(a).length + tokenIds(b).length - in)))
+      else {
+        val denom =
+          if (containment) math.min(tokenIds(a).length, tokenIds(b).length)
+          else tokenIds(a).length + tokenIds(b).length - in
+        Some((docs(a)._1, docs(b)._1, in.toDouble / denom))
+      }
     }
     candidates match {
       case None =>
@@ -230,6 +238,26 @@ object Dedup {
         jaccardKernel(it.map { case (id, _, gs) => (id, gs) }.toArray.sortBy(_._1), None)
       }
       .toDF("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Word-set containment pairs within a block: |∩| / min(|a|,|b|) — the
+    * asymmetric-size near-dup detector (a short doc fully contained in a
+    * longer one scores 1.0 here but low symmetric Jaccard). Same one-shuffle
+    * block kernel as [[ngramJaccardPairs]].
+    * Output: (doc_a, doc_b, containment).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(idCol).cast("long").as("__id"), col(blockCol).cast("string").as("__blk"),
+        array_distinct(split(col(textCol), " ")).as("ws"))
+      .as[(Long, String, Seq[String])]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        jaccardKernel(it.map { case (id, _, ws) => (id, ws) }.toArray.sortBy(_._1),
+          None, containment = true)
+      }
+      .toDF("doc_a", "doc_b", "containment")
   }
 
   /** Levenshtein fuzzy-match pairs, blocked on (block, length bucket) —
@@ -407,6 +435,27 @@ object Dedup {
               |  ON a.source = b.source AND a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
               |ORDER BY hamming, doc_a, doc_b""".stripMargin),
+    ),
+
+    GraftQuery(
+      "q_dedup_containment",
+      (s, dir) => containmentPairs(Tables(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+        .limit(100),
+      Some(s"""WITH t AS ($tokensSql),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              |  FROM t a JOIN t b
+              |    ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id
+              |)
+              |SELECT i.doc_a, i.doc_b,
+              |  CAST(i.inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+              |FROM inter i
+              |JOIN sizes sa ON sa.doc_id = i.doc_a
+              |JOIN sizes sb ON sb.doc_id = i.doc_b
+              |ORDER BY containment DESC, i.doc_a, i.doc_b LIMIT 100""".stripMargin),
     ),
 
     GraftQuery(
