@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior of the public dedup/similarity APIs: empty and
+  * single-row corpora must yield empty/singleton results, never throw —
+  * partitioned pipelines routinely hand operators empty blocks.
+  */
+class EdgeCaseSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  private def vecs(rows: (Long, Array[Float], Long)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("dedup family: empty corpus yields empty results") {
+    val empty = docs()
+    assert(Dedup.exactDedup(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.minHashPairs(empty, "doc_id", "text", "source").count() == 0)
+    assert(Dedup.simHashPairs(empty, "doc_id", "text", "source", 3).count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text", "source").count() == 0)
+    assert(Dedup.containmentPairs(empty, "doc_id", "text", "source").count() == 0)
+    assert(Dedup.editDistancePairs(empty, "doc_id", "text", "source").count() == 0)
+    assert(Dedup.nearDupClusters(empty, "doc_id", "text", "source", 3).count() == 0)
+  }
+
+  test("dedup family: single document yields no pairs, one singleton cluster") {
+    val one = docs((7L, "only one document here", "src"))
+    assert(Dedup.minHashPairs(one, "doc_id", "text", "source").count() == 0)
+    assert(Dedup.simHashPairs(one, "doc_id", "text", "source", 3).count() == 0)
+    assert(Dedup.ngramJaccardPairs(one, "doc_id", "text", "source").count() == 0)
+    val cl = Dedup.nearDupClusters(one, "doc_id", "text", "source", 3).collect()
+    assert(cl.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((7L, 7L, 1L)))
+    val ex = Dedup.exactDedup(one, "doc_id", "text").collect()
+    assert(ex.head.getLong(1) == 7L && !ex.head.getBoolean(2))
+  }
+
+  test("clusterPairs: empty edge set leaves every node a singleton") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(1L, 2L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(ids, noPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 1L), (2L, 2L, 1L)))
+  }
+
+  test("similarity: empty corpus yields empty; single vector has no neighbors") {
+    val empty = vecs()
+    assert(Similarity.bruteForceTopK(empty, "vec_id", "embedding", 3).count() == 0)
+    assert(Similarity.nearDupPairs(empty, "vec_id", "embedding", 0.5).count() == 0)
+    val one = vecs((1L, Array.fill(64)(0.5f), 0L))
+    assert(Similarity.bruteForceTopK(one, "vec_id", "embedding", 3).count() == 0)
+    assert(Similarity.signLshTopK(one, "vec_id", "embedding", 3).count() == 0)
+    assert(Similarity.nearDupPairs(one, "vec_id", "embedding", 0.5).count() == 0)
+  }
+}
