@@ -54,6 +54,59 @@ class EdgeCaseSpec extends SparkSuite {
     assert(got == Set((1L, 1L, 1L), (2L, 2L, 1L)))
   }
 
+  test("property: bitset Jaccard kernel matches a naive set-based reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf((1 to 12).map(i => s"w$i"))
+    val doc = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, doc))
+    val prop = Prop.forAll(corpus) { texts =>
+      val df = docs(texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t, "b") }: _*)
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", "source").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // naive reference: distinct word-bigram sets, inter/union, skip 0
+      def grams(t: String): Set[String] = {
+        val ws = t.split(" ")
+        ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }.toSet
+      }
+      val exp = (for {
+        i <- texts.indices
+        j <- (i + 1) until texts.length
+        ga = grams(texts(i)); gb = grams(texts(j))
+        inter = (ga & gb).size
+        if inter > 0
+      } yield ((i + 1).toLong, (j + 1).toLong) -> inter.toDouble / (ga | gb).size).toMap
+      got == exp
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: clusterPairs equals a union-find reference on random edge sets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val n = 12
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(1L, n.toLong), Gen.choose(1L, n.toLong)))
+      .map(_.filter { case (a, b) => a != b }.take(15))
+    val prop = Prop.forAll(edgeGen) { edges =>
+      val ids = (1L to n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.clusterPairs(ids, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val exp = (1L to n.toLong).map(i => i -> find(i)).toMap
+      got == exp
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("similarity: empty corpus yields empty; single vector has no neighbors") {
     val empty = vecs()
     assert(Similarity.bruteForceTopK(empty, "vec_id", "embedding", 3).count() == 0)
