@@ -66,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GreatCircleDistance.builder))
     e.injectFunction((MinHashSketch.identifier, MinHashSketch.info,
       MinHashSketch.builder))
+    e.injectFunction((SimHash16.identifier, SimHash16.info, SimHash16.builder))
     e.injectOptimizerRule(_ => ZeroDistanceFold)
   }
 }

@@ -186,23 +186,14 @@ object Dedup {
     */
   private def simHashPairsBlocked(df: DataFrame, idCol: String, textCol: String, blockCol: String,
       maxHamming: Int): DataFrame = {
-    // Per-token vote mask: the high bit of hex char j is bit (31 - 4j) of the
-    // 8-char slice parsed as an integer — one conv() per half-digest replaces
-    // 16 substring+IN string probes per token (the oracle keeps the string
-    // form; the extracted bits, and therefore every signature, are identical).
-    val t = tokens(df, idCol, textCol, blockCol).withColumn("h", md5(col("w")))
-      .withColumn("m_hi", expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)"))
-      .withColumn("m_lo", expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)"))
-    val voteAggs = (0 until 16).map { j =>
-      val (m, j0) = if (j < 8) (col("m_hi"), j) else (col("m_lo"), j - 8)
-      sum(shiftright(m, 31 - 4 * j0).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j")
-    }
-    val bitSum = (0 until 16).map { j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigs = t.groupBy("__id", "__blk").agg(voteAggs.head, voteAggs.tail: _*)
-      .withColumn("simhash", bitSum)
-      .select("__id", "__blk", "simhash")
+    // Signature via the native codegen'd SimHash16 expression: one static
+    // call per document, entirely map-side — no token explode, no 16-vote
+    // aggregation shuffle (the oracle keeps the equivalent declarative
+    // string form; signatures are bit-identical, see EdgeCaseSpec property).
+    graft.functions.SimHash16.register(df.sparkSession)
+    val sigs = df.select(col(idCol).cast("long").as("__id"),
+      col(blockCol).cast("string").as("__blk"),
+      expr(s"simhash16(array_distinct(split($textCol, ' ')))").as("simhash"))
     // Probe side spread across the cluster before the O(pairs) row
     // generation; the build side broadcasts, so no co-partitioning is lost.
     sigs.repartition(kernelParallelism(df)).as("a").join(sigs.as("b"),

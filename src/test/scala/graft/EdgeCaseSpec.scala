@@ -81,6 +81,34 @@ class EdgeCaseSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: native SimHash16 expression matches the hex-char vote definition") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    graft.functions.SimHash16.register(spark)
+    val word = Gen.oneOf((1 to 20).map(i => s"tok$i") ++ Seq("über", "naïve", "句子"))
+    val wordsGen = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, word)).map(_.distinct)
+    def reference(ws: Seq[String]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](16)
+      ws.foreach { w =>
+        md.reset()
+        val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (0 until 16).foreach { j =>
+          votes(j) += (if ("89abcdef".contains(hex.charAt(j))) 1 else -1)
+        }
+      }
+      (0 until 16).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    }
+    val prop = Prop.forAll(wordsGen) { ws =>
+      val s = spark
+      import s.implicits._
+      val got = Seq(Tuple1(ws)).toDF("ws")
+        .selectExpr("simhash16(ws) AS sig").head().getLong(0)
+      got == reference(ws)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: clusterPairs equals a union-find reference on random edge sets") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val s = spark
