@@ -67,6 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((MinHashSketch.identifier, MinHashSketch.info,
       MinHashSketch.builder))
     e.injectFunction((SimHash16.identifier, SimHash16.info, SimHash16.builder))
+    e.injectFunction((MinHashSig.identifier, MinHashSig.info, MinHashSig.builder))
     e.injectOptimizerRule(_ => ZeroDistanceFold)
   }
 }

@@ -113,11 +113,6 @@ object Dedup {
     }
   }
 
-  /** Distinct words per row: (__id, __blk, w). */
-  private def tokens(df: DataFrame, idCol: String, textCol: String, blockCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("__id"), col(blockCol).cast("string").as("__blk"),
-      explode(array_distinct(split(col(textCol), " "))).as("w"))
-
   private val tokensSql =
     "SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents"
 
@@ -142,13 +137,17 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    graft.functions.MinHashSketch.register(s)
-    val t = tokens(df, idCol, textCol, blockCol)
+    // Signatures via the native map-side MinHashSig expression (no token
+    // explode/shuffle; the MinHashSketch aggregate remains the
+    // token-stream form and is asserted equal in MinHashSketchSpec).
     // One signature pass, then ONE equi-join over (block, band_idx, band_key)
     // with both bands unpivoted into rows — same candidate set as two
     // per-band self-joins unioned, at half the join legs. distinct()
     // collapses pairs that collide in both bands.
-    val banded = t.groupBy("__id", "__blk").agg(expr("minhash_sketch(w)").as("sig"))
+    graft.functions.MinHashSig.register(s)
+    val banded = df.select(col(idCol).cast("long").as("__id"),
+        col(blockCol).cast("string").as("__blk"),
+        expr(s"minhash_sig(array_distinct(split($textCol, ' ')))").as("sig"))
       .select(col("__id"), col("__blk"), posexplode(array(
         concat((0 until 4).map(i => col("sig").getItem(i)): _*),
         concat((4 until 8).map(i => col("sig").getItem(i)): _*),

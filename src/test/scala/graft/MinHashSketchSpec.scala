@@ -25,6 +25,22 @@ class MinHashSketchSpec extends SparkSuite {
     assert(sketch.count() == decl.count())
   }
 
+  test("map-side MinHashSig expression equals the aggregate sketch per doc") {
+    MinHashSketch.register(spark)
+    graft.functions.MinHashSig.register(spark)
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val viaExpr = docs.select(col("doc_id"),
+      expr("minhash_sig(array_distinct(split(text, ' ')))").as("sig"))
+    val viaAgg = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy("doc_id").agg(expr("minhash_sketch(w)").as("sig2"))
+    val joined = viaExpr.join(viaAgg, "doc_id")
+    val bad = joined.filter(
+      (0 until 8).map(i => col("sig").getItem(i) =!= col("sig2").getItem(i)).reduce(_ || _))
+    assert(bad.count() == 0)
+    assert(joined.count() == docs.count())
+  }
+
   test("null inputs are ignored; all-null group yields null slices") {
     MinHashSketch.register(spark)
     val s = spark
