@@ -58,8 +58,10 @@ object FraudStreamJob {
         col("postcode").cast("int"), col("transaction_dt"))
       .as[CardLookup]
     val zipBc = graft.geo.Geo.broadcastZipMap(spark, zipCsv)
+    // GRAFT_STATE_API=tws selects the transformWithState/RocksDB path
+    val stateApi = sys.env.getOrElse("GRAFT_STATE_API", "fmgws")
     val query = FraudStream.run(spark, broker, topic, snapshot, zipBc,
-      masterPath, checkpoint, cfg).start()
+      masterPath, checkpoint, cfg, stateApi).start()
     query.awaitTermination()
   }
 }

@@ -236,13 +236,24 @@ object FraudStream {
       masterPath: String,
       checkpoint: String,
       cfg: FraudConfig = FraudConfig(),
+      // "fmgws" (flatMapGroupsWithState, default) or "tws"
+      // (transformWithState on the RocksDB store — FraudStreamTws); both
+      // run the same per-card fold, equivalence pinned by TwsSpec
+      stateApi: String = "fmgws",
   ): DataStreamWriter[LabeledTransaction] = {
     val raw = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .load()
-    classify(decode(raw), lookupSnapshot, zipBc, cfg)
+    val labeled = stateApi match {
+      case "tws" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        FraudStreamTws.classify(decode(raw), lookupSnapshot, zipBc, cfg)
+      case _ => classify(decode(raw), lookupSnapshot, zipBc, cfg)
+    }
+    labeled
       .writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.ProcessingTime("1 second"))
