@@ -1,6 +1,49 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one cold pass of every SparkEntry query at the sf dir
+  * given by SPARK_GRAFT_SF_DIR, emitting ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * The harness captures only the LAST 2000 characters of stdout and parses
+  * the JSON line out of that tail (rounds 1-2 both lost the line: round 1
+  * to sbt's `[info] ` prefix, round 2 to tail truncation once the suite
+  * grew past ~66 queries at full double precision). `renderJson` therefore
+  * guarantees the line fits `MaxLine` chars: times are rounded to
+  * milliseconds, and if the per-query map still doesn't fit, the smallest
+  * entries are merged into a single `"other"` bucket (slowest queries are
+  * always reported individually — they're the informative ones). The line
+  * is printed after `spark.stop()` with logging silenced so nothing can
+  * land between it and process exit.
+  */
 object Bench {
+
+  /** Hard cap for the emitted line: 2000-char tail minus sbt's trailing
+    * `[success] Total time: ...` line (~70 chars) minus margin. */
+  val MaxLine = 1800
+
+  private def fmt(v: Double): String = "%.3f".format(v)
+
+  /** Render the JSON result line, guaranteed <= MaxLine chars. */
+  def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
+    val total = results.map(_._2).sum
+    def line(entries: Seq[(String, Double)], otherSum: Option[Double]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
+        otherSum.map(s => "\"other\":" + fmt(s))
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    }
+    val bySlowest = results.sortBy { case (k, v) => (-v, k) }
+    // Largest prefix of the slowest-first ordering that fits; the rest
+    // (if any) collapses into one "other" bucket.
+    var keep = bySlowest.length
+    while (keep > 0 && {
+      val rest = bySlowest.drop(keep).map(_._2)
+      line(bySlowest.take(keep), if (rest.isEmpty) None else Some(rest.sum)).length > MaxLine
+    }) keep -= 1
+    val rest = bySlowest.drop(keep).map(_._2)
+    line(bySlowest.take(keep), if (rest.isEmpty) None else Some(rest.sum))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,15 +68,14 @@ object Bench {
         .selectExpr("row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn")
         .count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val jsonLine = renderJson(results, sfDir)
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(jsonLine)
   }
 }

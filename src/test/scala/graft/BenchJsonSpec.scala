@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench-line contract: the harness tail-captures only the last
+  * 2000 chars of stdout, so the emitted JSON line must always fit
+  * Bench.MaxLine regardless of how many queries the suite grows to. */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private def parseable(s: String): Unit = {
+    // Minimal structural check without a JSON lib on the classpath:
+    // balanced braces, expected header keys, no raw doubles (ms rounding).
+    assert(s.startsWith("""{"metric":"total","value":"""))
+    assert(s.endsWith("""}"""))
+    assert(s.count(_ == '{') == s.count(_ == '}'))
+    assert(s.contains(""","unit":"sec","queries":{"""))
+    assert(s.contains(""","sf":""""))
+  }
+
+  test("small suite renders fully, millisecond precision") {
+    val r = Seq("q_a" -> 0.1234567, "q_b" -> 2.0, "q_c" -> 0.0004)
+    val s = Bench.renderJson(r, "/root/testdata/sf0.1")
+    parseable(s)
+    assert(s.contains("\"q_a\":0.123"))
+    assert(s.contains("\"q_b\":2.000"))
+    assert(s.contains("\"q_c\":0.000"))
+    assert(s.contains("\"value\":2.124"))
+    assert(!s.contains("other"))
+    assert(s.length <= Bench.MaxLine)
+  }
+
+  test("the real suite's names always render within budget") {
+    // The actual registered query names with plausible times: the line must
+    // fit the tail budget no matter how the suite grows (an "other" bucket
+    // is acceptable degradation; an oversized line is not).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val r = names.zipWithIndex.map { case (k, i) => k -> (0.1 + i * 0.05) }
+    val s = Bench.renderJson(r, "/root/testdata/sf0.1")
+    parseable(s)
+    assert(s.length <= Bench.MaxLine, s"len=${s.length}")
+  }
+
+  test("oversized suite folds smallest entries into other, keeps slowest") {
+    val r = (1 to 400).map(i => f"q_very_long_query_name_$i%03d" -> i * 0.01)
+    val s = Bench.renderJson(r, "/root/testdata/sf0.1")
+    parseable(s)
+    assert(s.length <= Bench.MaxLine, s"len=${s.length}")
+    assert(s.contains("\"other\":"))
+    // slowest survives as a named entry
+    assert(s.contains("\"q_very_long_query_name_400\":4.000"))
+    // total still reflects every query
+    val total = r.map(_._2).sum
+    assert(s.contains(s""""value":${"%.3f".format(total)}"""))
+  }
+
+  test("empty suite renders a valid line") {
+    val s = Bench.renderJson(Seq.empty, "/x")
+    parseable(s)
+    assert(s.contains(""""queries":{}"""))
+  }
+}
