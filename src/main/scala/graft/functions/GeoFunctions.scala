@@ -16,12 +16,21 @@ object GeoFunctions {
     * ill-conditioned near 1 where last-ulp noise amplifies to ~1e-4 km).
     *
     * Column composition, not a UDF: stays inside whole-stage codegen.
+    *
+    * NaN coordinates propagate as NaN, same as the scalar twin. Two Spark
+    * SQL semantics would silently turn NaN into distance 0 here: `===`
+    * evaluates NaN = NaN as true (so the same-point guard would fire), and
+    * `least` orders NaN above every double (so the clamp would pick 1.0 and
+    * acos(1.0) = 0). Both are excluded explicitly, keeping this form, the
+    * scalar twin, the native [[GreatCircleDistance]] expression, and the
+    * [[ZeroDistanceFold]] plan-time fold value-identical on every input.
     */
   def greatCircleKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     val arg = sin(radians(lat1)) * sin(radians(lat2)) +
       cos(radians(lat1)) * cos(radians(lat2)) * cos(radians(lon1 - lon2))
-    val clamped = least(lit(1.0), greatest(lit(-1.0), arg))
-    when(lat1 === lat2 && lon1 === lon2, lit(0.0))
+    val clamped = when(isnan(arg), arg)
+      .otherwise(least(lit(1.0), greatest(lit(-1.0), arg)))
+    when(lat1 === lat2 && lon1 === lon2 && !isnan(lat1) && !isnan(lon1), lit(0.0))
       .otherwise(acos(clamped) * lit(EarthRadiusKm))
   }
 

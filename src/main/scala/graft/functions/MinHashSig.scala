@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -72,7 +72,21 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 object MinHashSig {
   val identifier: FunctionIdentifier = FunctionIdentifier("minhash_sig")
   val info: ExpressionInfo = new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig")
-  val builder: Seq[Expression] => Expression = exprs => MinHashSig(exprs.head)
+  // arity/type checked at resolution time (ExpectsInputTypes' AbstractDataType
+  // is private[sql] in Spark 4, so coercion happens in the builder — the same
+  // pattern as GreatCircleDistance.builder); non-string arrays are cast so
+  // minhash_sig(array(1,2)) hashes the rendered elements instead of failing
+  // in getUTF8String at execution.
+  val builder: Seq[Expression] => Expression = {
+    case Seq(e) => e.dataType match {
+      case ArrayType(StringType, _) => MinHashSig(e)
+      case ArrayType(_, _)          => MinHashSig(Cast(e, ArrayType(StringType)))
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig expects array<string>, got ${other.simpleString}")
+    }
+    case other => throw new IllegalArgumentException(
+      s"minhash_sig expects 1 argument, got ${other.size}")
+  }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(identifier, info, builder)

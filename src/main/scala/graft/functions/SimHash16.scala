@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 16-bit SimHash signature of a token array as a native codegen'd
@@ -78,7 +78,19 @@ case class SimHash16(child: Expression) extends UnaryExpression {
 object SimHash16 {
   val identifier: FunctionIdentifier = FunctionIdentifier("simhash16")
   val info: ExpressionInfo = new ExpressionInfo(classOf[SimHash16].getName, "simhash16")
-  val builder: Seq[Expression] => Expression = exprs => SimHash16(exprs.head)
+  // arity/type checked at resolution time — same builder-coercion pattern
+  // as GreatCircleDistance/MinHashSig (ExpectsInputTypes is unavailable to
+  // external expressions in Spark 4).
+  val builder: Seq[Expression] => Expression = {
+    case Seq(e) => e.dataType match {
+      case ArrayType(StringType, _) => SimHash16(e)
+      case ArrayType(_, _)          => SimHash16(Cast(e, ArrayType(StringType)))
+      case other => throw new IllegalArgumentException(
+        s"simhash16 expects array<string>, got ${other.simpleString}")
+    }
+    case other => throw new IllegalArgumentException(
+      s"simhash16 expects 1 argument, got ${other.size}")
+  }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(identifier, info, builder)

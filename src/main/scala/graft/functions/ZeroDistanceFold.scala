@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{If, IsNaN, IsNull, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -13,14 +13,18 @@ import org.apache.spark.sql.types.DoubleType
   * compares an entity to itself — the fold removes four trig calls per row
   * from codegen'd loops.
   *
-  * Null semantics are preserved exactly: a null coordinate still yields
-  * null, matching the unfolded expression's null-propagation.
+  * Null and NaN semantics are preserved exactly: a null coordinate still
+  * yields null, and a NaN coordinate still yields NaN (the unfolded
+  * expression's same-point guard compares with ==, so NaN falls through
+  * to the trig path and propagates), matching the unfolded expression
+  * value-for-value.
   */
 object ZeroDistanceFold extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case GreatCircleDistance(la1, lo1, la2, lo2)
         if la1.deterministic && lo1.deterministic &&
           la1.semanticEquals(la2) && lo1.semanticEquals(lo2) =>
-      If(Or(IsNull(la1), IsNull(lo1)), Literal(null, DoubleType), Literal(0.0))
+      If(Or(IsNull(la1), IsNull(lo1)), Literal(null, DoubleType),
+        If(Or(IsNaN(la1), IsNaN(lo1)), Literal(Double.NaN), Literal(0.0)))
   }
 }

@@ -323,14 +323,24 @@ object Dedup {
   /** Connected components over an explicit near-dup pair set (doc_a, doc_b)
     * covering the node frame `ids` (one `doc_id` column). Public so any
     * pair generator (SimHash, MinHash, embedding threshold) can feed it.
+    *
+    * Edge endpoints absent from `ids` are dropped (semi-join below), so the
+    * covering precondition is enforced rather than assumed: a stray endpoint
+    * would otherwise be unioned into the label table by propagation and
+    * surface in the output, and on its first round the convergence count
+    * (an inner join of consecutive label tables) would silently skip it.
     */
   def clusterPairs(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val nodeIds = ids.select(col("doc_id").cast("long").as("id"))
     // localCheckpoint truncates lineage each round — without it the plan
     // doubles per iteration and the final result replays the whole loop
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("a", "b").localCheckpoint()
-    var labels = ids.select(col("doc_id").cast("long").as("id"))
+      .toDF("a", "b")
+      .join(nodeIds.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(nodeIds.select(col("id").as("b")), Seq("b"), "left_semi")
+      .localCheckpoint()
+    var labels = nodeIds
       .withColumn("lab", col("id"))
       .localCheckpoint()
     var changed = 1L

@@ -158,7 +158,11 @@ object Similarity {
     * vector rather than via [[lshBucket]]'s 8 column-level `aggregate`
     * lambdas — higher-order functions are interpreted per element, which is
     * 8·dim interpreted evals per row in the hot path; the integer math (and
-    * thus the bucket id and every result) is identical.
+    * thus the bucket id and every result) is identical, including for
+    * vectors whose length differs from Dim: there `lshBucket`'s zip_with
+    * pads with nulls, the dot is null, no `when` fires, and the bucket is
+    * 0 — the kernel short-circuits to bucket 0 for the same inputs rather
+    * than computing a partial dot over the shared prefix.
     */
   def signLshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val s = df.sparkSession
@@ -169,15 +173,16 @@ object Similarity {
       .as[(Long, Array[Long], Long)]
       .map { case (id, q, nrm) =>
         var bucket = 0L
-        var pl = 0
-        while (pl < NumPlanes) {
-          val w = planes(pl)
-          var dot = 0L
-          var d = 0
-          val lim = math.min(q.length, Dim)
-          while (d < lim) { dot += q(d) * w(d); d += 1 }
-          if (dot > 0) bucket |= 1L << pl
-          pl += 1
+        if (q.length == Dim) {
+          var pl = 0
+          while (pl < NumPlanes) {
+            val w = planes(pl)
+            var dot = 0L
+            var d = 0
+            while (d < Dim) { dot += q(d) * w(d); d += 1 }
+            if (dot > 0) bucket |= 1L << pl
+            pl += 1
+          }
         }
         (bucket, id, nrm, q)
       }

@@ -186,10 +186,14 @@ object TextAnalysis {
         val docs = Tables(s, dir, "documents")
         val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val df_ = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+        // df(w) = #docs containing w = #tf rows with that w: derived from
+        // the already-aggregated tf relation (no second explode over the
+        // corpus, and the exchange under tf is reused for both sides), then
+        // broadcast — vocabulary-sized — so tf is never reshuffled on w.
+        val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
-        tf.join(df_, "w")
+        tf.join(broadcast(df_), "w")
           .crossJoin(broadcast(n))
           .withColumn("score",
             (col("tf") * col("n_docs")).cast("double") / col("df"))

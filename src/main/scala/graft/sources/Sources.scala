@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -187,11 +188,26 @@ object Sources {
     * batch id and the full row content rather than a fresh uuid. Readers of
     * `path` see one extra `batch_id` partition column; partition pruning on
     * it gives per-epoch replay/audit for free.
+    *
+    * The rowid is a unique key, matching the reference's per-record UUID row
+    * keys (HBaseTransLink.java:64): row content is serialized as JSON with
+    * nulls kept (a bare `concat_ws` silently skips null columns, so rows
+    * differing only in WHICH column is null would collide), and identical
+    * duplicate rows within a batch are disambiguated by a per-content-hash
+    * row_number. That window partitions on the content hash itself — at
+    * 100 TB each hash group is a handful of duplicate rows, so no partition
+    * hotspots — and which physical copy of an identical row receives index
+    * 1 vs 2 is immaterial: the emitted rowid SET is deterministic.
     */
   def appendMasterBatch(df: DataFrame, path: String, batchId: Long): Unit = {
     val dataCols = df.columns.map(col)
-    df.withColumn("rowid",
-        md5(concat_ws("|", lit(batchId) +: dataCols: _*)))
+    val content = md5(concat_ws("|", lit(batchId),
+      to_json(struct(dataCols: _*), Map("ignoreNullFields" -> "false"))))
+    val dupIdx = row_number().over(
+      Window.partitionBy(col("__content")).orderBy(lit(1)))
+    df.withColumn("__content", content)
+      .withColumn("rowid", md5(concat_ws("#", col("__content"), dupIdx.cast("string"))))
+      .drop("__content")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/batch_id=$batchId")
   }
 }

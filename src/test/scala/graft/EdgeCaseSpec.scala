@@ -54,6 +54,49 @@ class EdgeCaseSpec extends SparkSuite {
     assert(got == Set((1L, 1L, 1L), (2L, 2L, 1L)))
   }
 
+  test("clusterPairs: edge endpoints outside the node frame are dropped") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    // 99 is not a node: the (2,99) edge must not surface 99 in the output
+    // nor connect anything through it
+    val pairs = Seq((1L, 2L), (2L, 99L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(ids, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
+
+  test("signLshTopK: non-64-dim vectors take lshBucket's null-dot bucket (0)") {
+    val s = spark
+    import s.implicits._
+    val short = vecs((1L, Array(0.5f, -0.2f, 0.9f), 0L), (2L, Array(0.4f, -0.1f, 0.8f), 0L))
+    // the public column helper: zip_with pads the 3-dim vector with nulls,
+    // the dot is null, no sign bit fires → bucket 0
+    val q = expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+    assert(short.select(Similarity.lshBucket(q).as("b")).collect().forall(_.getLong(0) == 0L))
+    // the primitive kernel must agree: both land in bucket 0 together and
+    // find each other as rank-1 neighbors
+    val got = Similarity.signLshTopK(short, "vec_id", "embedding", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (2L, 1L, 1)))
+  }
+
+  test("signature function builders validate arity and coerce element types") {
+    val s = spark
+    graft.functions.MinHashSig.register(s)
+    graft.functions.SimHash16.register(s)
+    // non-array input and wrong arity fail at analysis, not mid-execution
+    intercept[Exception](s.sql("SELECT minhash_sig(5)").collect())
+    intercept[Exception](s.sql("SELECT simhash16(named_struct('a', 1))").collect())
+    intercept[Exception](s.sql("SELECT minhash_sig(array('a'), array('b'))").collect())
+    intercept[Exception](s.sql("SELECT simhash16()").collect())
+    // numeric arrays coerce elementwise to string
+    val a = s.sql("SELECT simhash16(array(1, 2)) AS h, minhash_sig(array(1, 2)) AS m").collect().head
+    val b = s.sql("SELECT simhash16(array('1', '2')) AS h, minhash_sig(array('1', '2')) AS m").collect().head
+    assert(a.getLong(0) == b.getLong(0))
+    assert(a.getSeq[String](1) == b.getSeq[String](1))
+  }
+
   test("property: bitset Jaccard kernel matches a naive set-based reference") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val word = Gen.oneOf((1 to 12).map(i => s"w$i"))

@@ -48,6 +48,16 @@ class GeoExprSpec extends SparkSuite {
       val got = df.collect()
       assert(got(0).getDouble(0) == 0.0)
       assert(got(1).isNullAt(0)) // null coordinate still propagates
+      // NaN coordinate still propagates as NaN (the unfolded expression's
+      // == same-point guard never fires on NaN, so trig returns NaN)
+      val nan = Seq((Double.NaN, 2.5)).toDF("la", "lo")
+        .selectExpr("great_circle_km(la, lo, la, lo) AS d")
+      assert(!nan.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[GreatCircleDistance])))
+      assert(nan.collect().head.getDouble(0).isNaN)
+      val unfoldedNan = Seq((Double.NaN, 2.5)).toDF("la", "lo")
+        .select(GeoFunctions.greatCircleKm($"la", $"lo", $"la", $"lo").as("d"))
+      assert(unfoldedNan.collect().head.getDouble(0).isNaN)
       // distinct points stay unfolded (non-constant inputs, different exprs)
       val moving = s.range(3)
         .selectExpr("great_circle_km(CAST(id AS DOUBLE), 0.0D, CAST(id + 1 AS DOUBLE), 0.0D) AS d")

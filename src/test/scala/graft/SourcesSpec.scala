@@ -97,4 +97,25 @@ class SourcesSpec extends SparkSuite {
     assert(got.select("rowid").distinct().count() == 3)
     assert(got.select("batch_id").distinct().count() == 2)
   }
+
+  test("appendMasterBatch: rowid is unique across null-position twins and exact duplicates") {
+    val master = tmp() + "/master"
+    // rows differing only in WHICH column is null (a bare concat_ws would
+    // collapse them), plus two identical duplicate rows in the same batch
+    val batch = Seq(
+      (Option("a"), Option.empty[String]),
+      (Option.empty[String], Option("a")),
+      (Option("dup"), Option("dup")),
+      (Option("dup"), Option("dup")),
+    ).toDF("c1", "c2")
+    Sources.appendMasterBatch(batch, master, batchId = 0L)
+    val got = spark.read.parquet(master)
+    assert(got.count() == 4)
+    assert(got.select("rowid").distinct().count() == 4) // all four distinct
+    // and still deterministic: a replay produces the same rowid set
+    val first = got.select("rowid").as[String].collect().sorted.toSeq
+    Sources.appendMasterBatch(batch, master, batchId = 0L)
+    val replay = spark.read.parquet(master).select("rowid").as[String].collect().sorted.toSeq
+    assert(replay == first)
+  }
 }
