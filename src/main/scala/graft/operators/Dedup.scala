@@ -145,9 +145,16 @@ object Dedup {
     // per-band self-joins unioned, at half the join legs. distinct()
     // collapses pairs that collide in both bands.
     graft.functions.MinHashSig.register(s)
-    val banded = df.select(col(idCol).cast("long").as("__id"),
+    // Spread the raw rows BEFORE computing signatures: a projection pipelines
+    // into the scan stage, and a single-row-group file gives that stage one
+    // task — the md5-per-token signature work must run at cluster
+    // parallelism, so the (cheap) text rows are exchanged first.
+    val spread = df.select(col(idCol).cast("long").as("__id"),
         col(blockCol).cast("string").as("__blk"),
-        expr(s"minhash_sig(array_distinct(split($textCol, ' ')))").as("sig"))
+        col(textCol).as("__txt"))
+      .repartition(kernelParallelism(df))
+    val banded = spread.select(col("__id"), col("__blk"),
+        expr("minhash_sig(array_distinct(split(__txt, ' ')))").as("sig"))
       .select(col("__id"), col("__blk"), posexplode(array(
         concat((0 until 4).map(i => col("sig").getItem(i)): _*),
         concat((4 until 8).map(i => col("sig").getItem(i)): _*),
@@ -159,8 +166,8 @@ object Dedup {
       .select(col("a.__blk").as("__blk"), col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .distinct()
       .as[(String, Long, Long)]
-    val docSets = df.select(col(blockCol).cast("string").as("__blk"), col(idCol).cast("long").as("__id"),
-        array_distinct(split(col(textCol), " ")).as("ws"))
+    val docSets = spread.select(col("__blk"), col("__id"),
+        array_distinct(split(col("__txt"), " ")).as("ws"))
       .as[(String, Long, Seq[String])]
     cands.groupByKey(_._1)
       .cogroup(docSets.groupByKey(_._1)) { (_, candIt, setIt) =>
@@ -190,12 +197,18 @@ object Dedup {
     // aggregation shuffle (the oracle keeps the equivalent declarative
     // string form; signatures are bit-identical, see EdgeCaseSpec property).
     graft.functions.SimHash16.register(df.sparkSession)
+    // Spread the raw rows BEFORE the signature projection (see
+    // [[minHashPairs]]: the projection otherwise pipelines into the
+    // single-task scan stage), which also spreads the O(pairs) row
+    // generation above the join; the build side broadcasts, so no
+    // co-partitioning is lost.
     val sigs = df.select(col(idCol).cast("long").as("__id"),
-      col(blockCol).cast("string").as("__blk"),
-      expr(s"simhash16(array_distinct(split($textCol, ' ')))").as("simhash"))
-    // Probe side spread across the cluster before the O(pairs) row
-    // generation; the build side broadcasts, so no co-partitioning is lost.
-    sigs.repartition(kernelParallelism(df)).as("a").join(sigs.as("b"),
+        col(blockCol).cast("string").as("__blk"),
+        col(textCol).as("__txt"))
+      .repartition(kernelParallelism(df))
+      .select(col("__id"), col("__blk"),
+        expr("simhash16(array_distinct(split(__txt, ' ')))").as("simhash"))
+    sigs.as("a").join(sigs.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
       .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .filter(col("hamming") <= maxHamming)
