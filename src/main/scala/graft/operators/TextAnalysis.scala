@@ -188,12 +188,14 @@ object TextAnalysis {
         val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
         // df(w) = #docs containing w = #tf rows with that w: derived from
         // the already-aggregated tf relation (no second explode over the
-        // corpus, and the exchange under tf is reused for both sides), then
-        // broadcast — vocabulary-sized — so tf is never reshuffled on w.
+        // corpus, and the exchange under tf is reused for both sides). No
+        // explicit broadcast hint: vocabulary is unbounded in the corpus, so
+        // a forced broadcast could exceed the driver/broadcast limit at
+        // scale — AQE picks broadcast at runtime whenever df_ is small.
         val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val win = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
-        tf.join(broadcast(df_), "w")
+        tf.join(df_, "w")
           .crossJoin(broadcast(n))
           .withColumn("score",
             (col("tf") * col("n_docs")).cast("double") / col("df"))

@@ -201,13 +201,17 @@ object Sources {
     */
   def appendMasterBatch(df: DataFrame, path: String, batchId: Long): Unit = {
     val dataCols = df.columns.map(col)
+    // collision-proof temp name: a fixed "__content" would silently overwrite
+    // (then drop) an input column of that name, corrupting the written batch
+    val tmp = Iterator.from(0).map(i => s"__graft_content_$i")
+      .find(n => !df.columns.contains(n)).get
     val content = md5(concat_ws("|", lit(batchId),
       to_json(struct(dataCols: _*), Map("ignoreNullFields" -> "false"))))
     val dupIdx = row_number().over(
-      Window.partitionBy(col("__content")).orderBy(lit(1)))
-    df.withColumn("__content", content)
-      .withColumn("rowid", md5(concat_ws("#", col("__content"), dupIdx.cast("string"))))
-      .drop("__content")
+      Window.partitionBy(col(tmp)).orderBy(lit(1)))
+    df.withColumn(tmp, content)
+      .withColumn("rowid", md5(concat_ws("#", col(tmp), dupIdx.cast("string"))))
+      .drop(tmp)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/batch_id=$batchId")
   }
 }
