@@ -59,7 +59,7 @@ object Relational {
     graft.functions.GeoFunctions.greatCircleKm(lat1, lon1, lat2, lon2)
 
   /** SQL rendering of [[greatCircleKm]] for the DuckDB oracle. */
-  private def greatCircleSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+  private[operators] def greatCircleSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
     s"""CASE WHEN $lat1 = $lat2 AND $lon1 = $lon2 THEN 0.0
        | ELSE acos(least(1.0, greatest(-1.0,
        |   sin(radians($lat1)) * sin(radians($lat2)) +
@@ -109,7 +109,7 @@ object Relational {
   /** Public accessor for the UCL stage (used by Stateful's snapshot seed). */
   def uclPerUserPublic(e: DataFrame): DataFrame = uclPerUser(e)
 
-  private val uclSql =
+  private[operators] val uclSql =
     """SELECT user_id,
       |  floor((s / n_used + 3 * sqrt(greatest(0.0, s2 / n_used - (s / n_used) * (s / n_used)))) * 1e4 + 0.5) / 1e4 AS ucl,
       |  n_used

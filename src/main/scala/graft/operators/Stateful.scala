@@ -10,11 +10,87 @@ import org.apache.spark.sql.types.IntegerType
   * driver's query surface by replaying `events` as a transaction stream in
   * batch mode (flatMapGroupsWithState has identical semantics on a batch
   * Dataset). The per-card fold is order-dependent (only GENUINE advances the
-  * location/time state), which plain SQL cannot express — no oracle; the
-  * driver records the rows-only check and StreamingSpec pins the semantics
-  * against hand-computed scenarios.
+  * location/time state); plain SQL cannot express it, but a RECURSIVE CTE
+  * can — [[statefulOracleSql]] steps the (postcode, lastTs) state one rank
+  * at a time per card, exactly mirroring `FraudStream.processCard`, so the
+  * driver's DuckDB gate hash-checks the fold instead of recording rows-only.
+  * StreamingSpec additionally pins the semantics on hand-computed scenarios.
   */
 object Stateful {
+
+  /** Sequential-replay oracle for [[queries q_stateful_classify]].
+    *
+    * Faithfulness notes vs the Scala fold:
+    *  - ts_s = floor(epoch(ts)): `date_format(ts, streamTsFormat)` truncates
+    *    to seconds and `parseMillis` reparses in UTC, so the parsed millis
+    *    are exactly ts_s * 1000 (session timezone is UTC, all fixture years
+    *    parse on the fast path); Δt(sec) = ts_s - st_ts.
+    *  - per-card order = (ts_s, pos_id), the fold's (parsed millis, pos_id);
+    *  - score = CAST(trunc(c_acctbal) AS INT): DuckDB's double→int cast
+    *    rounds where Spark truncates;
+    *  - the speed disjunct is COALESCE(speed > thr, FALSE): an abstaining
+    *    rule must not leave `fires` NULL, or the state-advance CASE would
+    *    keep the old state where the fold advances on GENUINE;
+    *  - only GENUINE rows advance (st_pc, st_ts) — FRAUD keeps the previous
+    *    state, the anchor row starts from the all-null seed (the lookup
+    *    snapshot's stream half is null: postcode/transaction_dt seed as None).
+    */
+  private val statefulOracleSql: String = {
+    val gc = Relational.greatCircleSql("r_plat", "r_plon", "b_lat", "b_lon")
+    s"""WITH RECURSIVE
+       |uclt AS (${Relational.uclSql}),
+       |base AS (
+       |  SELECT t.card_id, t.pos_id, t.amount, t.pc, t.ts_s, u.ucl,
+       |    CAST(trunc(c.c_acctbal) AS INTEGER) AS score,
+       |    row_number() OVER (PARTITION BY t.card_id ORDER BY t.ts_s, t.pos_id) AS rn
+       |  FROM (
+       |    SELECT user_id AS card_id, event_id AS pos_id, value AS amount,
+       |      CAST(json_extract_string(props, '$$.k') AS INTEGER) AS pc,
+       |      CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+       |    FROM events
+       |  ) t
+       |  LEFT JOIN uclt u ON u.user_id = t.card_id
+       |  LEFT JOIN customer c ON c.c_custkey = t.card_id
+       |),
+       |lab AS (
+       |  SELECT card_id, rn, pos_id, amount, pc, ts_s, ucl, score,
+       |    CASE WHEN (score IS NOT NULL AND score < 200) OR (ucl IS NOT NULL AND amount > ucl)
+       |         THEN 'FRAUD' ELSE 'GENUINE' END AS status,
+       |    CASE WHEN (score IS NOT NULL AND score < 200) OR (ucl IS NOT NULL AND amount > ucl)
+       |         THEN NULL ELSE pc END AS st_pc,
+       |    CASE WHEN (score IS NOT NULL AND score < 200) OR (ucl IS NOT NULL AND amount > ucl)
+       |         THEN NULL ELSE ts_s END AS st_ts
+       |  FROM base WHERE rn = 1
+       |  UNION ALL
+       |  SELECT card_id, rn, pos_id, amount, pc, ts_s, ucl, score,
+       |    CASE WHEN fires THEN 'FRAUD' ELSE 'GENUINE' END AS status,
+       |    CASE WHEN fires THEN st_pc ELSE pc END AS st_pc,
+       |    CASE WHEN fires THEN st_ts ELSE ts_s END AS st_ts
+       |  FROM (
+       |    SELECT b.card_id, b.rn, b.pos_id, b.amount, b.pc, b.ts_s, b.ucl, b.score,
+       |      r.st_pc, r.st_ts,
+       |      ((b.score IS NOT NULL AND b.score < 200) OR
+       |       (b.ucl IS NOT NULL AND b.amount > b.ucl) OR
+       |       COALESCE(
+       |         (CASE WHEN r.st_pc IS NOT NULL AND r.st_ts IS NOT NULL AND b.ts_s > r.st_ts
+       |               THEN ($gc) / CAST(b.ts_s - r.st_ts AS DOUBLE)
+       |               ELSE NULL END) > 0.25, FALSE)) AS fires
+       |    FROM (
+       |      SELECT r0.*,
+       |        (CAST(r0.st_pc * 37 % 140 - 70 AS DOUBLE) + 0.5) AS r_plat,
+       |        (CAST(r0.st_pc * 73 % 340 - 170 AS DOUBLE) + 0.25) AS r_plon
+       |      FROM lab r0
+       |    ) r
+       |    JOIN (
+       |      SELECT b0.*,
+       |        (CAST(b0.pc * 37 % 140 - 70 AS DOUBLE) + 0.5) AS b_lat,
+       |        (CAST(b0.pc * 73 % 340 - 170 AS DOUBLE) + 0.25) AS b_lon
+       |      FROM base b0
+       |    ) b ON b.card_id = r.card_id AND b.rn = r.rn + 1
+       |  )
+       |)
+       |SELECT card_id, pos_id, amount, status FROM lab ORDER BY pos_id""".stripMargin
+  }
 
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -59,7 +135,7 @@ object Stateful {
           .select("card_id", "pos_id", "amount", "status")
           .orderBy("pos_id")
       },
-      oracle = None,
+      oracle = Some(statefulOracleSql),
     ),
   )
 }
