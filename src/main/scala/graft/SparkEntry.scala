@@ -10,7 +10,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Stateful.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.TextAnalysis.queries ++ operators.Windows.queries ++
-      operators.Analytics.queries ++ operators.Extended.queries
+      operators.Analytics.queries ++ operators.Extended.queries ++
+      operators.Ml.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

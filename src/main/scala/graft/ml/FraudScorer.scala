@@ -4,7 +4,7 @@ import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.DecisionTreeClassifier
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MLlib layer on top of the rule engine (the north-star "DataFrame ops +
@@ -56,4 +56,28 @@ object FraudScorer {
     new BinaryClassificationEvaluator()
       .setLabelCol("is_fraud").setRawPredictionCol("rawPrediction")
       .evaluate(scored)
+
+  /** Fixed weights of the deterministic logistic scorer (bias, score,
+    * amount/UCL ratio, speed) — the "trained model frozen into the engine"
+    * deployment shape: scoring is a pure codegen'd column expression, no
+    * model object, no per-record JVM↔MLlib boundary.
+    */
+  final val W0 = -2.0
+  final val W1 = -0.004
+  final val W2 = 1.5
+  final val W3 = 4.0
+
+  /** Raw logistic margin, quantized at 1e-6 so the cross-engine oracle
+    * compares exp() on bit-identical arguments (speed features carry the
+    * usual 1-ulp libm skew). Evaluation order is fixed left-to-right and
+    * mirrored verbatim in the SQL oracle.
+    */
+  def logisticMargin(scoreF: Column, amountOverUcl: Column, speedF: Column): Column = {
+    val m = lit(W0) + lit(W1) * scoreF + lit(W2) * amountOverUcl + lit(W3) * speedF
+    floor(m * lit(1e6) + lit(0.5)) / lit(1e6)
+  }
+
+  /** P(fraud) = sigmoid(margin), rounded half-up at 4 decimals. */
+  def logisticProb(margin: Column): Column =
+    floor(lit(1.0) / (lit(1.0) + exp(-margin)) * lit(1e4) + lit(0.5)) / lit(1e4)
 }

@@ -79,7 +79,7 @@ object Relational {
       .withColumn("lon", (k * 73 % 340 - 170).cast(DoubleType) + lit(0.25))
   }
 
-  private val coordsSql =
+  private[operators] val coordsSql =
     """SELECT *,
       |  CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) * 37 % 140 - 70 AS DOUBLE) + 0.5 AS lat,
       |  CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) * 73 % 340 - 170 AS DOUBLE) + 0.25 AS lon

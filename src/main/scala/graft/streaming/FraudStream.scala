@@ -246,6 +246,25 @@ object FraudStream {
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
       .load()
+    runFrom(raw, lookupSnapshot, zipBc, masterPath, checkpoint, cfg, stateApi)
+  }
+
+  /** Source-agnostic deploy wiring: everything [[run]] does after the Kafka
+    * source — decode, stateful classify, foreachBatch master-append. Split
+    * out so the e2e path (the writer the production job starts) is testable
+    * behind any streaming source carrying a `value` column; FileStreamSpec
+    * drives it with a file source since the sandbox has no broker.
+    */
+  def runFrom(
+      raw: DataFrame,
+      lookupSnapshot: Dataset[CardLookup],
+      zipBc: Broadcast[Map[String, (Double, Double)]],
+      masterPath: String,
+      checkpoint: String,
+      cfg: FraudConfig = FraudConfig(),
+      stateApi: String = "fmgws",
+  ): DataStreamWriter[LabeledTransaction] = {
+    val spark = raw.sparkSession
     val labeled = stateApi match {
       case "tws" =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",

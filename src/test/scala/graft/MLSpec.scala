@@ -23,6 +23,28 @@ class MLSpec extends SparkSuite {
     assert(features.select("is_fraud").distinct().count() == 2)
   }
 
+  test("logistic scorer: probabilities in (0,1), label = margin sign, monotone in speed") {
+    val s = spark
+    import s.implicits._
+    val scored = operators.Ml.queries.head.fn(spark, sf("sf0.001"))
+    val rows = scored.select("ml_score", "ml_label").as[(Double, String)].collect()
+    assert(rows.nonEmpty)
+    // closed interval: 4-decimal rounding collapses extreme margins to 0/1
+    assert(rows.forall { case (p, _) => p >= 0.0 && p <= 1.0 })
+    // label is the margin's sign ⇔ p vs 0.5 (p = 0.5 exactly ⇒ margin ≤ 0)
+    assert(rows.forall { case (p, l) =>
+      if (p > 0.5) l == "FRAUD" else if (p < 0.5) l == "GENUINE" else true
+    })
+    // the speed weight is positive: scoring a synthetic frame with higher
+    // speed must not lower the probability
+    val m1 = ml.FraudScorer.logisticMargin(lit(1000.0), lit(1.0), lit(0.1))
+    val m2 = ml.FraudScorer.logisticMargin(lit(1000.0), lit(1.0), lit(5.0))
+    val (p1, p2) = spark.range(1)
+      .select(ml.FraudScorer.logisticProb(m1), ml.FraudScorer.logisticProb(m2))
+      .as[(Double, Double)].head()
+    assert(p2 > p1)
+  }
+
   test("model persistence: saved pipeline reloads with identical predictions") {
     val features = FraudScorer.featurize(Relational.fraudEnriched(spark, sf("sf0.001")))
     val model = FraudScorer.train(features)
