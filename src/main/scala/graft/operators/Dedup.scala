@@ -48,8 +48,8 @@ object Dedup {
     */
   private[graft] val MaxTileRows = 1024L
 
-  private def tilesFor(blockSize: Long): Int =
-    math.max(1L, math.min(4096L, (blockSize + MaxTileRows - 1) / MaxTileRows)).toInt
+  private def tilesFor(blockSize: Long, maxTile: Long): Int =
+    math.max(1L, math.min(4096L, (blockSize + maxTile - 1) / maxTile)).toInt
 
   /** Pairwise Jaccard kernel over one co-located group: intern tokens into a
     * dense integer id space, pack each doc's set into Long bitmap words, and
@@ -137,7 +137,8 @@ object Dedup {
     * task materializes more than 2·MaxTileRows docs. Input columns:
     * (__blk string, __id long, gs array<string>).
     */
-  private def blockedAllPairs(docs: DataFrame, containment: Boolean): DataFrame = {
+  private def blockedAllPairs(docs: DataFrame, containment: Boolean,
+      maxTile: Long = MaxTileRows): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val sizes = docs.groupBy("__blk").agg(count(lit(1)).as("__n"))
@@ -145,7 +146,7 @@ object Dedup {
       .select("__blk", "__id", "gs", "__n")
       .as[(String, Long, Seq[String], Long)]
     val replicated = sized.flatMap { case (blk, id, gs, n) =>
-      val t = tilesFor(n)
+      val t = tilesFor(n, maxTile)
       val my = java.lang.Math.floorMod(id, t.toLong).toInt
       Iterator.range(0, t).map { other =>
         (blk, math.min(my, other), math.max(my, other), t, id, gs)
@@ -286,7 +287,8 @@ object Dedup {
     * |docs|·|grams| rows and re-aggregates — strictly worse).
     * Output: (doc_a, doc_b, jaccard).
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String): DataFrame = {
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      maxTileRows: Long = MaxTileRows): DataFrame = {
     val grams = df
       .withColumn("ws", split(col(textCol), " "))
       .select(col(blockCol).cast("string").as("__blk"), col(idCol).cast("long").as("__id"),
@@ -297,7 +299,7 @@ object Dedup {
         array_distinct(expr(
           "filter(zip_with(ws, slice(ws, 2, size(ws)), (a, b) -> concat(a, ' ', b)), g -> g IS NOT NULL)"
         )).as("gs"))
-    blockedAllPairs(grams, containment = false)
+    blockedAllPairs(grams, containment = false, maxTileRows)
       .withColumnRenamed("score", "jaccard")
   }
 
@@ -307,11 +309,12 @@ object Dedup {
     * block scaffold as [[ngramJaccardPairs]] ([[blockedAllPairs]]).
     * Output: (doc_a, doc_b, containment).
     */
-  def containmentPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String): DataFrame = {
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      maxTileRows: Long = MaxTileRows): DataFrame = {
     val sets = df.select(col(blockCol).cast("string").as("__blk"),
       col(idCol).cast("long").as("__id"),
       array_distinct(split(col(textCol), " ")).as("gs"))
-    blockedAllPairs(sets, containment = true)
+    blockedAllPairs(sets, containment = true, maxTileRows)
       .withColumnRenamed("score", "containment")
   }
 

@@ -36,8 +36,8 @@ object Similarity {
     */
   private[graft] val MaxTileRows = 2048L
 
-  private def tilesFor(bucketSize: Long): Int =
-    math.max(1L, math.min(4096L, (bucketSize + MaxTileRows - 1) / MaxTileRows)).toInt
+  private def tilesFor(bucketSize: Long, maxTile: Long): Int =
+    math.max(1L, math.min(4096L, (bucketSize + maxTile - 1) / maxTile)).toInt
 
   /** transform(vec, x -> round-half-up(x*1000) as bigint) */
   private def quantized(vecCol: String): Column =
@@ -73,6 +73,7 @@ object Similarity {
   private def tiledPairScan(
       prepared: DataFrame,
       kernel: (Long, Long, Array[Long], Array[(Long, Long, Array[Long])]) => Iterator[(Long, Long, Double)],
+      maxTile: Long = MaxTileRows,
   ): DataFrame = {
     val s = prepared.sparkSession
     import s.implicits._
@@ -81,12 +82,12 @@ object Similarity {
       .select(col("__bucket"), col("__id"), col("nrm"), col("q"), col("__n"))
       .as[(Long, Long, Long, Array[Long], Long)]
     val qSide = sized.flatMap { case (b, id, nrm, q, n) =>
-      val t = tilesFor(n)
+      val t = tilesFor(n, maxTile)
       val qt = java.lang.Math.floorMod(id, t.toLong).toInt
       Iterator.range(0, t).map(ct => (b, qt, ct, id, nrm, q))
     }
     val cSide = sized.flatMap { case (b, id, nrm, q, n) =>
-      val t = tilesFor(n)
+      val t = tilesFor(n, maxTile)
       val ct = java.lang.Math.floorMod(id, t.toLong).toInt
       Iterator.range(0, t).map(qt => (b, qt, ct, id, nrm, q))
     }
@@ -156,9 +157,10 @@ object Similarity {
     * bucket of the tiled scaffold — fully distributed, no driver collect,
     * O(n²/T²) work per task. Output: (query_id, neighbor_id, rank, cos).
     */
-  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxTileRows: Long = MaxTileRows): DataFrame = {
     val p = prepare(df, idCol, vecCol)
-    mergeTopK(tiledPairScan(p, topKScan(_, _, _, _, k)), k)
+    mergeTopK(tiledPairScan(p, topKScan(_, _, _, _, k), maxTileRows), k)
   }
 
   /** IVF-style top-k within precomputed coarse buckets: one bucket per
@@ -235,7 +237,7 @@ object Similarity {
     * (tile(a), tile(b)). Output: (vec_a, vec_b, cos).
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxTileRows: Long = MaxTileRows): DataFrame = {
     val p = prepare(df, idCol, vecCol)
     val pairs = tiledPairScan(p, (qid, qn, qv, corpus) => {
       corpus.iterator
@@ -248,7 +250,7 @@ object Similarity {
           if (cos >= threshold) Some((qid, nid, math.floor(cos * 1e6 + 0.5) / 1e6))
           else None
         }
-    })
+    }, maxTileRows)
     pairs.select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")
   }

@@ -10,8 +10,10 @@ class RelationalSpec extends SparkSuite {
   test("every query runs and returns rows; oracle coverage complete") {
     val names = SparkEntry.all.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
-    // only the inherently sequential stateful fold lacks an oracle
-    assert(SparkEntry.all.filter(_.oracle.isEmpty).map(_.name) == Seq("q_stateful_classify"))
+    // full oracle coverage: even the sequential stateful fold is
+    // hash-checked (recursive-CTE replay, Stateful.statefulOracleSql)
+    assert(SparkEntry.all.forall(_.oracle.nonEmpty),
+      s"oracle-less: ${SparkEntry.all.filter(_.oracle.isEmpty).map(_.name)}")
     SparkEntry.all.foreach { q =>
       val n = q.fn(spark, dir).count()
       assert(n > 0, s"${q.name} returned no rows")

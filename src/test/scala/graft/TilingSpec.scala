@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+/** The sub-tiling scaffolds must be pure execution-shape changes: forcing
+  * pathologically small tiles (every block/bucket split into many cells)
+  * must produce byte-identical results to a single-tile run. This is the
+  * invariant that lets MaxTileRows bound task heap at 100 TB without
+  * touching semantics.
+  */
+class TilingSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+  private def docs = Tables(spark, dir, "documents")
+  private def embs = Tables(spark, dir, "embeddings")
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  test("ngram Jaccard pairs: 4-row tiles == single tile") {
+    val tiled = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", maxTileRows = 4L)
+    val whole = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", maxTileRows = Long.MaxValue / 2)
+    assert(canon(tiled) == canon(whole))
+    assert(tiled.count() > 0)
+  }
+
+  test("containment pairs: 4-row tiles == single tile") {
+    val tiled = Dedup.containmentPairs(docs, "doc_id", "text", "source", maxTileRows = 4L)
+    val whole = Dedup.containmentPairs(docs, "doc_id", "text", "source", maxTileRows = Long.MaxValue / 2)
+    assert(canon(tiled) == canon(whole))
+  }
+
+  test("brute-force top-k: 16-row tiles == single tile (ranks included)") {
+    val tiled = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 5, maxTileRows = 16L)
+    val whole = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 5, maxTileRows = Long.MaxValue / 2)
+    assert(canon(tiled) == canon(whole))
+    assert(tiled.count() > 0)
+  }
+
+  test("embedding near-dup pairs: 16-row tiles == single tile") {
+    val tiled = Similarity.nearDupPairs(embs, "vec_id", "embedding", 0.8, maxTileRows = 16L)
+    val whole = Similarity.nearDupPairs(embs, "vec_id", "embedding", 0.8, maxTileRows = Long.MaxValue / 2)
+    assert(canon(tiled) == canon(whole))
+  }
+}
