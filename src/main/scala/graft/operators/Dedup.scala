@@ -174,6 +174,39 @@ object Dedup {
   private val tokensSql =
     "SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents"
 
+  /** Shared WITH-prefix of the clustering oracles: SimHash signatures →
+    * intra-block hamming pairs → recursive min-label reachability →
+    * `labels(doc_id, canonical_id)`. Composes under further CTEs/selects.
+    */
+  private lazy val clusterLabelsSqlPrefix: String =
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, source, md5(w) AS h FROM ($tokensSql)),
+       |votes AS (
+       |  SELECT doc_id, source,
+       |${(0 until 16).map(j => s"    sum(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j").mkString(",\n")}
+       |  FROM t GROUP BY doc_id, source
+       |),
+       |sigs AS (
+       |  SELECT doc_id, source,
+       |    ${(0 until 16).map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
+       |  FROM votes
+       |),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+       |),
+       |labels AS (SELECT id AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY id)""".stripMargin
+
   /** Exact content dedup: hash-groupBy; canonical id = min id of the hash
     * group (one shuffle on the 32-char key, not the content body).
     * Output: (doc_id, canonical_id, is_dup).
@@ -388,6 +421,25 @@ object Dedup {
     labeled.withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("canonical_id")))
   }
 
+  /** The end-to-end dedup POLICY a training-data pipeline actually applies:
+    * cluster near-dups ([[nearDupClusters]]), then keep exactly one survivor
+    * per cluster — the highest-quality member (max `qualityCol`, ties to the
+    * lowest id; "longest document wins" when quality = length). Everything
+    * downstream filters on `keep`. One extra window pass over the cluster
+    * labels; no new shuffle shape beyond the clustering itself.
+    * Output: (doc_id, canonical_id, cluster_size, keep).
+    */
+  def dedupKeep(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      qualityCol: String, maxHamming: Int): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, textCol, blockCol, maxHamming)
+    val quality = df.select(col(idCol).cast("long").as("doc_id"),
+      col(qualityCol).cast("long").as("__q"))
+    val w = Window.partitionBy("canonical_id").orderBy(col("__q").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "canonical_id", "cluster_size", "keep")
+  }
+
   /** Connected components over an explicit near-dup pair set (doc_a, doc_b)
     * covering the node frame `ids` (one `doc_id` column). Public so any
     * pair generator (SimHash, MinHash, embedding threshold) can feed it.
@@ -530,36 +582,28 @@ object Dedup {
       "q_dedup_clusters",
       (s, dir) => nearDupClusters(Tables(s, dir, "documents"), "doc_id", "text", "source", 3)
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE
-              |t AS (SELECT doc_id, source, md5(w) AS h FROM ($tokensSql)),
-              |votes AS (
-              |  SELECT doc_id, source,
-              |${(0 until 16).map(j => s"    sum(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j").mkString(",\n")}
-              |  FROM t GROUP BY doc_id, source
-              |),
-              |sigs AS (
-              |  SELECT doc_id, source,
-              |    ${(0 until 16).map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS simhash
-              |  FROM votes
-              |),
-              |pairs AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
-              |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-              |),
-              |edges AS (
-              |  SELECT doc_a AS a, doc_b AS b FROM pairs
-              |  UNION SELECT doc_b, doc_a FROM pairs
-              |),
-              |reach(id, lab) AS (
-              |  SELECT doc_id, doc_id FROM documents
-              |  UNION
-              |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
-              |),
-              |labels AS (SELECT id AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY id)
+      Some(s"""$clusterLabelsSqlPrefix
               |SELECT doc_id, canonical_id,
               |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
               |FROM labels ORDER BY doc_id""".stripMargin),
+    ),
+
+    // The dedup policy end-to-end: cluster, then keep exactly one survivor
+    // per cluster (longest doc wins, ties to the lowest id).
+    GraftQuery(
+      "q_dedup_keep",
+      (s, dir) => dedupKeep(Tables(s, dir, "documents"), "doc_id", "text", "source", "n_chars", 3)
+        .orderBy("doc_id"),
+      Some(s"""$clusterLabelsSqlPrefix,
+              |sized AS (
+              |  SELECT l.doc_id, l.canonical_id, d.n_chars,
+              |    count(*) OVER (PARTITION BY l.canonical_id) AS cluster_size,
+              |    row_number() OVER (PARTITION BY l.canonical_id
+              |                       ORDER BY d.n_chars DESC, l.doc_id) AS rk
+              |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+              |)
+              |SELECT doc_id, canonical_id, cluster_size, rk = 1 AS keep
+              |FROM sized ORDER BY doc_id""".stripMargin),
     ),
 
     GraftQuery(

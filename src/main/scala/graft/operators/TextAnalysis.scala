@@ -274,5 +274,109 @@ object TextAnalysis {
              |  to_base64(encode(substr(text, 1, 8))) AS head_b64
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+
+    // Repetition signals (the Gopher/MassiveText quality rules): duplicate
+    // word / bigram fractions are map-side; the top-word fraction needs the
+    // per-(doc, word) counts — one explode + two partial-aggregated
+    // shuffles, the same shape as TF-IDF's tf stage.
+    GraftQuery(
+      "q_repetition",
+      (s, dir) => repetitionStats(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |),
+             |b2 AS (
+             |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS words,
+             |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bigrams
+             |  FROM base
+             |),
+             |tf AS (
+             |  SELECT doc_id, w, count(*) AS c
+             |  FROM base, unnest(ws) AS t(w) GROUP BY doc_id, w
+             |),
+             |top AS (SELECT doc_id, max(c) AS top_c FROM tf GROUP BY doc_id)
+             |SELECT b.doc_id, b.words,
+             |  floor((1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / words) * 1e6 + 0.5) / 1e6 AS dup_word_frac,
+             |  floor((CASE WHEN len(bigrams) > 0
+             |    THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+             |    ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS dup_bigram_frac,
+             |  floor((CAST(top_c AS DOUBLE) / words) * 1e6 + 0.5) / 1e6 AS top_word_frac
+             |FROM b2 b JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Token-budget shard packing, per source (the training-shard builder).
+    GraftQuery(
+      "q_shard_pack",
+      (s, dir) => shardPack(Tables(s, dir, "documents"), "doc_id", "text", "source", 2000L)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+             |  FROM documents
+             |),
+             |c AS (
+             |  SELECT *, CAST(coalesce(sum(tokens) OVER (
+             |    PARTITION BY source ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |  FROM t
+             |)
+             |SELECT doc_id, source, tokens,
+             |  cum_before // 2000 AS shard_id,
+             |  cum_before - (cum_before // 2000) * 2000 AS shard_offset
+             |FROM c ORDER BY doc_id""".stripMargin),
+    ),
   )
+
+  /** Per-document repetition fractions (Gopher-style filters): duplicate
+    * word fraction, duplicate bigram fraction, most-frequent-word fraction.
+    * Output: (doc_id, words, dup_word_frac, dup_bigram_frac, top_word_frac),
+    * fractions rounded half-up at 1e-6.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val r6 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+        split(col(textCol), " ").as("ws"))
+      .withColumn("words", size(col("ws")).cast(LongType))
+      // bigrams via the total zip_with form (sequence(1, size-1) reverses on
+      // single-word docs — same trap as Dedup.ngramJaccardPairs)
+      .withColumn("bigrams", expr(
+        "filter(zip_with(ws, slice(ws, 2, size(ws)), (a, b) -> concat(a, ' ', b)), g -> g IS NOT NULL)"))
+    val top = base.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"))
+    base.join(top, "doc_id")
+      .select(
+        col("doc_id"), col("words"),
+        r6(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("words"))
+          .as("dup_word_frac"),
+        r6(when(size(col("bigrams")) > 0,
+            lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") / size(col("bigrams")))
+          .otherwise(lit(0.0))).as("dup_bigram_frac"),
+        r6(col("top_c").cast("double") / col("words")).as("top_word_frac"),
+      )
+  }
+
+  /** Deterministic token-budget shard packing per `partCol` (build training
+    * shards of ~`budget` whitespace tokens each, in id order within each
+    * source/domain). The window is PARTITIONED — a global pack would funnel
+    * 100 TB through one task; per-source packing is both the realistic
+    * layout (shards don't mix domains) and the scalable one.
+    * Output: (doc_id, source, tokens, shard_id, shard_offset) — shard ids
+    * are per-source, offset = tokens already packed into the doc's shard.
+    */
+  def shardPack(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      partCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
+    df.select(col(idCol).cast(LongType).as("doc_id"), col(partCol).as("source"),
+        size(split(col(textCol), " ")).cast(LongType).as("tokens"))
+      .withColumn("cum_before", coalesce(sum("tokens").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .select(
+        col("doc_id"), col("source"), col("tokens"),
+        expr(s"cum_before div $budget").as("shard_id"),
+        (col("cum_before") - expr(s"cum_before div $budget") * lit(budget)).as("shard_offset"),
+      )
+  }
 }
