@@ -187,4 +187,60 @@ class EdgeCaseSpec extends SparkSuite {
     assert(Similarity.signLshTopK(one, "vec_id", "embedding", 3).count() == 0)
     assert(Similarity.nearDupPairs(one, "vec_id", "embedding", 0.5).count() == 0)
   }
+
+  test("dedupKeep: exactly one survivor per cluster, and it's the best-quality member") {
+    val s = spark
+    import s.implicits._
+    // a and b are near-dups (1-word delta); c is distinct; quality = n_chars
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "src", 49L),
+      (2L, "the quick brown fox jumps over the lazy dog tonight", "src", 51L),
+      (3L, "completely different text about unrelated matters entirely", "src", 59L),
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val kept = Dedup.dedupKeep(df, "doc_id", "text", "source", "n_chars", 3)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // one keep per canonical_id
+    val perCluster = kept.groupBy(_._2).map { case (_, g) => g.count(_._4) }
+    assert(perCluster.forall(_ == 1))
+    // every doc labeled, keeps cover all clusters
+    assert(kept.length == 3)
+    val clustered = kept.filter(_._3 > 1)
+    if (clustered.nonEmpty) {
+      // in the near-dup cluster the longer doc (id 2) survives
+      assert(kept.find(_._1 == 2L).exists(_._4))
+      assert(!kept.find(_._1 == 1L).exists(_._4))
+    }
+  }
+
+  test("repetitionStats: degenerate docs — single word, all-repeated, all-distinct") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "solo"),                    // 1 word: no bigrams → dup_bigram 0.0
+      (2L, "rep rep rep rep"),         // all same: dup_word 0.75, top 1.0
+      (3L, "all words here differ"),   // all distinct: dup fractions 0
+    ).toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 1L, 0.0, 0.0, 1.0)))
+    assert(m(2L) == ((2L, 4L, 0.75, 0.666667, 1.0))) // 2/3 rounded at 1e-6
+    assert(m(3L) == ((3L, 4L, 0.0, 0.0, 0.25)))
+  }
+
+  test("shardPack: offsets stay under budget and shards are contiguous per source") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e", "x"), (2L, "a b c", "x"), (3L, "a b c d", "x"),
+      (4L, "a", "y"), (5L, "a b", "y"),
+    ).toDF("doc_id", "text", "source")
+    val packed = graft.operators.TextAnalysis.shardPack(df, "doc_id", "text", "source", 6L)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    // budget 6, source x token runs: 5, 3, 4 → cum_before 0, 5, 8 → shards 0, 0, 1
+    assert(packed.filter(_._2 == "x").map(p => (p._4, p._5)).toSeq ==
+      Seq((0L, 0L), (0L, 5L), (1L, 2L)))
+    // source y independent: cum 0, 1 → both shard 0
+    assert(packed.filter(_._2 == "y").map(_._4).toSeq == Seq(0L, 0L))
+    assert(packed.forall(p => p._5 >= 0 && p._5 < 6))
+  }
 }
