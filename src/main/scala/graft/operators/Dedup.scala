@@ -67,6 +67,9 @@ object Dedup {
       // symmetric Jaccard is diluted by the size difference
       containment: Boolean = false,
       crossSplit: Option[Int] = None,
+      // explicit candidate pairs to evaluate (LSH verification); endpoints
+      // must all be members of `docs`
+      pairs: Option[Array[(Long, Long)]] = None,
   ): Iterator[(Long, Long, Double)] = {
     val n = docs.length
     val dict = new java.util.HashMap[String, Integer]()
@@ -111,19 +114,25 @@ object Dedup {
         Some((math.min(ida, idb), math.max(ida, idb), in.toDouble / denom))
       }
     }
-    crossSplit match {
-      case None =>
-        for {
-          a <- docs.indices.iterator
-          b <- Iterator.range(a + 1, n)
-          out <- emit(a, b).iterator
-        } yield out
-      case Some(nA) =>
-        for {
-          a <- Iterator.range(0, nA)
-          b <- Iterator.range(nA, n)
-          out <- emit(a, b).iterator
-        } yield out
+    pairs match {
+      case Some(ps) =>
+        val idx = new java.util.HashMap[Long, Integer]()
+        docs.indices.foreach(k => idx.put(docs(k)._1, k))
+        ps.iterator.flatMap { case (a, b) => emit(idx.get(a), idx.get(b)).iterator }
+      case None => crossSplit match {
+        case None =>
+          for {
+            a <- docs.indices.iterator
+            b <- Iterator.range(a + 1, n)
+            out <- emit(a, b).iterator
+          } yield out
+        case Some(nA) =>
+          for {
+            a <- Iterator.range(0, nA)
+            b <- Iterator.range(nA, n)
+            out <- emit(a, b).iterator
+          } yield out
+      }
     }
   }
 
@@ -169,6 +178,49 @@ object Dedup {
         }
       }
       .toDF("doc_a", "doc_b", "score")
+  }
+
+  /** Verify an explicit intra-block candidate pair set with the bitmap
+    * kernel in bounded tile cells: docs replicate to the T tile-pair cells
+    * touching their tile (as in [[blockedAllPairs]]); each candidate routes
+    * to exactly the ONE cell ({min,max} of its endpoints' tiles), so every
+    * pair is evaluated once, token sets ship T times per doc instead of
+    * once per candidate (LSH on dup-heavy corpora yields |candidates| ≫
+    * T·|docs|), and no task holds more than 2·maxTile docs. Inputs:
+    * docs (__blk, __id, gs), cands (__blk, doc_a, doc_b).
+    */
+  private def candidateKernel(docs: DataFrame, cands: DataFrame,
+      maxTile: Long = MaxTileRows): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sizes = docs.groupBy("__blk").agg(count(lit(1)).as("__n"))
+    val sized = docs.join(sizes, "__blk")
+      .select("__blk", "__id", "gs", "__n")
+      .as[(String, Long, Seq[String], Long)]
+    val docCells = sized.flatMap { case (blk, id, gs, n) =>
+      val t = tilesFor(n, maxTile)
+      val my = java.lang.Math.floorMod(id, t.toLong).toInt
+      Iterator.range(0, t).map(o => (blk, math.min(my, o), math.max(my, o), id, gs))
+    }
+    val candCells = cands.join(sizes, "__blk")
+      .select("__blk", "doc_a", "doc_b", "__n")
+      .as[(String, Long, Long, Long)]
+      .map { case (blk, a, b, n) =>
+        val t = tilesFor(n, maxTile)
+        val ta = java.lang.Math.floorMod(a, t.toLong).toInt
+        val tb = java.lang.Math.floorMod(b, t.toLong).toInt
+        (blk, math.min(ta, tb), math.max(ta, tb), a, b)
+      }
+    docCells.groupByKey(r => (r._1, r._2, r._3))
+      .cogroup(candCells.groupByKey(r => (r._1, r._2, r._3))) { (_, ds, cs) =>
+        val ps = cs.map { case (_, _, _, a, b) => (a, b) }.toArray
+        if (ps.isEmpty) Iterator.empty
+        else {
+          val members = ds.map { case (_, _, _, id, gs) => (id, gs) }.toArray.sortBy(_._1)
+          jaccardKernel(members, pairs = Some(ps))
+        }
+      }
+      .toDF("doc_a", "doc_b", "jaccard")
   }
 
   private val tokensSql =
@@ -223,9 +275,9 @@ object Dedup {
     * computed in one pass by the custom TypedImperativeAggregate
     * (graft.functions.MinHashSketch), 2 bands of 4 → candidates from an
     * equi-join on (block, band), exact Jaccard verified on candidates only
-    * by joining each candidate pair with its two token sets and intersecting
-    * per row — no per-block group materialization anywhere, so a skewed
-    * block cannot land one task's heap. Output: (doc_a, doc_b, jaccard),
+    * by the bitmap kernel in bounded tile cells ([[candidateKernel]]) — a
+    * skewed block fans out into ≤2·MaxTileRows-doc cells, and token sets
+    * ship per tile, not per candidate. Output: (doc_a, doc_b, jaccard),
     * unordered.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String): DataFrame = {
@@ -257,22 +309,13 @@ object Dedup {
       .join(banded.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .select(col("a.__blk").as("__blk"), col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .distinct()
-    // Exact Jaccard per candidate: two equi-joins ship each doc's token set
-    // to its pairs (candidate-bounded shuffle, no group kernel), then one
-    // codegen'd intersect per row. Zero-intersection candidates are dropped
-    // (same as the block kernel: not near-dups, and the 0/0 guard).
-    val docSets = spread.select(col("__id"),
-      array_distinct(split(col("__txt"), " ")).as("ws"))
-    cands
-      .join(docSets.select(col("__id").as("doc_a"), col("ws").as("__ws_a")), "doc_a")
-      .join(docSets.select(col("__id").as("doc_b"), col("ws").as("__ws_b")), "doc_b")
-      .withColumn("__inter", size(array_intersect(col("__ws_a"), col("__ws_b"))))
-      .filter(col("__inter") > 0)
-      .select(col("doc_a"), col("doc_b"),
-        (col("__inter").cast("double") /
-          (size(col("__ws_a")) + size(col("__ws_b")) - col("__inter"))).as("jaccard"))
+    // Zero-intersection candidates are dropped by the kernel (not
+    // near-dups, and the 0/0 guard).
+    val docSets = spread.select(col("__blk"), col("__id"),
+      array_distinct(split(col("__txt"), " ")).as("gs"))
+    candidateKernel(docSets, cands)
   }
 
   /** SimHash near-dup pairs: 16-bit signature from per-word md5 nibble
