@@ -9,13 +9,20 @@ import org.apache.spark.sql.functions._
   * measure how the bench grows with data volume (BENCH.md) — the driver's
   * fixtures stop at sf0.1.
   *
-  * Usage: runMain graft.MakeScaled <outDir> <factor> [srcDir]
+  * With the `corpus` flag, documents/embeddings scale too (per-copy
+  * perturbation — see below): the worst-case dup-mass probe, separate from
+  * the headline facts curve because every doc gaining k−1 near-twins makes
+  * pair-LISTING output quadratic in k by contract, swamping the engine
+  * signal (BENCH.md round-4 notes).
+  *
+  * Usage: runMain graft.MakeScaled <outDir> <factor> [srcDir] [corpus]
   */
 object MakeScaled {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val k = args(1).toInt
-    val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val src = if (args.length > 2 && args(2) != "corpus") args(2) else "/root/testdata/sf0.1"
+    val corpus = args.contains("corpus")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -38,7 +45,32 @@ object MakeScaled {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
     copies("orders", Seq("o_orderkey"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
-    Seq("region", "nation", "customer", "supplier", "part", "documents", "embeddings")
+    if (corpus) {
+      // per-copy PERTURBATION, not verbatim replication: k−1 exact twins of
+      // every doc is a degenerate corpus; a suffix token / dimension nudge
+      // keeps copies near-but-not-exact (still ~0.99 Jaccard — worst-case
+      // near-dup mass, but measurable).
+      val docs = Tables(spark, src, "documents")
+      (0 until k).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * shift))
+          .withColumn("text", concat(col("text"), lit(s" c$i")))
+          .withColumn("n_chars", col("n_chars") + lit(2 + i.toString.length))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+      val embs = Tables(spark, src, "embeddings")
+      (0 until k).map { i =>
+        embs.withColumn("vec_id", col("vec_id") + lit(i * shift))
+          .withColumn("embedding",
+            transform(col("embedding"), (x, idx) =>
+              when(idx === 0, x + lit(i.toFloat * 0.003f)).otherwise(x)))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    } else {
+      Seq("documents", "embeddings").foreach { t =>
+        Tables(spark, src, t).write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+      }
+    }
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         Tables(spark, src, t).write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
       }
