@@ -279,8 +279,19 @@ object Dedup {
     * skewed block fans out into ≤2·MaxTileRows-doc cells, and token sets
     * ship per tile, not per candidate. Output: (doc_a, doc_b, jaccard),
     * unordered.
+    *
+    * `maxBandBucket`: optional production cap — band buckets holding more
+    * than this many docs are dropped before the self-join (the standard
+    * LSH too-common-bucket guard). On a corpus where d docs share a
+    * signature band, that bucket alone contributes d(d−1)/2 candidates;
+    * pair listing is quadratic in dup-group size BY CONTRACT, so corpora
+    * with massive near-dup groups either pay that output or cap it here
+    * (documented recall loss: pairs whose every shared band is oversized
+    * are missed — use the clustering/keep policy surface instead when the
+    * goal is dedup rather than pair enumeration). Default None = exact.
     */
-  def minHashPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String): DataFrame = {
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      maxBandBucket: Option[Int] = None): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     // Signatures via the native map-side MinHashSig expression (no token
@@ -305,8 +316,15 @@ object Dedup {
         concat((0 until 4).map(i => col("sig").getItem(i)): _*),
         concat((4 until 8).map(i => col("sig").getItem(i)): _*),
       )).as(Seq("band_idx", "band_key")))
-    val cands = banded.as("a")
-      .join(banded.as("b"),
+    val pruned = maxBandBucket match {
+      case Some(cap) =>
+        val w = Window.partitionBy("__blk", "band_idx", "band_key")
+        banded.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => banded
+    }
+    val cands = pruned.as("a")
+      .join(pruned.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") && col("a.__id") < col("b.__id"))
       .select(col("a.__blk").as("__blk"), col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))

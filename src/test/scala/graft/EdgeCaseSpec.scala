@@ -188,6 +188,23 @@ class EdgeCaseSpec extends SparkSuite {
     assert(Similarity.nearDupPairs(one, "vec_id", "embedding", 0.5).count() == 0)
   }
 
+  test("minHashPairs maxBandBucket: oversized band buckets pruned, small ones intact") {
+    // 5 identical docs share every band -> bucket of 5; the distinct pair
+    // (10, 11) lives in buckets of <= 2
+    val df = docs(
+      (1L, "alpha beta gamma delta", "src"), (2L, "alpha beta gamma delta", "src"),
+      (3L, "alpha beta gamma delta", "src"), (4L, "alpha beta gamma delta", "src"),
+      (5L, "alpha beta gamma delta", "src"),
+      (10L, "unrelated words entirely different", "src"),
+      (11L, "unrelated words entirely different", "src"),
+    )
+    val exact = Dedup.minHashPairs(df, "doc_id", "text", "source")
+    assert(exact.count() == 11) // C(5,2) + 1
+    val capped = Dedup.minHashPairs(df, "doc_id", "text", "source", maxBandBucket = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)))
+  }
+
   test("dedupKeep: exactly one survivor per cluster, and it's the best-quality member") {
     val s = spark
     import s.implicits._
