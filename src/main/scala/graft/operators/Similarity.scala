@@ -74,19 +74,32 @@ object Similarity {
       prepared: DataFrame,
       kernel: (Long, Long, Array[Long], Array[(Long, Long, Array[Long])]) => Iterator[(Long, Long, Double)],
       maxTile: Long = MaxTileRows,
+  ): DataFrame = tiledPairScan2(prepared, prepared, kernel, maxTile)
+
+  /** Two-sided form: the query frame and the corpus frame may differ (e.g.
+    * multi-probe LSH replicates each query row to several buckets while the
+    * corpus keeps one bucket per row). Tile counts come from the CORPUS
+    * bucket sizes (the corpus is what a task materializes); query buckets
+    * with no corpus rows drop out in the inner size join.
+    */
+  private def tiledPairScan2(
+      qPrepared: DataFrame,
+      cPrepared: DataFrame,
+      kernel: (Long, Long, Array[Long], Array[(Long, Long, Array[Long])]) => Iterator[(Long, Long, Double)],
+      maxTile: Long = MaxTileRows,
   ): DataFrame = {
-    val s = prepared.sparkSession
+    val s = cPrepared.sparkSession
     import s.implicits._
-    val sizes = prepared.groupBy("__bucket").agg(count(lit(1)).as("__n"))
-    val sized = prepared.join(sizes, "__bucket")
+    val sizes = cPrepared.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+    def sized(df: DataFrame) = df.join(sizes, "__bucket")
       .select(col("__bucket"), col("__id"), col("nrm"), col("q"), col("__n"))
       .as[(Long, Long, Long, Array[Long], Long)]
-    val qSide = sized.flatMap { case (b, id, nrm, q, n) =>
+    val qSide = sized(qPrepared).flatMap { case (b, id, nrm, q, n) =>
       val t = tilesFor(n, maxTile)
       val qt = java.lang.Math.floorMod(id, t.toLong).toInt
       Iterator.range(0, t).map(ct => (b, qt, ct, id, nrm, q))
     }
-    val cSide = sized.flatMap { case (b, id, nrm, q, n) =>
+    val cSide = sized(cPrepared).flatMap { case (b, id, nrm, q, n) =>
       val t = tilesFor(n, maxTile)
       val ct = java.lang.Math.floorMod(id, t.toLong).toInt
       Iterator.range(0, t).map(qt => (b, qt, ct, id, nrm, q))
@@ -205,11 +218,19 @@ object Similarity {
     * shorter co-bucketed neighbor.
     */
   def signLshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val prepared = lshPrepared(df, idCol, vecCol)
+    mergeTopK(tiledPairScan(prepared, topKScan(_, _, _, _, k)), k)
+  }
+
+  /** Quantize + sign-LSH bucket via the primitive per-row pass (see
+    * [[signLshTopK]] notes): (__bucket, __id, nrm, q).
+    */
+  private def lshPrepared(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val planes: Array[Array[Long]] =
       Array.tabulate(NumPlanes, Dim)((p, d) => planeWeight(p, d).toLong)
-    val prepared = prepare(df, idCol, vecCol)
+    prepare(df, idCol, vecCol)
       .select("__id", "q", "nrm")
       .as[(Long, Array[Long], Long)]
       .map { case (id, q, nrm) =>
@@ -228,7 +249,29 @@ object Similarity {
         (bucket, id, nrm, q)
       }
       .toDF("__bucket", "__id", "nrm", "q")
-    mergeTopK(tiledPairScan(prepared, topKScan(_, _, _, _, k)), k)
+  }
+
+  /** Multi-probe sign-LSH top-k: each query searches its own bucket plus
+    * the [[NumPlanes]] one-bit-flip neighbors — the standard recall lever
+    * for sign-LSH (a vector near a hyperplane lands on either side with
+    * ~equal probability, so most misses are exactly one flipped bit away).
+    * Only the QUERY side replicates (NumPlanes+1 rows per vector); the
+    * corpus keeps one bucket per row, so corpus shuffle volume is unchanged
+    * and each (bucket, qTile, cTile) cell stays bounded. A neighbor can
+    * appear in at most one probed bucket (rows have one bucket), so no
+    * dedup is needed before the top-k merge.
+    */
+  def signLshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val prepared = lshPrepared(df, idCol, vecCol)
+    val qMulti = prepared.as[(Long, Long, Long, Array[Long])]
+      .flatMap { case (b, id, nrm, q) =>
+        Iterator.single((b, id, nrm, q)) ++
+          Iterator.range(0, NumPlanes).map(p => (b ^ (1L << p), id, nrm, q))
+      }
+      .toDF("__bucket", "__id", "nrm", "q")
+    mergeTopK(tiledPairScan2(qMulti, prepared, topKScan(_, _, _, _, k)), k)
   }
 
   /** Embedding-cosine near-dup pairs (unordered, each computed once):
@@ -314,6 +357,37 @@ object Similarity {
               |    list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
               |  FROM normed a JOIN normed b
               |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              |),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              |  FROM pairs
+              |)
+              |SELECT query_id, neighbor_id, rank, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+              |FROM ranked WHERE rank <= 3
+              |ORDER BY query_id, rank""".stripMargin),
+    ),
+
+    // Multi-probe LSH: same buckets, each query also probes the 8 one-bit
+    // neighbors. Candidate set in SQL: bucket xor-hamming <= 1 (0 = same
+    // bucket, a power of two = one flipped plane).
+    GraftQuery(
+      "q_similarity_multiprobe",
+      (s, dir) => signLshTopKMultiProbe(Tables(s, dir, "embeddings"), "vec_id", "embedding", 3),
+      Some(s"""WITH prep AS (
+              |  SELECT vec_id, $quantizedSql AS q FROM embeddings
+              |),
+              |normed AS (
+              |  SELECT vec_id, q, list_dot_product(q, q) AS nrm,
+              |${(0 until NumPlanes).map(pl => s"    (CASE WHEN list_dot_product(q, ${planeSqlList(pl)}) > 0 THEN ${1L << pl} ELSE 0 END)").mkString(" +\n")}
+              |    AS bucket
+              |  FROM prep
+              |),
+              |pairs AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |    list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+              |  FROM normed a JOIN normed b
+              |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id <> b.vec_id
               |),
               |ranked AS (
               |  SELECT query_id, neighbor_id, cos,

@@ -42,4 +42,17 @@ class TilingSpec extends SparkSuite {
     val whole = Similarity.nearDupPairs(embs, "vec_id", "embedding", 0.8, maxTileRows = Long.MaxValue / 2)
     assert(canon(tiled) == canon(whole))
   }
+
+  test("multi-probe LSH: recall vs exact top-1 is at least the single-bucket recall") {
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter("rank = 1").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = top1(Similarity.bruteForceTopK(embs, "vec_id", "embedding", 1))
+    val single = top1(Similarity.signLshTopK(embs, "vec_id", "embedding", 1))
+    val multi = top1(Similarity.signLshTopKMultiProbe(embs, "vec_id", "embedding", 1))
+    def recall(m: Map[Long, Long]) =
+      exact.count { case (q, n) => m.get(q).contains(n) }.toDouble / exact.size
+    assert(recall(multi) >= recall(single))
+    // probing one-flip neighbors must find at least as many queries' top-1
+    assert(multi.size >= single.size)
+  }
 }
