@@ -326,7 +326,65 @@ object TextAnalysis {
              |  cum_before - (cum_before // 2000) * 2000 AS shard_offset
              |FROM c ORDER BY doc_id""".stripMargin),
     ),
+
+    // Corpus balancing: per-source quality quota (top-k per domain).
+    GraftQuery(
+      "q_domain_quota",
+      (s, dir) => domainQuota(Tables(s, dir, "documents"), "doc_id", "source", "n_chars", 20)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, CAST(n_chars AS BIGINT) AS quality,
+             |  CAST(row_number() OVER (
+             |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS src_rank,
+             |  row_number() OVER (
+             |    PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 20 AS kept
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Privacy pass: email / long-digit-run redaction with match counts.
+    GraftQuery(
+      "q_scrub_pii",
+      (s, dir) => scrubPii(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+             |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
   )
+
+  /** Per-source quality quota: keep the top `quota` documents of each
+    * source by (quality desc, doc_id) — corpus balancing so no domain
+    * dominates the training mix. One partitioned window pass (same
+    * WindowGroupLimit-eligible shape as top-k-per-key).
+    * Output: (doc_id, source, quality, src_rank, kept).
+    */
+  def domainQuota(df: org.apache.spark.sql.DataFrame, idCol: String, partCol: String,
+      qualityCol: String, quota: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    df.select(col(idCol).cast(LongType).as("doc_id"), col(partCol).as("source"),
+        col(qualityCol).cast(LongType).as("quality"))
+      .withColumn("src_rank", row_number().over(w).cast(LongType))
+      .withColumn("kept", col("src_rank") <= quota)
+  }
+
+  /** PII scrubbing: redact email-shaped tokens and long digit runs (the
+    * pre-training privacy pass). Pure map-side regexp_replace — scan-speed,
+    * fully codegen'd. Output: (doc_id, scrubbed, n_emails, n_digit_runs).
+    */
+  def scrubPii(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val email = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+    val digits = "[0-9]{6,}"
+    df.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      regexp_replace(regexp_replace(col(textCol), email, "<EMAIL>"), digits, "<NUM>")
+        .as("scrubbed"),
+      size(regexp_extract_all(col(textCol), lit(email), lit(0))).cast(LongType).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(digits), lit(0))).cast(LongType).as("n_digit_runs"),
+    )
+  }
 
   /** Per-document repetition fractions (Gopher-style filters): duplicate
     * word fraction, duplicate bigram fraction, most-frequent-word fraction.
