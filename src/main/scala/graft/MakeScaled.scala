@@ -21,8 +21,11 @@ object MakeScaled {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val k = args(1).toInt
-    val src = if (args.length > 2 && args(2) != "corpus") args(2) else "/root/testdata/sf0.1"
-    val corpus = args.contains("corpus")
+    // only args AFTER <outDir> <factor> are mode flags — an output dir
+    // literally named "corpus" must not flip the mode
+    val rest = args.drop(2)
+    val corpus = rest.contains("corpus")
+    val src = rest.filterNot(_ == "corpus").headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

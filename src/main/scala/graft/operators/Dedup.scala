@@ -48,9 +48,6 @@ object Dedup {
     */
   private[graft] val MaxTileRows = 1024L
 
-  private def tilesFor(blockSize: Long, maxTile: Long): Int =
-    math.max(1L, math.min(4096L, (blockSize + maxTile - 1) / maxTile)).toInt
-
   /** Pairwise Jaccard kernel over one co-located group: intern tokens into a
     * dense integer id space, pack each doc's set into Long bitmap words, and
     * intersect with AND + popcount — ~8 word ops per pair instead of ~|set|
@@ -155,8 +152,8 @@ object Dedup {
       .select("__blk", "__id", "gs", "__n")
       .as[(String, Long, Seq[String], Long)]
     val replicated = sized.flatMap { case (blk, id, gs, n) =>
-      val t = tilesFor(n, maxTile)
-      val my = java.lang.Math.floorMod(id, t.toLong).toInt
+      val t = Tiling.tilesFor(n, maxTile)
+      val my = Tiling.tileOf(id, t)
       Iterator.range(0, t).map { other =>
         (blk, math.min(my, other), math.max(my, other), t, id, gs)
       }
@@ -173,7 +170,7 @@ object Dedup {
           val t = rows.head._4
           val (a, b) = rows.map { case (_, _, _, _, id, gs) => (id, gs) }
             .sortBy(_._1)
-            .partition { case (id, _) => java.lang.Math.floorMod(id, t.toLong).toInt == i }
+            .partition { case (id, _) => Tiling.tileOf(id, t) == i }
           jaccardKernel(a ++ b, containment, crossSplit = Some(a.length))
         }
       }
@@ -198,17 +195,17 @@ object Dedup {
       .select("__blk", "__id", "gs", "__n")
       .as[(String, Long, Seq[String], Long)]
     val docCells = sized.flatMap { case (blk, id, gs, n) =>
-      val t = tilesFor(n, maxTile)
-      val my = java.lang.Math.floorMod(id, t.toLong).toInt
+      val t = Tiling.tilesFor(n, maxTile)
+      val my = Tiling.tileOf(id, t)
       Iterator.range(0, t).map(o => (blk, math.min(my, o), math.max(my, o), id, gs))
     }
     val candCells = cands.join(sizes, "__blk")
       .select("__blk", "doc_a", "doc_b", "__n")
       .as[(String, Long, Long, Long)]
       .map { case (blk, a, b, n) =>
-        val t = tilesFor(n, maxTile)
-        val ta = java.lang.Math.floorMod(a, t.toLong).toInt
-        val tb = java.lang.Math.floorMod(b, t.toLong).toInt
+        val t = Tiling.tilesFor(n, maxTile)
+        val ta = Tiling.tileOf(a, t)
+        val tb = Tiling.tileOf(b, t)
         (blk, math.min(ta, tb), math.max(ta, tb), a, b)
       }
     docCells.groupByKey(r => (r._1, r._2, r._3))

@@ -36,9 +36,6 @@ object Similarity {
     */
   private[graft] val MaxTileRows = 2048L
 
-  private def tilesFor(bucketSize: Long, maxTile: Long): Int =
-    math.max(1L, math.min(4096L, (bucketSize + maxTile - 1) / maxTile)).toInt
-
   /** transform(vec, x -> round-half-up(x*1000) as bigint) */
   private def quantized(vecCol: String): Column =
     transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
@@ -90,18 +87,26 @@ object Similarity {
   ): DataFrame = {
     val s = cPrepared.sparkSession
     import s.implicits._
-    val sizes = cPrepared.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+    // The prepared frame feeds three subplans (size aggregate, query side,
+    // corpus side); without a persist the quantization — and for the LSH
+    // paths the 8×Dim primitive plane-dot map — would run 3×. Spill-safe
+    // level; blocks are LRU-evicted / freed with the session (the operator
+    // returns lazily, so an unpersist-after-use isn't expressible here).
+    val cP = cPrepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qP = if (qPrepared eq cPrepared) cP
+      else qPrepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cP.groupBy("__bucket").agg(count(lit(1)).as("__n"))
     def sized(df: DataFrame) = df.join(sizes, "__bucket")
       .select(col("__bucket"), col("__id"), col("nrm"), col("q"), col("__n"))
       .as[(Long, Long, Long, Array[Long], Long)]
-    val qSide = sized(qPrepared).flatMap { case (b, id, nrm, q, n) =>
-      val t = tilesFor(n, maxTile)
-      val qt = java.lang.Math.floorMod(id, t.toLong).toInt
+    val qSide = sized(qP).flatMap { case (b, id, nrm, q, n) =>
+      val t = Tiling.tilesFor(n, maxTile)
+      val qt = Tiling.tileOf(id, t)
       Iterator.range(0, t).map(ct => (b, qt, ct, id, nrm, q))
     }
-    val cSide = sized(cPrepared).flatMap { case (b, id, nrm, q, n) =>
-      val t = tilesFor(n, maxTile)
-      val ct = java.lang.Math.floorMod(id, t.toLong).toInt
+    val cSide = sized(cP).flatMap { case (b, id, nrm, q, n) =>
+      val t = Tiling.tilesFor(n, maxTile)
+      val ct = Tiling.tileOf(id, t)
       Iterator.range(0, t).map(qt => (b, qt, ct, id, nrm, q))
     }
     qSide.groupByKey(r => (r._1, r._2, r._3))
@@ -180,9 +185,9 @@ object Similarity {
     * coarse-quantizer cell, tiled when a cell outgrows [[MaxTileRows]].
     */
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,
-      bucketCol: String, k: Int): DataFrame = {
+      bucketCol: String, k: Int, maxTileRows: Long = MaxTileRows): DataFrame = {
     val p = prepare(df, idCol, vecCol, Some(bucketCol))
-    mergeTopK(tiledPairScan(p, topKScan(_, _, _, _, k)), k)
+    mergeTopK(tiledPairScan(p, topKScan(_, _, _, _, k), maxTileRows), k)
   }
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: integer weights
@@ -217,9 +222,10 @@ object Similarity {
     * [[topKScan]]'s length guard keeps a 64-dim query from reading past a
     * shorter co-bucketed neighbor.
     */
-  def signLshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def signLshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxTileRows: Long = MaxTileRows): DataFrame = {
     val prepared = lshPrepared(df, idCol, vecCol)
-    mergeTopK(tiledPairScan(prepared, topKScan(_, _, _, _, k)), k)
+    mergeTopK(tiledPairScan(prepared, topKScan(_, _, _, _, k), maxTileRows), k)
   }
 
   /** Quantize + sign-LSH bucket via the primitive per-row pass (see
@@ -261,7 +267,8 @@ object Similarity {
     * appear in at most one probed bucket (rows have one bucket), so no
     * dedup is needed before the top-k merge.
     */
-  def signLshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def signLshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxTileRows: Long = MaxTileRows): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val prepared = lshPrepared(df, idCol, vecCol)
@@ -271,7 +278,7 @@ object Similarity {
           Iterator.range(0, NumPlanes).map(p => (b ^ (1L << p), id, nrm, q))
       }
       .toDF("__bucket", "__id", "nrm", "q")
-    mergeTopK(tiledPairScan2(qMulti, prepared, topKScan(_, _, _, _, k)), k)
+    mergeTopK(tiledPairScan2(qMulti, prepared, topKScan(_, _, _, _, k), maxTileRows), k)
   }
 
   /** Embedding-cosine near-dup pairs (unordered, each computed once):

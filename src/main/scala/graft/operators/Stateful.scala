@@ -31,6 +31,10 @@ object Stateful {
     *  - the speed disjunct is COALESCE(speed > thr, FALSE): an abstaining
     *    rule must not leave `fires` NULL, or the state-advance CASE would
     *    keep the old state where the fold advances on GENUINE;
+    *  - the zip grid covers postcodes 0–99 ONLY (the Spark side's zip map
+    *    domain): outside it `lookupZip` returns None and the speed rule
+    *    abstains, so the oracle guards both endpoints with BETWEEN 0 AND 99
+    *    instead of extrapolating the grid formula;
     *  - only GENUINE rows advance (st_pc, st_ts) — FRAUD keeps the previous
     *    state, the anchor row starts from the all-null seed (the lookup
     *    snapshot's stream half is null: postcode/transaction_dt seed as None).
@@ -73,6 +77,7 @@ object Stateful {
        |       (b.ucl IS NOT NULL AND b.amount > b.ucl) OR
        |       COALESCE(
        |         (CASE WHEN r.st_pc IS NOT NULL AND r.st_ts IS NOT NULL AND b.ts_s > r.st_ts
+       |                AND r.st_pc BETWEEN 0 AND 99 AND b.pc BETWEEN 0 AND 99
        |               THEN ($gc) / CAST(b.ts_s - r.st_ts AS DOUBLE)
        |               ELSE NULL END) > 0.25, FALSE)) AS fires
        |    FROM (

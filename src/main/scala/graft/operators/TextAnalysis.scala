@@ -345,11 +345,16 @@ object TextAnalysis {
       "q_scrub_pii",
       (s, dir) => scrubPii(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |  regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+      Some("""WITH e AS (
+             |  SELECT doc_id, text,
+             |    regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g') AS es
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  regexp_replace(es, '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
              |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_emails,
-             |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
-             |FROM documents ORDER BY doc_id""".stripMargin),
+             |  CAST(len(regexp_extract_all(es, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
+             |FROM e ORDER BY doc_id""".stripMargin),
     ),
   )
 
@@ -377,12 +382,15 @@ object TextAnalysis {
       textCol: String): org.apache.spark.sql.DataFrame = {
     val email = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
     val digits = "[0-9]{6,}"
+    // counts must equal the placeholders in `scrubbed` (the audit contract),
+    // so digit runs are counted AFTER email redaction — a digit run inside
+    // an email is swallowed by <EMAIL>, not double-counted
+    val emailScrubbed = regexp_replace(col(textCol), email, "<EMAIL>")
     df.select(
       col(idCol).cast(LongType).as("doc_id"),
-      regexp_replace(regexp_replace(col(textCol), email, "<EMAIL>"), digits, "<NUM>")
-        .as("scrubbed"),
+      regexp_replace(emailScrubbed, digits, "<NUM>").as("scrubbed"),
       size(regexp_extract_all(col(textCol), lit(email), lit(0))).cast(LongType).as("n_emails"),
-      size(regexp_extract_all(col(textCol), lit(digits), lit(0))).cast(LongType).as("n_digit_runs"),
+      size(regexp_extract_all(emailScrubbed, lit(digits), lit(0))).cast(LongType).as("n_digit_runs"),
     )
   }
 

@@ -221,12 +221,13 @@ class EdgeCaseSpec extends SparkSuite {
     assert(perCluster.forall(_ == 1))
     // every doc labeled, keeps cover all clusters
     assert(kept.length == 3)
+    // docs 1 and 2 MUST cluster (1-word delta) or the policy below is
+    // never exercised — no vacuous pass
     val clustered = kept.filter(_._3 > 1)
-    if (clustered.nonEmpty) {
-      // in the near-dup cluster the longer doc (id 2) survives
-      assert(kept.find(_._1 == 2L).exists(_._4))
-      assert(!kept.find(_._1 == 1L).exists(_._4))
-    }
+    assert(clustered.nonEmpty, "near-dup docs 1/2 failed to cluster")
+    // in the near-dup cluster the longer doc (id 2) survives
+    assert(kept.find(_._1 == 2L).exists(_._4))
+    assert(!kept.find(_._1 == 1L).exists(_._4))
   }
 
   test("repetitionStats: degenerate docs — single word, all-repeated, all-distinct") {

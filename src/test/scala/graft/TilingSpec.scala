@@ -43,6 +43,13 @@ class TilingSpec extends SparkSuite {
     assert(canon(tiled) == canon(whole))
   }
 
+  test("multi-probe LSH (two-sided scan): 16-row tiles == single tile") {
+    val tiled = Similarity.signLshTopKMultiProbe(embs, "vec_id", "embedding", 3, maxTileRows = 16L)
+    val whole = Similarity.signLshTopKMultiProbe(embs, "vec_id", "embedding", 3, maxTileRows = Long.MaxValue / 2)
+    assert(canon(tiled) == canon(whole))
+    assert(tiled.count() > 0)
+  }
+
   test("multi-probe LSH: recall vs exact top-1 is at least the single-bucket recall") {
     def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.filter("rank = 1").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
