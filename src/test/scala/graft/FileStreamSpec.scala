@@ -85,4 +85,34 @@ class FileStreamSpec extends SparkSuite {
         rowids.forall(_.length == 32))
     } finally q.stop()
   }
+
+  test("deploy path with stateApi=tws: transformWithState writer produces the same master") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-runfrom-tws").toString
+    val inDir = s"$dir/in"
+    Files.createDirectories(Paths.get(inDir))
+    val zipBc = spark.sparkContext.broadcast(Map(
+      "11111" -> (0.0, 0.0), "22222" -> (0.0, 90.0)))
+    val snapshot = Seq(CardLookup(1L, Some(1000.0), Some(700), None, None)).toDS()
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .text(inDir)
+    val q = FraudStream.runFrom(raw, snapshot, zipBc,
+        masterPath = s"$dir/master", checkpoint = s"$dir/ckpt", stateApi = "tws")
+      .start()
+    try {
+      Files.writeString(Paths.get(s"$inDir/b1.jsonl"),
+        """{"card_id": 1, "member_id": 101, "amount": 10.0, "pos_id": 1, "postcode": 11111, "transaction_dt": "01-02-2024 10:00:00"}""" + "\n")
+      q.processAllAvailable()
+      Files.writeString(Paths.get(s"$inDir/b2.jsonl"),
+        """{"card_id": 1, "member_id": 101, "amount": 10.0, "pos_id": 2, "postcode": 22222, "transaction_dt": "01-02-2024 10:00:10"}""" + "\n")
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/master").orderBy("pos_id")
+        .select("pos_id", "status").as[(Long, String)].collect().toSeq
+      assert(got == Seq((1L, "GENUINE"), (2L, "FRAUD")))
+    } finally q.stop()
+  }
 }
