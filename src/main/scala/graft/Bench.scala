@@ -97,6 +97,10 @@ object Bench {
     // is the throughput-capability number the bound cares about.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     def runOnce(): Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      // operators may persist intermediates (the tiled-scan prepared
+      // frames); clear between queries so each measurement is its own
+      // cold plan and caches don't accumulate across the 75-query run
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

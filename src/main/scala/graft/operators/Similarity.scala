@@ -87,14 +87,15 @@ object Similarity {
   ): DataFrame = {
     val s = cPrepared.sparkSession
     import s.implicits._
-    // The prepared frame feeds three subplans (size aggregate, query side,
+    // The CORPUS frame feeds three subplans (size aggregate, query side,
     // corpus side); without a persist the quantization — and for the LSH
     // paths the 8×Dim primitive plane-dot map — would run 3×. Spill-safe
     // level; blocks are LRU-evicted / freed with the session (the operator
     // returns lazily, so an unpersist-after-use isn't expressible here).
+    // A distinct query frame feeds exactly ONE subplan — persisting it
+    // would be pure write overhead.
     val cP = cPrepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qP = if (qPrepared eq cPrepared) cP
-      else qPrepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qP = if (qPrepared eq cPrepared) cP else qPrepared
     val sizes = cP.groupBy("__bucket").agg(count(lit(1)).as("__n"))
     def sized(df: DataFrame) = df.join(sizes, "__bucket")
       .select(col("__bucket"), col("__id"), col("nrm"), col("q"), col("__n"))

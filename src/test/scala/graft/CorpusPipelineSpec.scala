@@ -36,15 +36,16 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(maxShard.forall(r => r.getLong(1) == r.getLong(2) - 1))
   }
 
-  test("prepare composes the same survivors as applying the stages separately") {
+  test("prepare composes the same survivors as applying the stages sequentially") {
     val docs = Tables(spark, dir, "documents")
     val out = CorpusPipeline.prepare(docs, quotaPerSource = 10, shardBudgetTokens = 500L)
     val expected = {
       val k = Dedup.dedupKeep(docs, "doc_id", "text", "source", "n_chars", 3)
         .filter(col("keep")).select("doc_id")
-      val q = TextAnalysis.domainQuota(docs, "doc_id", "source", "n_chars", 10)
+      // quota ranks the DEDUPED frame (sequential semantics)
+      val deduped = docs.join(k, "doc_id")
+      TextAnalysis.domainQuota(deduped, "doc_id", "source", "n_chars", 10)
         .filter(col("kept")).select("doc_id")
-      k.join(q, "doc_id")
     }
     assert(out.select("doc_id").except(expected).count() == 0)
     assert(expected.except(out.select("doc_id")).count() == 0)

@@ -100,6 +100,10 @@ class FileStreamSpec extends SparkSuite {
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.StringType))))
       .text(inDir)
+    // runFrom("tws") sets the state-store provider on the SHARED session;
+    // restore it so later streaming suites still pin the default provider
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
     val q = FraudStream.runFrom(raw, snapshot, zipBc,
         masterPath = s"$dir/master", checkpoint = s"$dir/ckpt", stateApi = "tws")
       .start()
@@ -113,6 +117,12 @@ class FileStreamSpec extends SparkSuite {
       val got = spark.read.parquet(s"$dir/master").orderBy("pos_id")
         .select("pos_id", "status").as[(Long, String)].collect().toSeq
       assert(got == Seq((1L, "GENUINE"), (2L, "FRAUD")))
-    } finally q.stop()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 }
