@@ -46,14 +46,19 @@ object Bench {
     }
   }
 
-  /** Render the JSON result line, guaranteed <= MaxLine chars. */
-  def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
+  /** Render the JSON result line, guaranteed <= MaxLine chars.
+    * `failures` = queries with no successful rep (their reported time is the
+    * slowest FAILING rep's wall time — conservative, never a phantom
+    * speedup; a crash must not show up as the query's best time).
+    */
+  def renderJson(results: Seq[(String, Double)], sfDir: String,
+      failures: Int = 0): String = {
     val total = results.map(_._2).sum
     val sf = sfLabel(sfDir)
     def line(entries: Seq[(String, Double)], otherSum: Option[Double]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
         otherSum.map(s => "\"other\":" + fmt(s))
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qs.mkString("{", ",", "}")},"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"queries":${qs.mkString("{", ",", "}")},"sf":"$sf"}"""
     }
     val bySlowest = results.sortBy { case (k, v) => (-v, k) }
     // Largest prefix of the slowest-first ordering that fits; the rest
@@ -96,20 +101,28 @@ object Bench {
     // spread across untouched queries; a clean local re-run was 1.0×). The min
     // is the throughput-capability number the bound cares about.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    def runOnce(): Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      // operators may persist intermediates (the tiled-scan prepared
-      // frames); clear between queries so each measurement is its own
-      // cold plan and caches don't accumulate across the 75-query run
+    // (name, seconds, succeeded) per rep: a rep that crashes must be
+    // EXCLUDED from the min — a fast failure would otherwise publish as the
+    // query's best time and a crash would read as a speedup in the curve
+    def runOnce(): Seq[(String, Double, Boolean)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      // operators may cache intermediates (geo dims etc.); clear between
+      // queries so each measurement is its own cold plan and caches don't
+      // accumulate across the 75-query run
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val runs = (1 to math.max(1, reps)).map(_ => runOnce())
-    val results = runs.head.map(_._1).map { name =>
-      name -> runs.map(_.toMap.apply(name)).min
+    val names = runs.head.map(_._1)
+    val byName = runs.flatten.groupBy(_._1)
+    val results = names.map { name =>
+      val (good, bad) = byName(name).partition(_._3)
+      // all reps failed -> report the slowest failing rep (conservative)
+      name -> (if (good.nonEmpty) good.map(_._2).min else bad.map(_._2).max)
     }
-    val jsonLine = renderJson(results, sfDir)
+    val failures = names.count(n => !byName(n).exists(_._3))
+    val jsonLine = renderJson(results, sfDir, failures)
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(jsonLine)

@@ -52,17 +52,21 @@ object MakeScaled {
       // per-copy PERTURBATION, not verbatim replication: k−1 exact twins of
       // every doc is a degenerate corpus; a suffix token / dimension nudge
       // keeps copies near-but-not-exact (still ~0.99 Jaccard — worst-case
-      // near-dup mass, but measurable).
+      // near-dup mass, but measurable). Copy 0 is the source fixture
+      // VERBATIM: a factor-1 "scaled" corpus must BE the original corpus,
+      // or baseline-vs-scaled comparisons start from a shifted baseline.
       val docs = Tables(spark, src, "documents")
       (0 until k).map { i =>
-        docs.withColumn("doc_id", col("doc_id") + lit(i * shift))
+        if (i == 0) docs
+        else docs.withColumn("doc_id", col("doc_id") + lit(i * shift))
           .withColumn("text", concat(col("text"), lit(s" c$i")))
           .withColumn("n_chars", col("n_chars") + lit(2 + i.toString.length))
       }.reduce(_ unionByName _)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
       val embs = Tables(spark, src, "embeddings")
       (0 until k).map { i =>
-        embs.withColumn("vec_id", col("vec_id") + lit(i * shift))
+        if (i == 0) embs
+        else embs.withColumn("vec_id", col("vec_id") + lit(i * shift))
           .withColumn("embedding",
             transform(col("embedding"), (x, idx) =>
               when(idx === 0, x + lit(i.toFloat * 0.003f)).otherwise(x)))

@@ -490,8 +490,11 @@ object Dedup {
   def dedupKeep(df: DataFrame, idCol: String, textCol: String, blockCol: String,
       qualityCol: String, maxHamming: Int): DataFrame = {
     val clusters = nearDupClusters(df, idCol, textCol, blockCol, maxHamming)
+    // double, NOT long: a fractional quality column (model score in [0,1])
+    // would truncate to 0 under a long cast and the policy would silently
+    // degrade to lowest-id-wins; the oracle orders by the raw value
     val quality = df.select(col(idCol).cast("long").as("doc_id"),
-      col(qualityCol).cast("long").as("__q"))
+      col(qualityCol).cast("double").as("__q"))
     val w = Window.partitionBy("canonical_id").orderBy(col("__q").desc, col("doc_id"))
     clusters.join(quality, "doc_id")
       .withColumn("keep", row_number().over(w) === 1)

@@ -88,13 +88,21 @@ object Similarity {
     val s = cPrepared.sparkSession
     import s.implicits._
     // The CORPUS frame feeds three subplans (size aggregate, query side,
-    // corpus side); without a persist the quantization — and for the LSH
-    // paths the 8×Dim primitive plane-dot map — would run 3×. Spill-safe
-    // level; blocks are LRU-evicted / freed with the session (the operator
-    // returns lazily, so an unpersist-after-use isn't expressible here).
-    // A distinct query frame feeds exactly ONE subplan — persisting it
+    // corpus side); without materialization the quantization — and for the
+    // LSH paths the 8×Dim primitive plane-dot map — would run 3×. Lazy
+    // localCheckpoint, NOT Dataset.persist: persist registers the frame in
+    // the session CacheManager and leaks cached blocks until an explicit
+    // unpersist/clearCache (the operator returns lazily, so there is no
+    // unpersist-after-use point inside it). A localCheckpoint caches at the
+    // RDD layer (MEMORY_AND_DISK, spill-safe, computed once on the first
+    // action) and the ContextCleaner frees the blocks as soon as the
+    // caller drops the returned frame — no session-lifetime leak. Cost:
+    // lineage is truncated, so on a real cluster losing an executor's
+    // blocks fails the job instead of recomputing (same trade
+    // [[Dedup.clusterPairs]] makes for its iteration frames).
+    // A distinct query frame feeds exactly ONE subplan — materializing it
     // would be pure write overhead.
-    val cP = cPrepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cP = cPrepared.localCheckpoint(false)
     val qP = if (qPrepared eq cPrepared) cP else qPrepared
     val sizes = cP.groupBy("__bucket").agg(count(lit(1)).as("__n"))
     def sized(df: DataFrame) = df.join(sizes, "__bucket")

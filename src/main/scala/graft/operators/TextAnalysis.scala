@@ -332,7 +332,7 @@ object TextAnalysis {
       "q_domain_quota",
       (s, dir) => domainQuota(Tables(s, dir, "documents"), "doc_id", "source", "n_chars", 20)
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, source, CAST(n_chars AS BIGINT) AS quality,
+      Some("""SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS quality,
              |  CAST(row_number() OVER (
              |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS src_rank,
              |  row_number() OVER (
@@ -368,8 +368,10 @@ object TextAnalysis {
       qualityCol: String, quota: Int): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    // quality ranks as DOUBLE: a long cast would truncate fractional scores
+    // (model quality in [0,1]) and collapse the ordering to doc_id
     df.select(col(idCol).cast(LongType).as("doc_id"), col(partCol).as("source"),
-        col(qualityCol).cast(LongType).as("quality"))
+        col(qualityCol).cast("double").as("quality"))
       .withColumn("src_rank", row_number().over(w).cast(LongType))
       .withColumn("kept", col("src_rank") <= quota)
   }

@@ -13,7 +13,8 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(s.startsWith("""{"metric":"total","value":"""))
     assert(s.endsWith("""}"""))
     assert(s.count(_ == '{') == s.count(_ == '}'))
-    assert(s.contains(""","unit":"sec","queries":{"""))
+    assert(s.contains(""","unit":"sec","failures":"""))
+    assert(s.contains(""","queries":{"""))
     assert(s.contains(""","sf":""""))
   }
 
@@ -57,5 +58,11 @@ class BenchJsonSpec extends AnyFunSuite {
     val s = Bench.renderJson(Seq.empty, "/x")
     parseable(s)
     assert(s.contains(""""queries":{}"""))
+  }
+
+  test("failure count surfaces in the line; default is zero") {
+    assert(Bench.renderJson(Seq("q_a" -> 1.0), "/x").contains(""""failures":0"""))
+    assert(Bench.renderJson(Seq("q_a" -> 1.0), "/x", failures = 2)
+      .contains(""""failures":2"""))
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -228,6 +228,30 @@ class EdgeCaseSpec extends SparkSuite {
     // in the near-dup cluster the longer doc (id 2) survives
     assert(kept.find(_._1 == 2L).exists(_._4))
     assert(!kept.find(_._1 == 1L).exists(_._4))
+  }
+
+  test("dedupKeep + domainQuota: FRACTIONAL quality scores rank, not truncate") {
+    val s = spark
+    import s.implicits._
+    // model scores in [0,1): under the old long cast every score truncated
+    // to 0 and the survivor degraded to lowest-id-wins — doc 1 (score 0.2)
+    // would beat doc 2 (score 0.9)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "src", 0.2),
+      (2L, "the quick brown fox jumps over the lazy dog tonight", "src", 0.9),
+      (3L, "completely different text about unrelated matters entirely", "src", 0.5),
+    ).toDF("doc_id", "text", "source", "score")
+    val kept = Dedup.dedupKeep(df, "doc_id", "text", "source", "score", 3)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(kept.filter(_._3 > 1).nonEmpty, "near-dup docs 1/2 failed to cluster")
+    assert(kept.find(_._1 == 2L).exists(_._4), "highest fractional score must survive")
+    assert(!kept.find(_._1 == 1L).exists(_._4))
+    // domainQuota with quota 2: the two highest scores (2, 3) are kept and
+    // src_rank follows the fractional ordering
+    val quota = TextAnalysis.domainQuota(df, "doc_id", "source", "score", 2)
+      .as[(Long, String, Double, Long, Boolean)].collect().sortBy(_._1)
+    assert(quota.map(r => r._1 -> r._4).toMap == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+    assert(quota.filter(_._5).map(_._1).toSet == Set(2L, 3L))
   }
 
   test("repetitionStats: degenerate docs — single word, all-repeated, all-distinct") {
