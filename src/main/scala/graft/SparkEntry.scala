@@ -11,7 +11,8 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.TextAnalysis.queries ++ operators.Windows.queries ++
       operators.Analytics.queries ++ operators.Extended.queries ++
-      operators.Ml.queries
+      operators.Ml.queries ++ operators.Sketches.queries ++
+      operators.Warehouse.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

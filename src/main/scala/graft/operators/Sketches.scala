@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sketch-based operators for cardinality/frequency at scale: distributed
+  * heavy hitters (Misra–Gries candidates + exact recount) and KMV distinct
+  * counting ([[graft.functions.KmvSketch]]). Both produce DETERMINISTIC,
+  * exactly-reproducible output — the sketches bound memory and shuffle
+  * width, they do not introduce randomness — so both carry full DuckDB
+  * oracles rather than rows-only checks.
+  */
+object Sketches {
+
+  /** Per-partition Misra–Gries frequency summary: at most `cap` surviving
+    * keys per partition. Classic guarantee: a key whose count in the
+    * partition exceeds n_p/(cap+1) always survives; total work is O(n_p)
+    * amortized (each decrement round removes cap+1 occurrences).
+    */
+  private[graft] def misraGries(it: Iterator[Long], cap: Int): Iterator[Long] = {
+    val counts = new java.util.HashMap[Long, Long](cap * 2)
+    it.foreach { k =>
+      // getOrDefault, not get: absent keys must not unbox a null. A stored
+      // zero can't occur — zero-count entries are removed on decrement.
+      val c = counts.getOrDefault(k, 0L)
+      if (c > 0L) counts.put(k, c + 1)
+      else if (counts.size < cap) counts.put(k, 1L)
+      else {
+        // decrement-all, dropping zeros: one pass over ≤cap entries
+        val e = counts.entrySet().iterator()
+        while (e.hasNext) {
+          val kv = e.next()
+          if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1)
+        }
+      }
+    }
+    val out = new Array[Long](counts.size)
+    val ks = counts.keySet().iterator()
+    var i = 0
+    while (ks.hasNext) { out(i) = ks.next(); i += 1 }
+    out.iterator
+  }
+
+  /** Exact keys with frequency >= support·n, found the 100 TB way: a
+    * map-side Misra–Gries pass (capacity ⌈1/support⌉) yields a candidate
+    * set that provably CONTAINS every true heavy hitter — a key surviving
+    * no partition has global count ≤ n/(cap+1) < support·n — then only the
+    * candidates are recounted exactly (semi-join prune before the shuffle,
+    * so the aggregation shuffles candidate keys, not the full key domain).
+    * Candidates are bounded by partitions × cap; the broadcast below holds
+    * to ~10⁴ partitions — beyond that drop the hint and AQE plans the
+    * semi-join as a shuffle join. Output: (key, cnt), exact.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, support: Double): DataFrame = {
+    require(support > 0 && support <= 1, s"support must be in (0,1], got $support")
+    val cap = math.ceil(1.0 / support).toInt
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast(LongType).as("key"))
+    val cands = keys.as[Long].mapPartitions(misraGries(_, cap)).toDF("key").distinct()
+    val n = keys.groupBy().agg(count(lit(1)).as("__n"))
+    keys.join(broadcast(cands), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      // identical IEEE compare on both engines: double(cnt) >= s * double(n)
+      .filter(col("cnt").cast("double") >= lit(support) * col("__n").cast("double"))
+      .select("key", "cnt")
+  }
+
+  // 48-bit hash from the md5 hex prefix: below 2^53, so the long→double
+  // cast in the estimator is EXACT in both engines
+  private def hash48(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast(LongType)
+
+  private val hash48Sql = (x: String) =>
+    s"""list_reduce(list_transform(
+       |    string_split_regex(substr(md5(CAST($x AS VARCHAR)), 1, 12), ''),
+       |    c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+       |  (a, b) -> a * 16 + b)""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Exact heavy hitters over l_partkey at support 0.00065 (~85 keys at
+    // sf0.01). The oracle is the naive full groupBy — the MG candidate pass
+    // must be invisible in the result.
+    GraftQuery(
+      "q_heavy_hitters",
+      (s, dir) => heavyHitters(Tables(s, dir, "lineitem"), "l_partkey", 0.00065)
+        .orderBy("key"),
+      Some("""WITH n AS (SELECT count(*) AS n FROM lineitem),
+             |c AS (SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1)
+             |SELECT key, cnt FROM c, n
+             |WHERE CAST(cnt AS DOUBLE) >= 0.00065 * CAST(n AS DOUBLE)
+             |ORDER BY key""".stripMargin),
+    ),
+
+    // KMV distinct-user estimate per event type (k=64), alongside the exact
+    // count. The estimator runs OUTSIDE the aggregate on the struct the
+    // sketch returns, so DuckDB reproduces it exactly: same 48-bit hashes,
+    // same k-th order statistic, same double arithmetic.
+    GraftQuery(
+      "q_kmv_distinct",
+      (s, dir) => {
+        graft.functions.KmvSketch.register(s)
+        val k = 64
+        Tables(s, dir, "events")
+          .withColumn("h", hash48(col("user_id")))
+          .groupBy("event_type")
+          .agg(expr(s"kmv_sketch(h, $k)").as("sk"),
+            countDistinct(col("user_id")).as("exact_nd"))
+          .select(col("event_type"), col("sk.kth").as("kth_hash"), col("exact_nd"),
+            (floor(
+              when(col("sk.nd") < k, col("sk.nd").cast("double"))
+                .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) / col("sk.kth").cast("double"))
+                * lit(1e6) + lit(0.5)) / lit(1e6)).as("est_distinct"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT DISTINCT event_type, ${hash48Sql("user_id")} AS h
+              |  FROM events),
+              |r AS (
+              |  SELECT event_type, h,
+              |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+              |    count(*) OVER (PARTITION BY event_type) AS nd
+              |  FROM h),
+              |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_nd
+              |      FROM events GROUP BY 1)
+              |SELECT r.event_type, r.h AS kth_hash, x.exact_nd,
+              |  floor((CASE WHEN r.nd < 64 THEN CAST(r.nd AS DOUBLE)
+              |              ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+              |                   / CAST(r.h AS DOUBLE) END)
+              |        * 1e6 + 0.5) / 1e6 AS est_distinct
+              |FROM r JOIN x ON x.event_type = r.event_type
+              |WHERE r.rk = least(64, r.nd)
+              |ORDER BY r.event_type""".stripMargin),
+    ),
+  )
+}

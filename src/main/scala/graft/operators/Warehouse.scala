@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Warehouse-maintenance operators: incremental aggregate upkeep (merge a
+  * delta's partial state into a stored state instead of rescanning history)
+  * and SCD Type-2 dimension building from a change stream. At 100 TB the
+  * incremental path is the difference between aggregating a day's delta
+  * and re-aggregating the full fact history on every refresh.
+  */
+object Warehouse {
+
+  /** Partial aggregate state per key: (key, cnt, sum_d, mn, mx). Sums
+    * accumulate in DECIMAL so states merge order-insensitively and the
+    * final double cast is exact-input-identical on any merge tree.
+    */
+  def aggState(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key")).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(valCol).cast(DecimalType(30, 6))).as("sum_d"),
+      min(col(valCol)).as("mn"),
+      max(col(valCol)).as("mx"))
+
+  /** Merge two partial states: count/sum add, min/max combine. The result
+    * is again a valid state — merging is associative, so a stored state
+    * can absorb any number of delta states without touching history.
+    */
+  def mergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("key").agg(
+      sum("cnt").as("cnt"),
+      sum("sum_d").cast(DecimalType(30, 6)).as("sum_d"),
+      min("mn").as("mn"),
+      max("mx").as("mx"))
+
+  /** Finalize a state for consumption: exact decimal sum cast to double. */
+  def finishState(state: DataFrame): DataFrame =
+    state.select(col("key"), col("cnt"),
+      col("sum_d").cast(DoubleType).as("sum_v"), col("mn"), col("mx"))
+
+  /** SCD Type-2 dimension from an event stream: consecutive-dedup the
+    * tracked attribute per entity (a row only where the value CHANGES),
+    * then open/close validity intervals with lead(). One shuffle on the
+    * entity key; both windows share the (key, ts, id) sort.
+    * Output: (key, state, valid_from, valid_to, version, is_current).
+    */
+  def scd2(df: DataFrame, keyCol: String, attrCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .select(col(keyCol).as("key"), col(attrCol).as("state"),
+        col(tsCol).as("valid_from"), col(tieCol).as("__tie"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy("key").orderBy(col("valid_from"), col("__tie"))))
+      .withColumn("version",
+        row_number().over(
+          Window.partitionBy("key").orderBy(col("valid_from"), col("__tie")))
+          .cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__tie")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Incremental maintenance equivalence: state(ts < split) merged with
+    // state(ts >= split) must equal the one-shot aggregate over everything
+    // — the oracle IS the full rescan, so any divergence in the partial
+    // states or the merge shows up as a hash mismatch.
+    GraftQuery(
+      "q_incremental_agg",
+      (s, dir) => {
+        val events = Tables(s, dir, "events")
+        val split = "2024-01-16 00:00:00"
+        val old = aggState(events.filter(col("ts") < lit(split)), "event_type", "value")
+        val delta = aggState(events.filter(col("ts") >= lit(split)), "event_type", "value")
+        finishState(mergeStates(old, delta)).orderBy("key")
+      },
+      Some("""SELECT event_type AS key, count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_v,
+             |  min(value) AS mn, max(value) AS mx
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+
+    // SCD2 over the event stream: per-user event_type history as validity
+    // intervals (CDC -> dimension build).
+    GraftQuery(
+      "q_scd2",
+      (s, dir) => scd2(Tables(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+        .orderBy("key", "version"),
+      Some("""WITH chg AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |c2 AS (
+             |  SELECT user_id, event_type, ts, event_id FROM chg
+             |  WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id AS key, event_type AS state, ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+             |FROM c2 ORDER BY key, version""".stripMargin),
+    ),
+  )
+}

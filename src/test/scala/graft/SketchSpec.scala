@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** Sketch operators: the Misra–Gries candidate guarantee, heavy-hitter
+  * exactness on skewed data, and KMV buffer/merge semantics — including
+  * partition-count invariance, which is what makes the sketch safe to
+  * partial-aggregate map-side on any cluster layout.
+  */
+class SketchSpec extends SparkSuite {
+
+  test("misraGries: survivors contain every key above n/(cap+1)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val stream = Gen.choose(20, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(5 -> Gen.choose(1L, 3L), 3 -> Gen.choose(10L, 30L),
+        2 -> Gen.choose(100L, 200L))))
+    val prop = Prop.forAll(stream, Gen.choose(2, 10)) { (xs, cap) =>
+      val survivors = Sketches.misraGries(xs.iterator, cap).toSet
+      assert(survivors.size <= cap)
+      val counts = xs.groupBy(identity).view.mapValues(_.size).toMap
+      counts.forall { case (k, c) => c <= xs.size.toDouble / (cap + 1) || survivors(k) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("heavyHitters: exact result on skewed keys, any partitioning") {
+    val s = spark
+    import s.implicits._
+    // 3 hot keys (>= 10%), a tail of cold ones
+    val rows = Seq.fill(40)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(20)(3L) ++
+      (100L until 200L)
+    val expected = Map(1L -> 40L, 2L -> 30L, 3L -> 20L)
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("k").repartition(parts)
+      val got = Sketches.heavyHitters(df, "k", 0.1).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("heavyHitters: empty input yields empty output") {
+    val s = spark
+    import s.implicits._
+    assert(Sketches.heavyHitters(Seq.empty[Long].toDF("k"), "k", 0.5).count() == 0)
+  }
+
+  test("kmv_sketch: below k the sketch is exact; nulls are skipped") {
+    val s = spark
+    import s.implicits._
+    graft.functions.KmvSketch.register(s)
+    val df = Seq(Some(5L), Some(9L), Some(5L), None, Some(2L)).toDF("h")
+    val r = df.selectExpr("kmv_sketch(h, 64) AS sk").select("sk.nd", "sk.kth").head()
+    assert(r.getLong(0) == 3L) // 3 distinct non-null hashes
+    assert(r.getLong(1) == 9L) // max retained = overall max below saturation
+  }
+
+  test("kmv_sketch: saturated buffer keeps the k smallest distinct values") {
+    val s = spark
+    import s.implicits._
+    graft.functions.KmvSketch.register(s)
+    // 1..100 with duplicates; k=10 -> kth minimum is 10
+    val df = ((1L to 100L) ++ (1L to 50L)).toDF("h")
+    val r = df.selectExpr("kmv_sketch(h, 10) AS sk").select("sk.nd", "sk.kth").head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+  }
+
+  test("kmv_sketch: partition-count invariant (merge path == single buffer)") {
+    val s = spark
+    import s.implicits._
+    graft.functions.KmvSketch.register(s)
+    val data = (1L to 500L).map(i => i * 2654435761L % 1000003L)
+    val single = data.toDF("h").coalesce(1)
+      .selectExpr("kmv_sketch(h, 32) AS sk").select("sk.nd", "sk.kth").head()
+    val sharded = data.toDF("h").repartition(13)
+      .selectExpr("kmv_sketch(h, 32) AS sk").select("sk.nd", "sk.kth").head()
+    assert(single == sharded)
+  }
+
+  test("kmv_sketch: estimate is within 2x of truth at k=64 on 10k keys") {
+    val s = spark
+    import s.implicits._
+    graft.functions.KmvSketch.register(s)
+    // mixed-congruential spread over 48 bits
+    val df = (1L to 10000L).map(i => i * 6364136223846793005L & ((1L << 48) - 1)).toDF("h")
+    val kth = df.selectExpr("kmv_sketch(h, 64) AS sk").select("sk.kth").head().getLong(0)
+    val est = 63.0 * 281474976710656.0 / kth.toDouble
+    assert(est > 5000 && est < 20000, s"est=$est")
+  }
+
+  test("kmv_sketch: builder rejects bad arity, k, and types at analysis") {
+    val s = spark
+    graft.functions.KmvSketch.register(s)
+    intercept[Exception](s.sql("SELECT kmv_sketch(1)").collect())
+    intercept[Exception](s.sql("SELECT kmv_sketch('a', 4)").collect())
+    intercept[Exception](s.sql("SELECT kmv_sketch(1, 0)").collect())
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Warehouse
+import org.apache.spark.sql.functions._
+
+/** Warehouse maintenance: incremental state merging must be associative
+  * (any split of history gives the same final aggregate) and SCD2 must
+  * open/close validity intervals exactly at attribute changes.
+  */
+class WarehouseSpec extends SparkSuite {
+
+  private def events3 = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "a", 10.5, "2024-01-01 00:00:00"),
+      (2L, "a", 2.25, "2024-01-05 00:00:00"),
+      (3L, "b", -1.0, "2024-01-10 00:00:00"),
+      (4L, "a", 7.0, "2024-01-15 00:00:00"),
+      (5L, "b", 3.5, "2024-01-20 00:00:00"),
+    ).toDF("id", "k", "v", "ts").withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  test("mergeStates: any 3-way split merges to the one-shot aggregate") {
+    val df = events3
+    val full = Warehouse.finishState(
+      Warehouse.aggState(df, "k", "v")).collect().sortBy(_.getString(0))
+    val p1 = Warehouse.aggState(df.filter(col("id") <= 1), "k", "v")
+    val p2 = Warehouse.aggState(df.filter(col("id") === 2 || col("id") === 3), "k", "v")
+    val p3 = Warehouse.aggState(df.filter(col("id") >= 4), "k", "v")
+    // left-leaning and right-leaning merge trees agree with the rescan
+    val left = Warehouse.finishState(
+      Warehouse.mergeStates(Warehouse.mergeStates(p1, p2), p3))
+      .collect().sortBy(_.getString(0))
+    val right = Warehouse.finishState(
+      Warehouse.mergeStates(p1, Warehouse.mergeStates(p2, p3)))
+      .collect().sortBy(_.getString(0))
+    assert(left.toSeq == full.toSeq)
+    assert(right.toSeq == full.toSeq)
+  }
+
+  test("mergeStates: empty delta is an identity") {
+    val df = events3
+    val state = Warehouse.aggState(df, "k", "v")
+    val empty = Warehouse.aggState(df.filter(lit(false)), "k", "v")
+    val merged = Warehouse.finishState(Warehouse.mergeStates(state, empty))
+      .collect().sortBy(_.getString(0))
+    val full = Warehouse.finishState(state).collect().sortBy(_.getString(0))
+    assert(merged.toSeq == full.toSeq)
+  }
+
+  test("scd2: intervals open at changes, close at the next change, chain per key") {
+    val s = spark
+    import s.implicits._
+    // user 1: a -> a (no change) -> b -> a ; user 2: constant c
+    val df = Seq(
+      (1L, 1L, "a", "2024-01-01 00:00:00"),
+      (2L, 1L, "a", "2024-01-02 00:00:00"),
+      (3L, 1L, "b", "2024-01-03 00:00:00"),
+      (4L, 1L, "a", "2024-01-04 00:00:00"),
+      (5L, 2L, "c", "2024-01-01 12:00:00"),
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Warehouse.scd2(df, "user_id", "event_type", "ts", "event_id")
+      .orderBy("key", "version")
+      .select("key", "state", "version", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 1L, false), (1L, "b", 2L, false), (1L, "a", 3L, true),
+      (2L, "c", 1L, true)))
+    // every non-current interval closes exactly where the next one opens
+    val rows = Warehouse.scd2(df, "user_id", "event_type", "ts", "event_id")
+      .orderBy("key", "version").collect()
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2 && w(0).getLong(0) == w(1).getLong(0))
+        assert(w(0).getAs[java.sql.Timestamp]("valid_to") ==
+          w(1).getAs[java.sql.Timestamp]("valid_from"))
+    }
+  }
+}
