@@ -50,15 +50,18 @@ object Bench {
     * `failures` = queries with no successful rep (their reported time is the
     * slowest FAILING rep's wall time — conservative, never a phantom
     * speedup; a crash must not show up as the query's best time).
+    * `flaky` = queries with at least one failed rep AND at least one good
+    * rep: their published min is a real success, but a crash happened and
+    * must not be invisible in the bench line.
     */
   def renderJson(results: Seq[(String, Double)], sfDir: String,
-      failures: Int = 0): String = {
+      failures: Int = 0, flaky: Int = 0): String = {
     val total = results.map(_._2).sum
     val sf = sfLabel(sfDir)
     def line(entries: Seq[(String, Double)], otherSum: Option[Double]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
         otherSum.map(s => "\"other\":" + fmt(s))
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"queries":${qs.mkString("{", ",", "}")},"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"flaky":$flaky,"queries":${qs.mkString("{", ",", "}")},"sf":"$sf"}"""
     }
     val bySlowest = results.sortBy { case (k, v) => (-v, k) }
     // Largest prefix of the slowest-first ordering that fits; the rest
@@ -122,7 +125,17 @@ object Bench {
       name -> (if (good.nonEmpty) good.map(_._2).min else bad.map(_._2).max)
     }
     val failures = names.count(n => !byName(n).exists(_._3))
-    val jsonLine = renderJson(results, sfDir, failures)
+    // a partially-failing query also logs WHICH reps failed (stderr, so the
+    // JSON stdout line stays clean) — the flaky count alone says something
+    // crashed, the log says what
+    val flaky = names.count { n =>
+      val reps = byName(n)
+      val someFailed = reps.exists(!_._3) && reps.exists(_._3)
+      if (someFailed) System.err.println(
+        s"[bench] FLAKY $n: ${reps.count(!_._3)}/${reps.size} reps failed")
+      someFailed
+    }
+    val jsonLine = renderJson(results, sfDir, failures, flaky)
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(jsonLine)

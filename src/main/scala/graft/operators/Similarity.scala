@@ -99,10 +99,18 @@ object Similarity {
     // caller drops the returned frame — no session-lifetime leak. Cost:
     // lineage is truncated, so on a real cluster losing an executor's
     // blocks fails the job instead of recomputing (same trade
-    // [[Dedup.clusterPairs]] makes for its iteration frames).
+    // [[Dedup.clusterPairs]] makes for its iteration frames). Deployments
+    // with dynamic allocation / preemptible executors, where block loss is
+    // routine rather than exceptional, set spark.graft.materialize=persist
+    // to keep full lineage instead — accepting that the caller must
+    // unpersist (or clearCache) after consuming the result.
     // A distinct query frame feeds exactly ONE subplan — materializing it
     // would be pure write overhead.
-    val cP = cPrepared.localCheckpoint(false)
+    val cP = s.conf.getOption("spark.graft.materialize") match {
+      case Some("persist") =>
+        cPrepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ => cPrepared.localCheckpoint(false)
+    }
     val qP = if (qPrepared eq cPrepared) cP else qPrepared
     val sizes = cP.groupBy("__bucket").agg(count(lit(1)).as("__n"))
     def sized(df: DataFrame) = df.join(sizes, "__bucket")

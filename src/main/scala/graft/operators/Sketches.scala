@@ -58,7 +58,14 @@ object Sketches {
     val cap = math.ceil(1.0 / support).toInt
     val spark = df.sparkSession
     import spark.implicits._
-    val keys = df.select(col(keyCol).cast(LongType).as("key"))
+    // try_cast + drop nulls: a null key (or a value the Long cast can't
+    // represent) would NPE the non-nullable Long deserializer in
+    // mapPartitions — and under ANSI mode a plain cast would throw on
+    // malformed strings. Frequency of NULL is not a meaningful heavy
+    // hitter, so exclusion is the operator's contract (n below counts
+    // non-null castable keys only).
+    val keys = df.select(col(keyCol).try_cast(LongType).as("key"))
+      .filter(col("key").isNotNull)
     val cands = keys.as[Long].mapPartitions(misraGries(_, cap)).toDF("key").distinct()
     val n = keys.groupBy().agg(count(lit(1)).as("__n"))
     keys.join(broadcast(cands), Seq("key"), "left_semi")

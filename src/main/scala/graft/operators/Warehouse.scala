@@ -15,24 +15,29 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Warehouse {
 
   /** Partial aggregate state per key: (key, cnt, sum_d, mn, mx). Sums
-    * accumulate in DECIMAL so states merge order-insensitively and the
-    * final double cast is exact-input-identical on any merge tree.
+    * accumulate in DECIMAL(38,6) so states merge order-insensitively and the
+    * final double cast is exact-input-identical on any merge tree. 38 is
+    * Spark's max precision: sum(decimal(38,6)) stays decimal(38,6), so the
+    * state type is CLOSED under merging with no narrowing cast anywhere —
+    * a narrower stored state (an earlier revision used 30,6) would silently
+    * NULL an overflowing merged sum under non-ANSI mode.
     */
   def aggState(df: DataFrame, keyCol: String, valCol: String): DataFrame =
     df.groupBy(col(keyCol).as("key")).agg(
       count(lit(1)).as("cnt"),
-      sum(col(valCol).cast(DecimalType(30, 6))).as("sum_d"),
+      sum(col(valCol).cast(DecimalType(38, 6))).as("sum_d"),
       min(col(valCol)).as("mn"),
       max(col(valCol)).as("mx"))
 
   /** Merge two partial states: count/sum add, min/max combine. The result
-    * is again a valid state — merging is associative, so a stored state
-    * can absorb any number of delta states without touching history.
+    * is again a valid state — merging is associative and type-preserving
+    * (decimal(38,6) in, decimal(38,6) out), so a stored state can absorb
+    * any number of delta states without touching history.
     */
   def mergeStates(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("key").agg(
       sum("cnt").as("cnt"),
-      sum("sum_d").cast(DecimalType(30, 6)).as("sum_d"),
+      sum("sum_d").cast(DecimalType(38, 6)).as("sum_d"),
       min("mn").as("mn"),
       max("mx").as("mx"))
 
@@ -81,7 +86,7 @@ object Warehouse {
         finishState(mergeStates(old, delta)).orderBy("key")
       },
       Some("""SELECT event_type AS key, count(*) AS cnt,
-             |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_v,
+             |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
              |  min(value) AS mn, max(value) AS mx
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     ),

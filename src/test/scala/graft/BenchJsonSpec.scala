@@ -65,4 +65,12 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(Bench.renderJson(Seq("q_a" -> 1.0), "/x", failures = 2)
       .contains(""""failures":2"""))
   }
+
+  test("flaky count surfaces in the line; default is zero") {
+    // a query that crashed in one rep but succeeded in another must not be
+    // invisible: failures stays 0 (its min is a real success) but flaky > 0
+    assert(Bench.renderJson(Seq("q_a" -> 1.0), "/x").contains(""""flaky":0"""))
+    assert(Bench.renderJson(Seq("q_a" -> 1.0), "/x", failures = 0, flaky = 1)
+      .contains(""""failures":0,"flaky":1"""))
+  }
 }

@@ -46,6 +46,18 @@ class SketchSpec extends SparkSuite {
     assert(Sketches.heavyHitters(Seq.empty[Long].toDF("k"), "k", 0.5).count() == 0)
   }
 
+  test("heavyHitters: null keys and uncastable strings are excluded, not a crash") {
+    val s = spark
+    import s.implicits._
+    // nulls and non-numeric strings both become null after cast(Long); the
+    // support fraction is over the 5 remaining non-null keys (3/5 >= 0.5)
+    val df = Seq(Some("7"), None, Some("x"), Some("7"), Some("7"), Some("2"), Some("2"))
+      .toDF("k")
+    val got = Sketches.heavyHitters(df, "k", 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 3L))
+  }
+
   test("kmv_sketch: below k the sketch is exact; nulls are skipped") {
     val s = spark
     import s.implicits._

@@ -50,6 +50,20 @@ class TilingSpec extends SparkSuite {
     assert(tiled.count() > 0)
   }
 
+  test("materialize=persist strategy is result-identical to localCheckpoint") {
+    // the dynamic-allocation escape hatch (full lineage kept, caller
+    // unpersists) must be a pure execution-strategy change
+    val whole = canon(Similarity.bruteForceTopK(embs, "vec_id", "embedding", 5))
+    spark.conf.set("spark.graft.materialize", "persist")
+    try {
+      val persisted = canon(Similarity.bruteForceTopK(embs, "vec_id", "embedding", 5))
+      assert(persisted == whole)
+    } finally {
+      spark.conf.unset("spark.graft.materialize")
+      spark.catalog.clearCache() // the caller-managed unpersist the mode requires
+    }
+  }
+
   test("multi-probe LSH: recall vs exact top-1 is at least the single-bucket recall") {
     def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.filter("rank = 1").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
