@@ -12,7 +12,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++ operators.Windows.queries ++
       operators.Analytics.queries ++ operators.Extended.queries ++
       operators.Ml.queries ++ operators.Sketches.queries ++
-      operators.Warehouse.queries
+      operators.Warehouse.queries ++ operators.Curation.queries ++
+      operators.BloomPrune.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Corpus-curation operators for the training-data pipeline, round 6:
+  * benchmark decontamination (n-gram overlap against a held-out set),
+  * exact stratified train/val/test splitting, corpus-wide top n-grams, and
+  * time-series gap-fill with linear interpolation. All shapes scale: the
+  * benchmark gram set is broadcast (benchmark suites are fixed-size by
+  * construction), splits and spines are per-stratum windows, and the
+  * corpus top-k is a partial-aggregated TakeOrdered — no global funnel.
+  */
+object Curation {
+
+  /** Word n-grams of `textCol` as an array column. Guarded transform over
+    * an index sequence (NOT `sequence(1, size-k)` bare: Spark's sequence
+    * REVERSES when end < start, so short docs would fabricate grams —
+    * same trap as [[Dedup]]'s bigram builder).
+    */
+  private[operators] def gramsOf(textCol: Column, n: Int): Column = {
+    val ws = split(textCol, " ")
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB twin of [[gramsOf]]: range() is exclusive-end and already empty
+    * when end <= start, so only the greatest() guard is needed. */
+  private def gramsSql(n: Int): String =
+    s"list_transform(range(1, greatest(len(ws) - ${n - 2}, 1)), " +
+      s"i -> array_to_string(list_slice(ws, i, i + ${n - 1}), ' '))"
+
+  /** Benchmark decontamination: flag every corpus document sharing at least
+    * one word `n`-gram with the benchmark set (the GPT-3-style overlap
+    * check run before training). Output per non-benchmark doc:
+    * (doc_id, n_grams, n_hits, contaminated) where n_grams = distinct
+    * grams in the doc and n_hits = how many of them occur anywhere in the
+    * benchmark.
+    *
+    * Scale shape: grams are computed map-side and de-duplicated per doc
+    * BEFORE the join (shuffle volume = distinct grams, not occurrences);
+    * the benchmark side is collected into a broadcast leg — benchmark
+    * suites are fixed-size (thousands of documents) no matter how big the
+    * corpus is, so the broadcast is bounded by the BENCHMARK, never the
+    * corpus. The corpus side streams through one broadcast-hash semi-join
+    * at scan speed.
+    */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+      benchPred: Column => Column, n: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+        array_distinct(gramsOf(col(textCol), n)).as("grams"))
+    val dg = base.select(col("doc_id"), explode(col("grams")).as("g"))
+    val bench = dg.filter(benchPred(col("doc_id"))).select("g").distinct()
+    val hits = dg.filter(!benchPred(col("doc_id")))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    base.filter(!benchPred(col("doc_id")))
+      .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Exact stratified train/val/test split: within each stratum, rank rows
+    * by a deterministic hash of the id and cut at floor(frac·n) — every
+    * stratum lands at EXACTLY the requested proportions (a plain
+    * hash-bucket split only hits them in expectation, and small strata can
+    * land far off). The hash ordering makes the split a pure function of
+    * the data: re-running on the same corpus reproduces the same split,
+    * and adding documents reshuffles only within the affected strata.
+    * One shuffle on the stratum key (same window shape as domainQuota).
+    * Output: (doc_id, source, strat_rank, n_strat, split).
+    */
+  def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
+      trainFrac: Double, valFrac: Double): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"need 0 < train, 0 <= val, train+val < 1; got $trainFrac/$valFrac")
+    val w = Window.partitionBy("source").orderBy(col("hkey"), col("doc_id"))
+    df.select(col(idCol).cast(LongType).as("doc_id"), col(strataCol).as("source"))
+      .withColumn("hkey", Sketches.hash48(col("doc_id")))
+      .withColumn("strat_rank", row_number().over(w).cast(LongType))
+      .withColumn("n_strat", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("doc_id"), col("source"), col("strat_rank"), col("n_strat"),
+        when(col("strat_rank") <= floor(lit(trainFrac) * col("n_strat")), "train")
+          .when(col("strat_rank") <= floor(lit(trainFrac + valFrac) * col("n_strat")), "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** Corpus-wide top-k word n-grams by occurrence count (vocabulary /
+    * collocation statistics). The count is a partial-aggregated groupBy
+    * (map-side combine soaks up repeats) and the top-k is
+    * orderBy+limit — Spark plans TakeOrderedAndProject, a per-partition
+    * heap + driver merge of k rows, NOT a global sort. The row_number
+    * ranking runs after the limit, over k rows. Ties break on the gram
+    * string, so output is total-ordered and reproducible.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 2, k: Int = 25): DataFrame = {
+    val counts = df.select(explode(gramsOf(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+    counts.orderBy(col("cnt").desc, col("ngram")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("ngram"))).cast(LongType))
+  }
+
+  /** Daily gap-fill with linear interpolation: aggregate `valCol` per
+    * (key, day), build each key's day spine from its own min to max day,
+    * and fill missing days by interpolating between the surrounding
+    * observations. Sums accumulate in DECIMAL so the double handed to the
+    * interpolation is bit-identical on any engine/merge order; the
+    * interpolation itself is 4 IEEE ops on exact inputs (day deltas are
+    * integers). Edges always exist (the spine is bounded by observed
+    * days), so the fill is total.
+    *
+    * Scale shape: one shuffle on the key for the aggregate; the spine
+    * explode is bounded by the key's time span (days, not rows); both
+    * fill windows share the (key, day) sort of a single exchange.
+    * Output: (key, day, observed, value_filled).
+    */
+  def interpolateDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valCol).cast(DecimalType(30, 6))).as("v"))
+    val spine = daily.groupBy("key").agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("key"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wPrev = Window.partitionBy("key").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("key").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("key", "day"), "left")
+      .withColumn("pv", last(col("v").cast("double"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v").cast("double"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .select(col("key"), col("day"), col("v").isNotNull.as("observed"),
+        (floor(
+          when(col("v").isNotNull, col("v").cast("double"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double"))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("value_filled"))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Decontamination: docs with doc_id % 20 == 0 stand in for the
+    // benchmark suite; 4-grams give a realistic contamination density on
+    // the synthetic vocabulary (~10% of docs share a 4-gram).
+    GraftQuery(
+      "q_decontaminate",
+      (s, dir) => decontaminate(Tables(s, dir, "documents"), "doc_id", "text",
+        id => id % 20 === 0, n = 4).orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |),
+             |g AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1)),
+             |    i -> array_to_string(list_slice(ws, i, i + 3), ' '))) AS grams
+             |  FROM base
+             |),
+             |dg AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+             |bench AS (SELECT DISTINCT gr FROM dg WHERE doc_id % 20 = 0),
+             |hits AS (
+             |  SELECT doc_id, count(*) AS n_hits FROM dg
+             |  WHERE doc_id % 20 <> 0 AND gr IN (SELECT gr FROM bench)
+             |  GROUP BY doc_id
+             |)
+             |SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+             |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             |  coalesce(h.n_hits, 0) > 0 AS contaminated
+             |FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id
+             |WHERE g.doc_id % 20 <> 0 ORDER BY g.doc_id""".stripMargin),
+    ),
+
+    // Exact stratified 80/10/10 split by source.
+    GraftQuery(
+      "q_split_stratified",
+      (s, dir) => stratifiedSplit(Tables(s, dir, "documents"), "doc_id", "source",
+        0.8, 0.1).orderBy("doc_id"),
+      Some(s"""WITH r AS (
+              |  SELECT doc_id, source,
+              |    CAST(row_number() OVER (
+              |      PARTITION BY source ORDER BY ${Sketches.hash48Sql("doc_id")}, doc_id) AS BIGINT) AS strat_rank,
+              |    count(*) OVER (PARTITION BY source) AS n_strat
+              |  FROM documents
+              |)
+              |SELECT doc_id, source, strat_rank, n_strat,
+              |  -- (0.8 + 0.1) computed in DOUBLE, not a 0.9 literal: the Spark
+              |  -- side adds the two fractions in IEEE double (= 0.90000000000000013),
+              |  -- so the oracle must perform the SAME addition
+              |  CASE WHEN strat_rank <= floor(CAST(0.8 AS DOUBLE) * n_strat) THEN 'train'
+              |       WHEN strat_rank <= floor((CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)) * n_strat) THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM r ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Corpus-wide top-25 bigrams with deterministic tie order.
+    GraftQuery(
+      "q_top_ngrams",
+      (s, dir) => topNgrams(Tables(s, dir, "documents"), "text", n = 2, k = 25)
+        .orderBy("rank"),
+      Some("""WITH base AS (
+             |  SELECT string_split(text, ' ') AS ws FROM documents
+             |),
+             |tok AS (
+             |  SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+             |    i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS ngram
+             |  FROM base
+             |),
+             |c AS (SELECT ngram, count(*) AS cnt FROM tok GROUP BY ngram)
+             |SELECT ngram, cnt,
+             |  CAST(row_number() OVER (ORDER BY cnt DESC, ngram) AS BIGINT) AS rank
+             |FROM c ORDER BY cnt DESC, ngram LIMIT 25""".stripMargin),
+    ),
+
+    // Per-user daily purchase series, gaps linearly interpolated (the
+    // purchase stream is ~60% sparse at the day grain).
+    GraftQuery(
+      "q_interpolate",
+      (s, dir) => interpolateDaily(
+        Tables(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", "value").orderBy("key", "day"),
+      Some("""WITH daily AS (
+             |  SELECT user_id AS key, CAST(ts AS DATE) AS day,
+             |    sum(CAST(value AS DECIMAL(30,6))) AS v
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+             |),
+             |b AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+             |spine AS (
+             |  SELECT key, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM b
+             |),
+             |j AS (
+             |  SELECT s.key, s.day, d.v FROM spine s
+             |  LEFT JOIN daily d ON d.key = s.key AND d.day = s.day
+             |),
+             |f AS (
+             |  SELECT key, day, v,
+             |    last_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER w AS pv,
+             |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w AS pd,
+             |    first_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER w2 AS nv,
+             |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w2 AS nd
+             |  FROM j
+             |  WINDOW w AS (PARTITION BY key ORDER BY day
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |         w2 AS (PARTITION BY key ORDER BY day
+             |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |)
+             |SELECT key, day, v IS NOT NULL AS observed,
+             |  floor((CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+             |    ELSE pv + (nv - pv) * CAST(date_diff('day', pd, day) AS DOUBLE)
+             |                        / CAST(date_diff('day', pd, nd) AS DOUBLE) END)
+             |    * 1e6 + 0.5) / 1e6 AS value_filled
+             |FROM f ORDER BY key, day""".stripMargin),
+    ),
+  )
+}

@@ -77,11 +77,12 @@ object Sketches {
   }
 
   // 48-bit hash from the md5 hex prefix: below 2^53, so the long→double
-  // cast in the estimator is EXACT in both engines
-  private def hash48(c: org.apache.spark.sql.Column) =
+  // cast in the estimator is EXACT in both engines. Shared with the other
+  // deterministic-hash operators (Curation splits, BloomPrune positions).
+  private[operators] def hash48(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast(LongType)
 
-  private val hash48Sql = (x: String) =>
+  private[operators] val hash48Sql = (x: String) =>
     s"""list_reduce(list_transform(
        |    string_split_regex(substr(md5(CAST($x AS VARCHAR)), 1, 12), ''),
        |    c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),

@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+/** Round-6 curation operators: decontamination flags exactly the docs that
+  * share a benchmark n-gram, the stratified split hits exact per-stratum
+  * proportions and is deterministic, top-ngram ranking is total-ordered,
+  * and gap-fill interpolation reproduces hand-computed values.
+  */
+class CurationSpec extends SparkSuite {
+
+  test("decontaminate: only docs sharing an n-gram with the benchmark are flagged") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f"),       // benchmark (id % 2 == 0 in this test)
+      (1L, "x y a b c d z"),     // shares 4-gram "a b c d" -> contaminated
+      (2L, "m n o p q"),         // benchmark
+      (3L, "u v w x y"),         // no shared 4-gram
+      (5L, "short doc"),         // < 4 words: zero grams, clean
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs, "doc_id", "text", id => id % 2 === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(1L, 3L, 5L)) // benchmark docs are not scored
+    assert(out(1L) == ((4L, 1L, true)))   // 4 grams, 1 hit
+    assert(out(3L)._2 == 0L && !out(3L)._3)
+    assert(out(5L) == ((0L, 0L, false)))
+  }
+
+  test("decontaminate: a doc duplicating a benchmark doc hits on every gram") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "p q r s t u"), (1L, "p q r s t u")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs, "doc_id", "text", id => id % 2 === 0)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((3L, 3L))) // all 3 grams of doc 1 are benchmark grams
+  }
+
+  test("stratifiedSplit: exact per-stratum proportions, deterministic, disjoint") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 230L).map(i => (i, if (i <= 200) "big" else "small")).toDF("id", "src")
+    val out = Curation.stratifiedSplit(df, "id", "src", 0.8, 0.1).cache()
+    try {
+      val byStratum = out.groupBy("source", "split").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // big: n=200 -> 160/20/20; small: n=30 -> 24/3/3
+      assert(byStratum == Map(
+        ("big", "train") -> 160L, ("big", "val") -> 20L, ("big", "test") -> 20L,
+        ("small", "train") -> 24L, ("small", "val") -> 3L, ("small", "test") -> 3L))
+      // deterministic: a second run assigns every row identically
+      val again = Curation.stratifiedSplit(df, "id", "src", 0.8, 0.1)
+        .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      out.select("doc_id", "split").collect()
+        .foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
+    } finally out.unpersist()
+  }
+
+  test("stratifiedSplit: rejects degenerate fractions") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a")).toDF("id", "src")
+    intercept[IllegalArgumentException](Curation.stratifiedSplit(df, "id", "src", 0.9, 0.1))
+    intercept[IllegalArgumentException](Curation.stratifiedSplit(df, "id", "src", 0.0, 0.5))
+  }
+
+  test("topNgrams: counts occurrences (not distinct docs) and breaks ties on the gram") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("a b a b", "a b z", "c d").toDF("text")
+    // bigrams: "a b"x2 +1 = 3? doc1: (a b),(b a),(a b) -> "a b" twice
+    val out = Curation.topNgrams(docs, "text", n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a b", 3L, 1L), ("b a", 1L, 2L), ("b z", 1L, 3L)))
+  }
+
+  test("interpolateDaily: hand-computed linear fill on an interior gap") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2.0), // day sum 12
+      (1L, java.sql.Timestamp.valueOf("2024-01-04 09:00:00"), 18.0),
+      (2L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 5.0), // single-day key
+    ).toDF("k", "ts", "v")
+    val out = Curation.interpolateDaily(rows, "k", "ts", "v")
+      .orderBy("key", "day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getBoolean(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01", true, 12.0),
+      (1L, "2024-01-02", false, 14.0), // 12 + (18-12)*1/3
+      (1L, "2024-01-03", false, 16.0),
+      (1L, "2024-01-04", true, 18.0),
+      (2L, "2024-02-01", true, 5.0)))
+  }
+
+  test("interpolateDaily: observed days pass through exactly (no fill applied)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, java.sql.Timestamp.valueOf("2024-03-05 01:00:00"), 7.25),
+      (1L, java.sql.Timestamp.valueOf("2024-03-06 01:00:00"), 0.5)).toDF("k", "ts", "v")
+    val out = Curation.interpolateDaily(rows, "k", "ts", "v").orderBy("day").collect()
+    assert(out.map(_.getDouble(3)).toSeq == Seq(7.25, 0.5))
+    assert(out.forall(_.getBoolean(2)))
+  }
+}
