@@ -13,7 +13,8 @@ object SparkEntry {
       operators.Analytics.queries ++ operators.Extended.queries ++
       operators.Ml.queries ++ operators.Sketches.queries ++
       operators.Warehouse.queries ++ operators.Curation.queries ++
-      operators.BloomPrune.queries
+      operators.BloomPrune.queries ++ operators.SkewLayout.queries ++
+      operators.Graph.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

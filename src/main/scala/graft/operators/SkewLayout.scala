@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Physical-layout operators for the 100 TB tier: explicit salt-replicated
+  * joins for skewed keys (the manual counterpart of AQE's skew-join split,
+  * for engines/paths where AQE can't see the skew — e.g. a skewed
+  * broadcast-ineligible dim, or a pre-AQE Spark) and Z-order keys for
+  * multi-dimensional data clustering (co-locate rows that are close in
+  * several columns so file/row-group pruning works for predicates on ANY
+  * of them, not just the leading sort column).
+  */
+object SkewLayout {
+
+  /** Salt-replicated equi-join: the fact side gets a deterministic salt in
+    * [0, salts) hashed from `saltBy` (a per-row unique column, so hot keys
+    * spread across `salts` reducers), the dim side is replicated once per
+    * salt value, and the join key becomes (key, salt). Result-identical to
+    * the plain equi-join — every fact row still meets every dim row of its
+    * key exactly once — but a key holding X% of the fact now occupies
+    * `salts` tasks instead of one. Cost: dim shuffle volume × salts, which
+    * is the standard salting trade (use on skewed FACTS joining modest
+    * dims). Output: fact columns + dim columns, salt dropped.
+    */
+  def saltedEquiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, salts: Int, saltBy: String): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val sf = fact.withColumn("__salt",
+      pmod(Sketches.hash48(col(saltBy)), lit(salts.toLong)).cast("int"))
+    val sd = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    sf.join(sd, sf(factKey) === sd(dimKey) && sf("__salt") === sd("__salt"))
+      .drop("__salt")
+  }
+
+  /** Morton/Z-order key over two numeric columns: quantize each to
+    * 2^bits levels against its own [min, max] range (range agg is a
+    * 1-row broadcast, NOT a global sort — no ntile funnel), then
+    * interleave the bits. Pure integer arithmetic end-to-end, so the key
+    * is deterministic and engine-portable. Rows equal in one dimension
+    * and close in the other land in nearby key ranges, which is the
+    * property file-level min/max pruning needs.
+    */
+  def zOrderKey(xQ: Column, yQ: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 16, s"bits must be in [1,16], got $bits")
+    // interleave: sum over b of bit(x,b)·2^(2b+1) + bit(y,b)·2^(2b)
+    (0 until bits).map { b =>
+      val xb = pmod(floor(xQ / lit(math.pow(2, b))).cast(LongType), lit(2L))
+      val yb = pmod(floor(yQ / lit(math.pow(2, b))).cast(LongType), lit(2L))
+      xb * lit(1L << (2 * b + 1)) + yb * lit(1L << (2 * b))
+    }.reduce(_ + _)
+  }
+
+  /** Quantize `c` to [0, 2^bits) against [mn, mx]: floor of the scaled
+    * position, clamped so mx itself lands in the top cell. Exact-input
+    * parity: the division is one IEEE op on doubles both engines build
+    * identically.
+    */
+  def quantize(c: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val levels = (1L << bits).toDouble
+    least(lit((1L << bits) - 1),
+      floor((c.cast("double") - mn) / (mx - mn + lit(1e-9)) * lit(levels)).cast(LongType))
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // Salted join must be invisible in the result: lineitem ⋈ part on
+    // l_partkey with 8 salts, aggregated per p_type — the oracle is the
+    // plain join.
+    GraftQuery(
+      "q_salted_join",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val part = Tables(s, dir, "part")
+        saltedEquiJoin(li, "l_partkey", part, "p_partkey", 8, "l_orderkey")
+          .groupBy("p_type")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast(DecimalType(30, 6))).cast("double").as("sum_qty"))
+          .orderBy("p_type")
+      },
+      Some("""SELECT p_type, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+
+    // Z-order layout key over (o_totalprice, o_custkey) at 8 bits/dim:
+    // emit the key and the leading-byte bucket a writer would range-
+    // partition on. The oracle replicates the integer bit-interleave.
+    GraftQuery(
+      "q_zorder",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val r = orders.agg(
+          min(col("o_totalprice").cast("double")).as("mn_p"),
+          max(col("o_totalprice").cast("double")).as("mx_p"),
+          min(col("o_custkey").cast("double")).as("mn_c"),
+          max(col("o_custkey").cast("double")).as("mx_c"))
+        val q = orders.crossJoin(broadcast(r))
+          .withColumn("qp", quantize(col("o_totalprice"), col("mn_p"), col("mx_p"), 8))
+          .withColumn("qc", quantize(col("o_custkey"), col("mn_c"), col("mx_c"), 8))
+        q.select(col("o_orderkey"), col("qp"), col("qc"),
+            zOrderKey(col("qp"), col("qc"), 8).as("zkey"))
+          .withColumn("zbucket", floor(col("zkey") / lit(4096.0)).cast(LongType))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH r AS (
+             |  SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn_p, max(CAST(o_totalprice AS DOUBLE)) AS mx_p,
+             |         min(CAST(o_custkey AS DOUBLE)) AS mn_c, max(CAST(o_custkey AS DOUBLE)) AS mx_c
+             |  FROM orders
+             |),
+             |q AS (
+             |  SELECT o_orderkey,
+             |    least(255, CAST(floor((CAST(o_totalprice AS DOUBLE) - mn_p) / (mx_p - mn_p + 1e-9) * 256.0) AS BIGINT)) AS qp,
+             |    least(255, CAST(floor((CAST(o_custkey AS DOUBLE) - mn_c) / (mx_c - mn_c + 1e-9) * 256.0) AS BIGINT)) AS qc
+             |  FROM orders CROSS JOIN r
+             |)
+             |SELECT o_orderkey, qp, qc,
+             |  CAST(list_reduce(list_transform(range(0, 8),
+             |    b -> (qp // CAST(pow(2, b) AS BIGINT) % 2) * CAST(pow(2, 2*b+1) AS BIGINT)
+             |       + (qc // CAST(pow(2, b) AS BIGINT) % 2) * CAST(pow(2, 2*b) AS BIGINT)),
+             |    (a, b) -> a + b) AS BIGINT) AS zkey,
+             |  CAST(floor(CAST(list_reduce(list_transform(range(0, 8),
+             |    b -> (qp // CAST(pow(2, b) AS BIGINT) % 2) * CAST(pow(2, 2*b+1) AS BIGINT)
+             |       + (qc // CAST(pow(2, b) AS BIGINT) % 2) * CAST(pow(2, 2*b) AS BIGINT)),
+             |    (a, b) -> a + b) AS DOUBLE) / 4096.0) AS BIGINT) AS zbucket
+             |FROM q ORDER BY o_orderkey""".stripMargin),
+    ),
+  )
+}

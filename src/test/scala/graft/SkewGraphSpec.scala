@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Graph, SkewLayout}
+import org.apache.spark.sql.functions._
+
+/** Salted joins must be result-invisible at any salt count, Z-order keys
+  * must interleave bits exactly and preserve locality, and PageRank must
+  * be partitioning-invariant (the point of integer arithmetic) and match
+  * a hand-computed fixpoint on a toy graph.
+  */
+class SkewGraphSpec extends SparkSuite {
+
+  test("saltedEquiJoin: any salt count is result-identical to the plain join") {
+    val s = spark
+    import s.implicits._
+    // skewed fact: key 1 holds 80% of rows
+    val fact = ((1 to 80).map(i => (1L, i.toLong)) ++ (1 to 20).map(i => (2L, 100L + i)))
+      .toDF("fk", "row_id")
+    val dim = Seq((1L, "hot"), (2L, "cold"), (3L, "unmatched")).toDF("dk", "label")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .groupBy("label").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (salts <- Seq(1, 4, 13)) {
+      val salted = SkewLayout.saltedEquiJoin(fact, "fk", dim, "dk", salts, "row_id")
+        .groupBy("label").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(salted == plain, s"salts=$salts")
+    }
+    assert(plain == Map("hot" -> 80L, "cold" -> 20L))
+  }
+
+  test("saltedEquiJoin: duplicate dim rows per key survive (inner-join multiplicity)") {
+    val s = spark
+    import s.implicits._
+    val fact = Seq((1L, 10L), (1L, 11L)).toDF("fk", "row_id")
+    val dim = Seq((1L, "a"), (1L, "b")).toDF("dk", "label")
+    assert(SkewLayout.saltedEquiJoin(fact, "fk", dim, "dk", 5, "row_id").count() == 4)
+  }
+
+  test("zOrderKey: exact bit interleave on known values") {
+    val s = spark
+    import s.implicits._
+    // x=0b101 (5), y=0b011 (3) at 3 bits -> z = interleave(x,y) = 0b100111 = 39
+    val df = Seq((5L, 3L)).toDF("x", "y")
+    val z = df.select(SkewLayout.zOrderKey(col("x"), col("y"), 3).as("z"))
+      .head().getLong(0)
+    assert(z == 39L)
+    // locality: adjacent cells differ in low bits only
+    val z2 = Seq((5L, 2L)).toDF("x", "y")
+      .select(SkewLayout.zOrderKey(col("x"), col("y"), 3).as("z")).head().getLong(0)
+    assert((z ^ z2) == 1L) // y 3->2 flips only bit 0
+  }
+
+  test("quantize: range endpoints land in first and last cell, monotone") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(0.0, 2.5, 5.0, 7.5, 10.0).toDF("v")
+    val q = df.select(SkewLayout.quantize(col("v"), lit(0.0), lit(10.0), 2).as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(q == Seq(0L, 0L, 1L, 2L, 3L))
+  }
+
+  test("pageRank: hand-computed one-round values on a 3-node chain") {
+    val s = spark
+    import s.implicits._
+    // a -> b, a -> c, b -> c ; scale 100, one iteration
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 1, scale = 100L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // base = 15; a: no inbound -> 15; b: 85*(100/2)//100 = 42 -> 57
+    // c: inbound a (50) + b (100) -> 85*150//100 = 127 -> 142
+    assert(r == Map(1L -> 15L, 2L -> 57L, 3L -> 142L))
+  }
+
+  test("pageRank: partitioning-invariant (integer arithmetic has no merge order)") {
+    val s = spark
+    import s.implicits._
+    val edges = (1L to 60L).map(i => (i % 7, i % 11)).filter(e => e._1 != e._2)
+      .toDF("src", "dst")
+    def run(parts: Int) =
+      Graph.pageRank(edges.repartition(parts), iters = 4)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(1) == run(13))
+  }
+
+  test("pageRank: rejects out-of-range iteration counts") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(e, iters = 0))
+    intercept[IllegalArgumentException](Graph.pageRank(e, iters = 51))
+  }
+}
