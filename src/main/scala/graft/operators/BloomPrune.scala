@@ -22,12 +22,16 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object BloomPrune {
 
-  /** k bit positions for a key: independent md5-derived 48-bit hashes,
-    * seeded per probe, mod mBits. Pure Column arithmetic — identical for
-    * build and probe sides by construction. */
+  /** k bit positions for a key: independent xxhash64 hashes seeded per
+    * probe, mod mBits. xxhash64, not the md5-based parity hash — the
+    * filter never appears in any oracle-checked value (false positives
+    * are removed by the exact join), so it only needs build/probe
+    * consistency, and xxhash64 is a codegen'd native expression (the md5
+    * variant cost ~1s/150k rows at probe time). Pure Column arithmetic —
+    * identical for build and probe sides by construction. */
   private def positions(key: Column, mBits: Int, k: Int): Seq[Column] =
     (0 until k).map { s =>
-      pmod(Sketches.hash48(concat(key.cast("string"), lit(s"#$s"))), lit(mBits.toLong))
+      pmod(xxhash64(key, lit(s)), lit(mBits.toLong))
     }
 
   /** Build the filter as an Array[Long] bitset: positions → (word, bit),

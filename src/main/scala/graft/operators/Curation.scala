@@ -23,10 +23,20 @@ object Curation {
     */
   private[operators] def gramsOf(textCol: Column, n: Int): Column = {
     val ws = split(textCol, " ")
-    when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", slice(ws, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    if (n == 2)
+      // one-pass zip_with form: O(words), vs the general slice-per-index
+      // form's O(words·n) — bigrams are the corpus-statistics hot path.
+      // concat (null-propagating), NOT concat_ws: zip_with pads the short
+      // side with null and the trailing (last, null) pair must drop, not
+      // truncate to a bare word
+      filter(
+        zip_with(ws, slice(ws, lit(2), size(ws)), (a, b) => concat(a, lit(" "), b)),
+        g => g.isNotNull)
+    else
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
   }
 
   /** DuckDB twin of [[gramsOf]]: range() is exclusive-end and already empty

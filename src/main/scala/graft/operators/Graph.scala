@@ -36,17 +36,23 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(false)
-    val od = e.groupBy("src").agg(count(lit(1)).as("od")).localCheckpoint(false)
+    // out-degree folded into the edge frame ONCE — it is constant across
+    // rounds, so joining it per round would pay iters× for a static column
+    val eod = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .localCheckpoint(false)
     var pr = nodes.withColumn("r", lit(scale))
     for (_ <- 1 to iters) {
-      val contribs = pr.join(e, pr("node") === e("src"))
-        .join(od, "src")
+      val contribs = pr.join(eod, pr("node") === eod("src"))
         .select(col("dst").as("node"), expr("r div od").as("c"))
         .groupBy("node").agg(sum("c").as("m"))
+      // lazy checkpoint: truncates lineage identically but materializes on
+      // the caller's action instead of firing an eager job per round (the
+      // eager form cost ~5 blocking jobs before the query even ran)
       pr = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(scale * 15 / 100) + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     pr.select(col("node"), col("r").as("rank"))
   }

@@ -28,8 +28,10 @@ object SkewLayout {
   def saltedEquiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, salts: Int, saltBy: String): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // xxhash64, not the md5 parity hash: the salt is result-invisible (it
+    // only routes rows), so it needs determinism, not cross-engine parity
     val sf = fact.withColumn("__salt",
-      pmod(Sketches.hash48(col(saltBy)), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(col(saltBy)), lit(salts.toLong)).cast("int"))
     val sd = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     sf.join(sd, sf(factKey) === sd(dimKey) && sf("__salt") === sd("__salt"))
