@@ -14,6 +14,45 @@ object Analytics {
 
   val queries: Seq[GraftQuery] = Seq(
 
+    // Per-group z-score anomaly flags: moments via exact decimal sums (the
+    // UCL recipe — order-insensitive, then identical double math on both
+    // engines), broadcast back onto the stream, |z| > 3 flags outliers.
+    // A zero stddev (constant group) yields z = 0, never a division blowup.
+    GraftQuery(
+      "q_anomaly",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val m = e.groupBy("event_type").agg(
+          sum(col("value").cast(DecimalType(30, 10))).cast(DoubleType).as("sm"),
+          sum((col("value") * col("value")).cast(DecimalType(30, 10))).cast(DoubleType).as("s2"),
+          count(lit(1)).as("n"))
+        val mean = col("sm") / col("n")
+        val sd = sqrt(greatest(lit(0.0), col("s2") / col("n") - (col("sm") / col("n")) * (col("sm") / col("n"))))
+        e.join(broadcast(m), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            (floor(when(sd === 0.0, lit(0.0))
+              .otherwise((col("value") - mean) / sd) * lit(1e4) + lit(0.5)) / lit(1e4)).as("z"),
+            when(sd === 0.0, lit(false))
+              .otherwise(abs((col("value") - mean) / sd) > 3.0).as("is_anomaly"))
+          .orderBy("event_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type,
+             |    CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sm,
+             |    CAST(sum(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE) AS s2,
+             |    count(*) AS n
+             |  FROM events GROUP BY event_type
+             |)
+             |SELECT event_id, e.event_type, value,
+             |  floor((CASE WHEN sqrt(greatest(0.0, s2 / n - (sm / n) * (sm / n))) = 0.0 THEN 0.0
+             |    ELSE (value - sm / n) / sqrt(greatest(0.0, s2 / n - (sm / n) * (sm / n))) END)
+             |    * 1e4 + 0.5) / 1e4 AS z,
+             |  CASE WHEN sqrt(greatest(0.0, s2 / n - (sm / n) * (sm / n))) = 0.0 THEN FALSE
+             |    ELSE abs((value - sm / n) / sqrt(greatest(0.0, s2 / n - (sm / n) * (sm / n)))) > 3.0 END AS is_anomaly
+             |FROM events e JOIN m ON m.event_type = e.event_type
+             |ORDER BY event_id""".stripMargin),
+    ),
+
     // Exact interpolated quantiles per group (percentile == quantile_cont's
     // rank = p·(n−1) definition in both engines).
     GraftQuery(

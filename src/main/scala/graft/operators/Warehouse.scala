@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -70,7 +70,72 @@ object Warehouse {
       .drop("__tie")
   }
 
+  /** Apply a CDC delta to a snapshot (MERGE semantics): the latest op per
+    * key wins (`seqCol` descending), 'D' removes the key, anything else
+    * upserts the delta payload. Payload columns of `delta` must match the
+    * snapshot schema. One shuffle on the key for the latest-op window,
+    * one anti-join, one union — the standard incremental-refresh shape
+    * (the alternative, rebuilding the snapshot from full history, rescans
+    * everything ever written).
+    */
+  def cdcMerge(snapshot: DataFrame, delta: DataFrame, keyCol: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(seqCol).desc)
+    val latest = delta.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val upserts = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    snapshot.join(latest.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+
+    // MERGE semantics over a deterministic delta synthesized from the
+    // customer table: updates (key%10=0, +100), deletes (key%10=1),
+    // inserts (key%10=2, offset key space), and a CONFLICTING second
+    // update (key%100=0, +200, higher seq) that must win over the first.
+    GraftQuery(
+      "q_cdc_merge",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("seg"))
+        def d(pred: Column, kk: Column, bb: Column, ss: Column, op: String, seq: Long) =
+          c.filter(pred).select(kk.as("k"), bb.as("bal"), ss.as("seg"),
+            lit(op).as("op"), lit(seq).as("seq"))
+        val delta =
+          d(col("k") % 10 === 0, col("k"), col("bal") + 100, col("seg"), "U", 1L)
+            .unionByName(d(col("k") % 10 === 1, col("k"), col("bal"), col("seg"), "D", 1L))
+            .unionByName(d(col("k") % 10 === 2, col("k") + 1000000L, col("bal"), lit("NEW"), "I", 1L))
+            .unionByName(d(col("k") % 100 === 0, col("k"), col("bal") + 200, col("seg"), "U", 2L))
+        cdcMerge(c, delta, "k", "seq", "op").orderBy("k")
+      },
+      Some("""WITH snap AS (
+             |  SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer
+             |),
+             |delta AS (
+             |  SELECT c_custkey AS k, c_acctbal + 100 AS bal, c_mktsegment AS seg, 'U' AS op, 1 AS seq
+             |  FROM customer WHERE c_custkey % 10 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_acctbal, c_mktsegment, 'D', 1
+             |  FROM customer WHERE c_custkey % 10 = 1
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, c_acctbal, 'NEW', 'I', 1
+             |  FROM customer WHERE c_custkey % 10 = 2
+             |  UNION ALL
+             |  SELECT c_custkey, c_acctbal + 200, c_mktsegment, 'U', 2
+             |  FROM customer WHERE c_custkey % 100 = 0
+             |),
+             |latest AS (
+             |  SELECT k, bal, seg, op FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM delta
+             |  ) WHERE rn = 1
+             |)
+             |SELECT k, bal, seg FROM snap WHERE k NOT IN (SELECT k FROM latest)
+             |UNION ALL
+             |SELECT k, bal, seg FROM latest WHERE op <> 'D'
+             |ORDER BY k""".stripMargin),
+    ),
 
     // Incremental maintenance equivalence: state(ts < split) merged with
     // state(ts >= split) must equal the one-shot aggregate over everything

@@ -77,4 +77,28 @@ class WarehouseSpec extends SparkSuite {
           w(1).getAs[java.sql.Timestamp]("valid_from"))
     }
   }
+
+  test("cdcMerge: latest op wins, D deletes, I/U upsert, untouched rows survive") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val delta = Seq(
+      (1L, "a2", "U", 1L), (1L, "a3", "U", 2L), // conflicting updates: seq 2 wins
+      (2L, "x", "D", 1L),                        // delete
+      (4L, "d", "I", 1L),                        // insert
+      (5L, "e", "I", 1L), (5L, "ignored", "D", 2L), // insert then delete -> absent
+    ).toDF("k", "v", "op", "seq")
+    val got = Warehouse.cdcMerge(snap, delta, "k", "seq", "op")
+      .orderBy("k").collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1L -> "a3", 3L -> "c", 4L -> "d"))
+  }
+
+  test("cdcMerge: empty delta is the identity") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val delta = Seq.empty[(Long, String, String, Long)].toDF("k", "v", "op", "seq")
+    assert(Warehouse.cdcMerge(snap, delta, "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(1L -> "a"))
+  }
 }
