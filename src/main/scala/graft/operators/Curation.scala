@@ -156,7 +156,81 @@ object Curation {
             * lit(1e6) + lit(0.5)) / lit(1e6)).as("value_filled"))
   }
 
+  /** Overlapping word-window chunking (the embedding-pipeline splitter:
+    * long documents become chunkSize-token windows advancing by
+    * chunkSize − overlap). Pure map-side generate — scan speed, no
+    * shuffle; chunk ids are per-document ordinals so downstream stages can
+    * reassemble or as-of-join chunks back to documents.
+    * Output: (doc_id, chunk_id, chunk_text, n_tokens).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got $overlap/$chunkSize")
+    val stride = chunkSize - overlap
+    val ws = split(col(textCol), " ")
+    df.select(col(idCol).cast(LongType).as("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("words"),
+        posexplode(transform(sequence(lit(1), size(col("ws")), lit(stride)),
+          st => concat_ws(" ", slice(col("ws"), st, lit(chunkSize))))))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("chunk_id"),
+        col("col").as("chunk_text"),
+        least(lit(chunkSize.toLong),
+          (col("words") - (col("pos") * stride + 1) + 1).cast(LongType)).as("n_tokens"))
+  }
+
+  /** Per-label centroid of the quantized embeddings, one (label, dim) row
+    * per coordinate: posexplode → partial-aggregated groupBy on
+    * (label, dim) — the vector mean never materializes per-group arrays
+    * or collects anything. Quantized-integer sums (the Similarity recipe)
+    * keep the mean exact-input-identical under any merge order.
+    * Output: (label, dim, mean_v).
+    */
+  def labelCentroids(embs: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast(LongType))
+    embs.select(col(labelCol).cast(LongType).as("label"), posexplode(q))
+      .groupBy(col("label"), col("pos").cast(LongType).as("dim"))
+      .agg(sum("col").as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (floor(col("sq").cast("double") / col("n") / lit(1000.0) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("mean_v"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+
+    // Overlapping 40-token chunks advancing by 30 (10-token overlap).
+    GraftQuery(
+      "q_chunk",
+      (s, dir) => chunkDocs(Tables(s, dir, "documents"), "doc_id", "text", 40, 10)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |)
+             |SELECT doc_id,
+             |  CAST((st - 1) // 30 + 1 AS BIGINT) AS chunk_id,
+             |  array_to_string(list_slice(ws, st, st + 39), ' ') AS chunk_text,
+             |  CAST(least(40, len(ws) - st + 1) AS BIGINT) AS n_tokens
+             |FROM base, unnest(range(1, len(ws) + 1, 30)) AS t(st)
+             |ORDER BY doc_id, chunk_id""".stripMargin),
+    ),
+
+    // Per-label embedding centroids (quantized-exact coordinate means).
+    GraftQuery(
+      "q_centroid",
+      (s, dir) => labelCentroids(Tables(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "dim"),
+      Some("""SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS BIGINT) AS dim,
+             |  floor(CAST(sum(q) AS DOUBLE) / count(*) / 1000.0 * 1e6 + 0.5) / 1e6 AS mean_v
+             |FROM (
+             |  SELECT label,
+             |    unnest(list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS q,
+             |    generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings
+             |)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
 
     // Decontamination: docs with doc_id % 20 == 0 stand in for the
     // benchmark suite; 4-grams give a realistic contamination density on

@@ -42,6 +42,9 @@ object Scale {
     * content-derived, no rand(), so replays/retries are stable); the small
     * side is replicated saltFactor times. The hot key's rows spread over
     * saltFactor tasks instead of one straggler.
+    * Same-named-key convenience form; [[SkewLayout.saltedEquiJoin]] is the
+    * oracle-verified variant for differently-named keys with an explicit
+    * salt-source column.
     *
     * AQE's skew-join split handles sort-merge cases adaptively; explicit
     * salting remains the tool when the skew is in an aggregation key or AQE

@@ -96,6 +96,42 @@ class CurationSpec extends SparkSuite {
       (2L, "2024-02-01", true, 5.0)))
   }
 
+  test("chunkDocs: window starts, overlap, and trailing-chunk length are exact") {
+    val s = spark
+    import s.implicits._
+    // 7 words, chunkSize 4, overlap 2 -> stride 2 -> starts 1,3,5,7
+    val docs = Seq((9L, "w1 w2 w3 w4 w5 w6 w7")).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, "doc_id", "text", 4, 2)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "w1 w2 w3 w4", 4L),
+      (2L, "w3 w4 w5 w6", 4L),
+      (3L, "w5 w6 w7", 3L),
+      (4L, "w7", 1L)))
+  }
+
+  test("chunkDocs: rejects overlap >= chunkSize") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Curation.chunkDocs(docs, "doc_id", "text", 4, 4))
+  }
+
+  test("labelCentroids: hand-computed coordinate means, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val embs = Seq(
+      (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 6.0f), 0), // label 0: mean (2.0, 4.0)
+      (3L, Seq(0.5f, 0.25f), 1),                           // label 1: itself
+    ).toDF("vec_id", "embedding", "label")
+    def run(parts: Int) = Curation.labelCentroids(embs.repartition(parts), "label", "embedding")
+      .orderBy("label", "dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run(1) == Seq((0L, 0L, 2.0), (0L, 1L, 4.0), (1L, 0L, 0.5), (1L, 1L, 0.25)))
+    assert(run(1) == run(3))
+  }
+
   test("interpolateDaily: observed days pass through exactly (no fill applied)") {
     val s = spark
     import s.implicits._
