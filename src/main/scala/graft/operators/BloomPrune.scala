@@ -31,7 +31,11 @@ object BloomPrune {
     * identical for build and probe sides by construction. */
   private def positions(key: Column, mBits: Int, k: Int): Seq[Column] =
     (0 until k).map { s =>
-      pmod(xxhash64(key, lit(s)), lit(mBits.toLong))
+      // hash the STRING form: xxhash64 is type-dependent (hash(1:Int) !=
+      // hash(1L)), so a fact/dim key-type mismatch would silently produce
+      // false negatives — the one failure mode this operator must not have.
+      // The string cast canonicalizes numerics to the same bytes.
+      pmod(xxhash64(key.cast("string"), lit(s)), lit(mBits.toLong))
     }
 
   /** Build the filter as an Array[Long] bitset: positions → (word, bit),
@@ -72,6 +76,11 @@ object BloomPrune {
     * NULL matches nothing). */
   def bloomSemiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, mBits: Int = 1 << 17, k: Int = 3): DataFrame = {
+    // NOTE: the bitset build runs HERE, at construction time (dim scan +
+    // collect), not at the returned frame's first action — plan-only
+    // consumers (explain) pay it too. The in-plan alternative (a scalar
+    // subquery aggregate, as Spark's runtime-bloom rewrite does) is not
+    // expressible through the public DataFrame API.
     val words = buildBloom(dim, dimKey, mBits, k)
     fact.filter(col(factKey).isNotNull &&
         mightContain(words, col(factKey), mBits, k))

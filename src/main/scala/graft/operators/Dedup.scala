@@ -381,15 +381,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
       maxTileRows: Long = MaxTileRows): DataFrame = {
     val grams = df
-      .withColumn("ws", split(col(textCol), " "))
       .select(col(blockCol).cast("string").as("__blk"), col(idCol).cast("long").as("__id"),
-        // bigrams as zip(ws, ws[1:]) — total on single-word docs (the
-        // sequence(1, size-1) formulation reverses into [1, 0] when size = 1
-        // and faults on element_at): zip_with pads the shorter slice with
-        // null, concat null-propagates, and the filter drops the pad slot.
-        array_distinct(expr(
-          "filter(zip_with(ws, slice(ws, 2, size(ws)), (a, b) -> concat(a, ' ', b)), g -> g IS NOT NULL)"
-        )).as("gs"))
+        // bigrams via the shared builder (zip_with + null-filter — total on
+        // single-word docs, where sequence(1, size-1) would reverse): ONE
+        // home for the trap-avoidance logic, shared with Curation
+        array_distinct(Curation.gramsOf(col(textCol), 2)).as("gs"))
     blockedAllPairs(grams, containment = false, maxTileRows)
       .withColumnRenamed("score", "jaccard")
   }

@@ -97,7 +97,10 @@ object Sketches {
       "q_heavy_hitters",
       (s, dir) => heavyHitters(Tables(s, dir, "lineitem"), "l_partkey", 0.00065)
         .orderBy("key"),
-      Some("""WITH n AS (SELECT count(*) AS n FROM lineitem),
+      // count(l_partkey), not count(*): the operator's n counts non-null
+      // castable keys (nulls are excluded by contract), so the oracle's
+      // support threshold must use the same denominator
+      Some("""WITH n AS (SELECT count(l_partkey) AS n FROM lineitem),
              |c AS (SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1)
              |SELECT key, cnt FROM c, n
              |WHERE CAST(cnt AS DOUBLE) >= 0.00065 * CAST(n AS DOUBLE)

@@ -80,7 +80,12 @@ object Warehouse {
     */
   def cdcMerge(snapshot: DataFrame, delta: DataFrame, keyCol: String,
       seqCol: String, opCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(col(seqCol).desc)
+    // content-hash tiebreak after seq: two delta rows sharing (key, seq)
+    // would otherwise resolve by partitioning order — a nondeterministic
+    // merge. CDC feeds normally guarantee unique (key, seq); the tiebreak
+    // makes the degenerate case reproducible instead of run-dependent.
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(seqCol).desc, xxhash64(delta.columns.toIndexedSeq.map(col): _*))
     val latest = delta.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val upserts = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)

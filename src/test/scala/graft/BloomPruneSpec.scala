@@ -39,6 +39,18 @@ class BloomPruneSpec extends SparkSuite {
     assert(pre < total / 2, s"no pruning happened: $pre of $total passed")
   }
 
+  test("mixed key types (int fact vs long dim) still have no false negatives") {
+    val s = spark
+    import s.implicits._
+    // xxhash64 is type-dependent; the string-canonicalized positions must
+    // make an Int fact key meet a Long dim key
+    val fact = Seq(1, 2, 99).toDF("fk") // IntegerType
+    val dim = Seq(1L, 2L).toDF("dk")    // LongType
+    val out = BloomPrune.bloomSemiJoin(fact, "fk", dim, "dk")
+      .collect().map(_.getInt(0)).toSet
+    assert(out == Set(1, 2))
+  }
+
   test("null fact keys are dropped (semi-join semantics)") {
     val s = spark
     import s.implicits._

@@ -93,6 +93,16 @@ class WarehouseSpec extends SparkSuite {
     assert(got == Seq(1L -> "a3", 3L -> "c", 4L -> "d"))
   }
 
+  test("cdcMerge: tied (key, seq) resolves deterministically across partitionings") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq((1L, "z")).toDF("k", "v")
+    val delta = Seq((1L, "a", "U", 1L), (1L, "b", "U", 1L)).toDF("k", "v", "op", "seq")
+    def run(parts: Int) = Warehouse.cdcMerge(snap, delta.repartition(parts), "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(run(1) == run(7)) // content-hash tiebreak: same winner, any layout
+  }
+
   test("cdcMerge: empty delta is the identity") {
     val s = spark
     import s.implicits._
