@@ -53,6 +53,94 @@ object Analytics {
              |ORDER BY event_id""".stripMargin),
     ),
 
+    // Inactivity-gap sessionization with explicit session ids: a session
+    // breaks after >30 min of silence; ids are per-user ordinals so any
+    // downstream stage can group on (user, session). Three window
+    // functions, ONE partitioning — Spark plans a single exchange on
+    // user_id and reuses its sort for all of them. (session_window —
+    // q_window_tumbling's cousin — aggregates per session; this keeps
+    // every event row, which is what feature pipelines join against.)
+    // Seconds via truncated epoch on both engines (the established
+    // unix_timestamp parity recipe).
+    GraftQuery(
+      "q_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("secs", "event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts").cast("long").as("secs"))
+          .withColumn("is_new",
+            when(lag("secs", 1).over(w).isNull ||
+              col("secs") - lag("secs", 1).over(w) > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum("is_new").over(wRun))
+          .withColumn("evt_in_session",
+            row_number().over(Window.partitionBy("user_id", "session_id")
+              .orderBy("secs", "event_id")).cast("long"))
+          .select("event_id", "user_id", "session_id", "evt_in_session")
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs
+             |  FROM events
+             |),
+             |f AS (
+             |  SELECT *, CASE WHEN lag(secs) OVER w IS NULL
+             |    OR secs - lag(secs) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+             |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id)
+             |),
+             |g AS (
+             |  SELECT event_id, user_id, secs,
+             |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY secs, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM f
+             |)
+             |SELECT event_id, user_id, session_id,
+             |  CAST(row_number() OVER (PARTITION BY user_id, session_id
+             |    ORDER BY secs, event_id) AS BIGINT) AS evt_in_session
+             |FROM g ORDER BY event_id""".stripMargin),
+    ),
+
+    // Cohort retention: users bucketed by first-seen day, activity counted
+    // per (cohort, day offset). The cohort frame is small (one row per
+    // user) — broadcast back onto the stream; the retention grid is a
+    // partial-aggregated groupBy.
+    GraftQuery(
+      "q_retention",
+      (s, dir) => {
+        val d = Tables(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val cohort = d.groupBy("user_id").agg(min("day").as("cohort_day"))
+        d.join(broadcast(cohort), "user_id")
+          .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+             |),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+             |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+             |  count(DISTINCT d.user_id) AS n_users
+             |FROM d JOIN c ON c.user_id = d.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+
+    // Fixed-width histogram (data profiling): one partial-aggregated
+    // groupBy on the computed bin — never an ntile/global sort.
+    GraftQuery(
+      "q_histogram",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(floor(col("o_totalprice") / lit(25000.0)).as("bin"))
+          .agg(count(lit(1)).as("n"),
+            min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+          .orderBy("bin")
+      },
+      Some("""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+             |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+
     // Exact interpolated quantiles per group (percentile == quantile_cont's
     // rank = p·(n−1) definition in both engines).
     GraftQuery(
