@@ -63,11 +63,14 @@ object Curation {
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
       benchPred: Column => Column, n: Int = 4): DataFrame = {
     // the gram build feeds three subplans (bench leg, hits leg, final
-    // n_grams projection) — materialize once (lazy localCheckpoint, the
-    // tiledPairScan2 convention) or the corpus tokenizes 3× per action
+    // n_grams projection) and deliberately does NOT materialize: measured
+    // at sf0.1, a localCheckpoint here is 10× SLOWER (0.17 s → 1.75 s) —
+    // it serializes the full gram arrays and severs codegen/pruning, while
+    // re-tokenizing is a cheap scan-speed map. The tiledPairScan2
+    // materialization convention applies to EXPENSIVE prepared frames
+    // (plane-dot kernels), not to cheap map work.
     val base = df.select(col(idCol).cast(LongType).as("doc_id"),
         array_distinct(gramsOf(col(textCol), n)).as("grams"))
-      .localCheckpoint(false)
     val dg = base.select(col("doc_id"), explode(col("grams")).as("g"))
     val bench = dg.filter(benchPred(col("doc_id"))).select("g").distinct()
     val hits = dg.filter(!benchPred(col("doc_id")))
