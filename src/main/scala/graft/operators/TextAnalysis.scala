@@ -340,6 +340,30 @@ object TextAnalysis {
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
 
+    // Inverted index: term → document frequency + bounded posting list.
+    // One explode of per-doc DISTINCT terms, one partial-aggregated
+    // groupBy; postings sort deterministically and CAP at 20 ids (a hot
+    // term's full posting list is unbounded — the real layout shards
+    // postings across files; the capped prefix is the join-able summary).
+    GraftQuery(
+      "q_inverted_index",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("df"),
+            slice(array_sort(collect_list(col("doc_id"))), 1, 20).as("postings"))
+          .orderBy("term")
+      },
+      Some("""SELECT term, count(*) AS df,
+             |  list_slice(list_sort(list(doc_id)), 1, 20) AS postings
+             |FROM (
+             |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+             |  FROM documents
+             |)
+             |GROUP BY term ORDER BY term""".stripMargin),
+    ),
+
     // Privacy pass: email / long-digit-run redaction with match counts.
     GraftQuery(
       "q_scrub_pii",

@@ -132,6 +132,61 @@ class CurationSpec extends SparkSuite {
     assert(run(1) == run(3))
   }
 
+  test("chunkDocs property: every word covered, chunk count exact, overlap honored") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      words <- Gen.choose(1, 60)
+      chunk <- Gen.choose(2, 12)
+      ov <- Gen.choose(0, chunk - 1)
+    } yield (words, chunk, ov)
+    val prop = Prop.forAll(gen) { case (words, chunk, ov) =>
+      val stride = chunk - ov
+      val text = (1 to words).map(i => s"w$i").mkString(" ")
+      val out = Curation.chunkDocs(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", chunk, ov)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getLong(1), r.getString(2).split(" ").toSeq, r.getLong(3)))
+      val covered = out.flatMap(_._2).toSet
+      val expectedChunks = (words - 1) / stride + 1
+      out.length == expectedChunks &&
+        covered == (1 to words).map(i => s"w$i").toSet &&           // total coverage
+        out.forall { case (_, ws, n) => ws.length.toLong == n && n <= chunk } &&
+        out.sliding(2).forall {                                     // overlap between neighbors
+          case Array((_, a, _), (_, b, _)) =>
+            a.length < chunk || a.takeRight(ov) == b.take(ov)
+          case _ => true
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("stratifiedSplit property: exact floor proportions, disjoint, total") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(3, Gen.choose(1, 40))
+    val prop = Prop.forAll(gen) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, si) =>
+        (1 to n).map(i => (si * 1000L + i, s"s$si"))
+      }
+      val out = Curation.stratifiedSplit(rows.toDF("id", "src"), "id", "src", 0.6, 0.2)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getString(4)))
+      val byStratum = out.groupBy(_._1)
+      byStratum.forall { case (src, xs) =>
+        val n = xs.length
+        val train = xs.count(_._3 == "train")
+        val vl = xs.count(_._3 == "val")
+        train == math.floor(0.6 * n).toInt &&
+          train + vl == math.floor((0.6 + 0.2) * n).toInt &&
+          xs.map(_._2).distinct.length == n // every row appears exactly once
+      } && out.length == rows.length
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("interpolateDaily: observed days pass through exactly (no fill applied)") {
     val s = spark
     import s.implicits._
