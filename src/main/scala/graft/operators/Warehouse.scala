@@ -161,6 +161,53 @@ object Warehouse {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
 
+    // Point-in-time join (the feature-store primitive): each lineitem is
+    // enriched with the customer's order-status interval VALID AT ITS SHIP
+    // DATE — never a later one (no leakage), never an earlier one. The
+    // SCD2 dim comes from scd2() above; the join is equi on the customer
+    // key with the interval predicate as a post-filter (sort-merge shape:
+    // the range never drives a cartesian). Facts shipping before their
+    // customer's first interval drop out (inner semantics).
+    GraftQuery(
+      "q_pit_join",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val dim = scd2(orders, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        val facts = Tables(s, dir, "lineitem")
+          .join(orders.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("key"), col("l_shipdate"), col("l_quantity"))
+        facts.join(dim,
+            facts("key") === dim("key") &&
+              col("l_shipdate") >= col("valid_from") &&
+              (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+          .groupBy(col("state"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast(DecimalType(30, 6))).cast("double").as("sum_qty"))
+          .orderBy("state")
+      },
+      Some("""WITH chg AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             |    lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM orders
+             |),
+             |dim AS (
+             |  SELECT o_custkey AS key, o_orderstatus AS state, o_orderdate AS valid_from,
+             |    lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+             |  FROM chg WHERE prev IS NULL OR prev <> o_orderstatus
+             |),
+             |facts AS (
+             |  SELECT o_custkey AS key, l_shipdate, l_quantity
+             |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |)
+             |SELECT state, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+             |FROM facts f JOIN dim d ON d.key = f.key
+             |  AND f.l_shipdate >= d.valid_from
+             |  AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+             |GROUP BY state ORDER BY state""".stripMargin),
+    ),
+
     // SCD2 over the event stream: per-user event_type history as validity
     // intervals (CDC -> dimension build).
     GraftQuery(
