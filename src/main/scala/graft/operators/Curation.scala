@@ -186,6 +186,49 @@ object Curation {
           (col("words") - (col("pos") * stride + 1) + 1).cast(LongType)).as("n_tokens"))
   }
 
+  /** Exact duplicate-span detection, the word-gram approximation of
+    * suffix-array ExactSubstr dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): for every document, the fraction
+    * of its tokens covered by some word `n`-gram that occurs at least
+    * twice anywhere in the corpus (across documents or repeated within
+    * one). This is the span-level complement of document-level dedup —
+    * boilerplate headers, licence blocks, and copy-pasted passages light
+    * up even when the documents as a whole are unique, and the flagged
+    * fraction is exactly what the span-cutting pass would remove.
+    *
+    * Scale shape: positional grams are generated map-side (O(tokens)
+    * rows, never a per-doc pairwise structure); the duplicate-gram set is
+    * one partial-aggregated groupBy on the gram; flagged occurrences come
+    * back through a shuffle semi-join on the same key, so the exchange is
+    * reused; covered positions explode only for DUPLICATED occurrences
+    * (the rare case by construction) and collapse via per-doc distinct
+    * count. Nothing is corpus-sized on a single task.
+    * Output: (doc_id, n_tokens, n_dup_tokens, dup_frac).
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"span gram size must be >= 2, got $n")
+    val ws = split(col(textCol), " ")
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast(LongType).as("n_tokens"), col("ws"))
+    val occ = base.select(col("doc_id"),
+        posexplode(when(size(col("ws")) >= n,
+          transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+            i => concat_ws(" ", slice(col("ws"), i, lit(n)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("p0"), col("col").as("g"))
+    val dup = occ.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g")
+    val cov = occ.join(dup, Seq("g"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("p0"), col("p0") + (n - 1))).as("p"))
+      .groupBy("doc_id").agg(count_distinct(col("p")).as("n_dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        (floor(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") / col("n_tokens")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("dup_frac"))
+  }
+
   /** Per-label centroid of the quantized embeddings, one (label, dim) row
     * per coordinate: posexplode → partial-aggregated groupBy on
     * (label, dim) — the vector mean never materializes per-group arrays
@@ -348,6 +391,32 @@ object Curation {
              |                        / CAST(date_diff('day', pd, nd) AS DOUBLE) END)
              |    * 1e6 + 0.5) / 1e6 AS value_filled
              |FROM f ORDER BY key, day""".stripMargin),
+    ),
+
+    // Duplicate 5-gram span coverage: ~14% of docs carry a repeated span
+    // on the synthetic corpus — realistic boilerplate density.
+    GraftQuery(
+      "q_dup_spans",
+      (s, dir) => dupSpans(Tables(s, dir, "documents"), "doc_id", "text", n = 5)
+        .orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |occ AS (
+             |  SELECT doc_id, i AS p0, array_to_string(list_slice(ws, i, i + 4), ' ') AS g
+             |  FROM base, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+             |),
+             |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+             |cov AS (
+             |  SELECT doc_id, count(DISTINCT p) AS n_dup
+             |  FROM (SELECT o.doc_id, unnest(range(o.p0, o.p0 + 5)) AS p
+             |        FROM occ o JOIN dup USING (g))
+             |  GROUP BY doc_id
+             |)
+             |SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+             |  floor(CAST(coalesce(c.n_dup, 0) AS DOUBLE) / len(b.ws) * 1e6 + 0.5) / 1e6
+             |    AS dup_frac
+             |FROM base b LEFT JOIN cov c USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
     ),
   )
 }

@@ -74,6 +74,49 @@ object Graph {
        |  ) c ON c.node = n.node
        |)""".stripMargin
 
+  /** Per-node triangle counts over an undirected graph, via the
+    * degree-oriented "forward" algorithm: orient every edge from its
+    * lower-(degree, id) endpoint to the higher one, enumerate wedges at
+    * the low endpoint, and close them against the oriented edge set.
+    * Each triangle is found exactly once, and the wedge fan-out per node
+    * is bounded by the oriented out-degree — O(√m) on any graph (the
+    * arboricity bound), so a power-law hub never enumerates its full
+    * neighbor-pair cross product the way naive a<b<c enumeration does.
+    * Everything is equi-joins on node keys (wedge join on u, closure join
+    * on the (v1, v2) pair, then one count shuffle) — no driver state.
+    * Output: (node, n_tri) for every node in the edge set.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val aLow = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // u = lower (deg, id) endpoint; carry v's degree so the wedge pair can
+    // be ordered by the same (deg, id) rank without re-joining degrees
+    val oriented = withDeg.select(
+        when(aLow, col("a")).otherwise(col("b")).as("u"),
+        when(aLow, col("b")).otherwise(col("a")).as("v"),
+        when(aLow, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+      .join(oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2")), Seq("u"))
+      .filter(col("d1") < col("d2") || (col("d1") === col("d2") && col("v1") < col("v2")))
+    // the closing edge v1–v2, if present, is oriented v1→v2 exactly
+    // (v1 is the lower (deg, id) of the pair by the wedge ordering)
+    val tris = wedges.join(oriented.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val cnt = tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.select("node").join(cnt, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // PageRank over the customer→supplier purchase graph (5 rounds):
@@ -100,6 +143,52 @@ object Graph {
            |pr0 AS (SELECT node, CAST($Scale AS BIGINT) AS r FROM nodes)""".stripMargin) ++
         (1 to 5).map(prRoundSql(_, Scale))).mkString(",\n") +
         "\nSELECT node, r AS rank FROM pr5 ORDER BY node"),
+    ),
+
+    // Triangle counts over the customer co-purchase graph (edge = two
+    // customers sharing ≥4 distinct parts; the HAVING floor keeps the
+    // projection from densifying into a near-clique). The per-part
+    // customer fan-out in the edge build is the skew point — at corpus
+    // scale a popular part would get the salted-join treatment
+    // ([[SkewLayout.saltedEquiJoin]]); the triangle operator itself is
+    // already degree-bounded.
+    GraftQuery(
+      "q_triangles",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+        val edges = cp.as("x").join(cp.as("y"),
+            col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+          .groupBy(col("x.c").as("src"), col("y.c").as("dst"))
+          .agg(count(lit(1)).as("shared")).filter(col("shared") >= 4)
+          .select("src", "dst")
+        triangles(edges).orderBy("node")
+      },
+      Some("""WITH cp AS (
+             |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |),
+             |und AS (
+             |  SELECT c1.c AS a, c2.c AS b FROM cp c1
+             |  JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+             |  GROUP BY 1, 2 HAVING count(*) >= 4
+             |),
+             |tri AS (
+             |  SELECT t1.a AS x, t1.b AS y, t2.b AS z
+             |  FROM und t1 JOIN und t2 ON t2.a = t1.b
+             |  JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b
+             |),
+             |nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+             |cnt AS (
+             |  SELECT node, count(*) AS n FROM (
+             |    SELECT x AS node FROM tri
+             |    UNION ALL SELECT y FROM tri
+             |    UNION ALL SELECT z FROM tri)
+             |  GROUP BY node
+             |)
+             |SELECT n.node, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tri
+             |FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node""".stripMargin),
     ),
   )
 }

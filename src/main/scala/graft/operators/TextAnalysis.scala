@@ -380,6 +380,30 @@ object TextAnalysis {
              |  CAST(len(regexp_extract_all(es, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
              |FROM e ORDER BY doc_id""".stripMargin),
     ),
+
+    // Corpus-LM fluency proxy: average corpus-wide bigram frequency per
+    // document — the CCNet-style LM quality signal with the corpus itself
+    // as the language model (no external wiki LM in this container).
+    GraftQuery(
+      "q_lm_score",
+      (s, dir) => lmScore(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |occ AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws), 1)),
+             |    i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS g
+             |  FROM base
+             |),
+             |c AS (SELECT g, count(*) AS c FROM occ GROUP BY g),
+             |s AS (
+             |  SELECT doc_id, count(*) AS n_bigrams, sum(c.c) AS sc
+             |  FROM occ JOIN c USING (g) GROUP BY doc_id
+             |)
+             |SELECT b.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  floor(coalesce(CAST(s.sc AS DOUBLE) / s.n_bigrams, 0) * 1e6 + 0.5) / 1e6
+             |    AS avg_gram_freq
+             |FROM base b LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** Per-source quality quota: keep the top `quota` documents of each
@@ -470,5 +494,32 @@ object TextAnalysis {
         expr(s"cum_before div $budget").as("shard_id"),
         (col("cum_before") - expr(s"cum_before div $budget") * lit(budget)).as("shard_offset"),
       )
+  }
+
+  /** Corpus-LM fluency score: each document's average corpus-wide bigram
+    * frequency — the CCNet-style "LM quality" signal with the corpus
+    * itself standing in for the external language model. Low scores mark
+    * unusual/gibberish word sequences; very high scores mark boilerplate.
+    * Scale shape: bigrams are generated map-side ([[Curation.gramsOf]]'s
+    * one-pass zip_with path), the frequency table is one
+    * partial-aggregated groupBy on the gram, and the score join shuffles
+    * occurrences on that same gram key (exchange reused) before
+    * collapsing per doc. Sum-of-counts stays integer until one exact
+    * double division — order-insensitive, engine-exact.
+    * Output: (doc_id, n_bigrams, avg_gram_freq).
+    */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+      Curation.gramsOf(col(textCol), 2).as("grams"))
+    val occ = base.select(col("doc_id"), explode(col("grams")).as("g"))
+    val counts = occ.groupBy("g").agg(count(lit(1)).as("c"))
+    val scored = occ.join(counts, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"), sum("c").as("sc"))
+    base.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (floor(coalesce(col("sc").cast("double") / col("n_bigrams"), lit(0.0))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("avg_gram_freq"))
   }
 }

@@ -196,4 +196,40 @@ class CurationSpec extends SparkSuite {
     assert(out.map(_.getDouble(3)).toSeq == Seq(7.25, 0.5))
     assert(out.forall(_.getBoolean(2)))
   }
+
+  test("dupSpans: cross-doc and within-doc repeats covered, overlaps counted once") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"),         // shares "a b c" with doc 1 -> positions 1-3
+      (1L, "x a b c y"),         // match at p0=2 -> positions 2-4
+      (2L, "p q r p q r p q"),   // every 3-gram occurs twice -> full coverage
+      (3L, "zz yy"),             // < n words: zero grams
+      (4L, "u v w s t"),         // all grams unique
+    ).toDF("doc_id", "text")
+    val out = Curation.dupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((0L, 5L, 3L, 0.6)))
+    assert(out(1) == ((1L, 5L, 3L, 0.6)))
+    // 6 overlapping duplicated occurrences cover 8 positions, not 18
+    assert(out(2) == ((2L, 8L, 8L, 1.0)))
+    assert(out(3) == ((3L, 2L, 0L, 0.0)))
+    assert(out(4) == ((4L, 5L, 0L, 0.0)))
+  }
+
+  test("dupSpans: partition-invariant and rejects n < 2") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (10L, "a b c d e f g"), (11L, "q a b c d z"), (12L, "c d e f g h"),
+    ).toDF("doc_id", "text")
+    def run(parts: Int) = Curation.dupSpans(docs.repartition(parts), "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run(1) == run(4))
+    intercept[IllegalArgumentException] {
+      Curation.dupSpans(docs, "doc_id", "text", n = 1)
+    }
+  }
 }

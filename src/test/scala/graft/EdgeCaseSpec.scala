@@ -285,4 +285,16 @@ class EdgeCaseSpec extends SparkSuite {
     assert(packed.filter(_._2 == "y").map(_._4).toSeq == Seq(0L, 0L))
     assert(packed.forall(p => p._5 >= 0 && p._5 < 6))
   }
+
+  test("lmScore: hand-computed corpus bigram frequencies, single word scores zero") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // corpus bigram counts: "a b" ×3, "b a" ×1, "b c" ×1
+    assert(out(0) == ((0L, 3L, 2.333333))) // (3+1+3)/3, rounded half-up at 1e-6
+    assert(out(1) == ((1L, 2L, 2.0)))      // (3+1)/2
+    assert(out(2) == ((2L, 0L, 0.0)))      // no bigrams
+  }
 }

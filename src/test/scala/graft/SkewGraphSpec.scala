@@ -88,4 +88,46 @@ class SkewGraphSpec extends SparkSuite {
     intercept[IllegalArgumentException](Graph.pageRank(e, iters = 0))
     intercept[IllegalArgumentException](Graph.pageRank(e, iters = 51))
   }
+
+  test("triangles: K4 plus a pendant edge, mixed orientation and duplicates") {
+    val s = spark
+    import s.implicits._
+    // K4 on 1-4 given with reversed and duplicated edges, plus edge 5-6
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (3L, 2L), (2L, 4L), (3L, 4L),
+      (3L, 4L), (5L, 6L), (5L, 5L), // self-loop must be ignored
+    ).toDF("src", "dst")
+    val r = Graph.triangles(edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // K4 has 4 triangles; each of its nodes sits in C(3,2) = 3 of them
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L, 6L -> 0L))
+  }
+
+  test("triangles: triangle-free path graph counts zero everywhere") {
+    val s = spark
+    import s.implicits._
+    val edges = (1L to 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = Graph.triangles(edges).collect().map(x => x.getLong(1))
+    assert(r.length == 10 && r.forall(_ == 0L))
+  }
+
+  test("triangles: degree-oriented counts equal naive a<b<c enumeration") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random graph with hubs (i%5 collides often)
+    val edges = (1L to 300L).map(i => ((i * 37) % 23, (i * i) % 19 + (i % 5) * 4))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val got = Graph.triangles(edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val und = edges.select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val naive = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"), col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got.filter(_._2 > 0L) == naive)
+    assert(got.values.sum == naive.values.sum)
+  }
 }
