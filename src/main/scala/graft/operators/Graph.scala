@@ -87,12 +87,16 @@ object Graph {
     * Output: (node, n_tri) for every node in the edge set.
     */
   def triangles(edges: DataFrame): DataFrame = {
+    // und/deg/oriented each feed 2-3 join legs; without materialization the
+    // caller's edge derivation (often an expensive co-occurrence build)
+    // replays once per leg — lazy localCheckpoint bounds it to one run
+    // (same lineage trade as [[pageRank]], documented at Dedup.clusterPairs)
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-      .distinct()
+      .distinct().localCheckpoint(false)
     val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy("node").agg(count(lit(1)).as("deg")).localCheckpoint(false)
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
@@ -103,6 +107,7 @@ object Graph {
         when(aLow, col("a")).otherwise(col("b")).as("u"),
         when(aLow, col("b")).otherwise(col("a")).as("v"),
         when(aLow, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(false)
     val wedges = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
       .join(oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2")), Seq("u"))
       .filter(col("d1") < col("d2") || (col("d1") === col("d2") && col("v1") < col("v2")))
@@ -155,9 +160,13 @@ object Graph {
     GraftQuery(
       "q_triangles",
       (s, dir) => {
+        // both self-join legs read cp — materialize it once (the distinct
+        // already paid a shuffle; replaying the orders⋈lineitem build per
+        // leg doubles the expensive part of the plan)
         val cp = Tables(s, dir, "orders")
           .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
         val edges = cp.as("x").join(cp.as("y"),
             col("x.p") === col("y.p") && col("x.c") < col("y.c"))
           .groupBy(col("x.c").as("src"), col("y.c").as("dst"))
