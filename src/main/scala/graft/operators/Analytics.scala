@@ -437,5 +437,91 @@ object Analytics {
              |  count(*) AS n_lines
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     ),
+
+    // Keyed interval-overlap join: per-user purchase sessions × day-padded
+    // error windows. Both sides are big (event-derived) — the shape
+    // broadcast banding (q_range_join) can't take.
+    GraftQuery(
+      "q_interval_join",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("secs", "event_id")
+        val p = Tables(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts").cast("long").as("secs"))
+          .withColumn("is_new",
+            when(lag("secs", 1).over(w).isNull ||
+              col("secs") - lag("secs", 1).over(w) > 1800, 1L).otherwise(0L))
+          .withColumn("sid", sum("is_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val sess = p.groupBy("user_id", "sid")
+          .agg(min("secs").as("ls"), max("secs").as("le"))
+        val err = Tables(s, dir, "events").filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"),
+            (col("ts").cast("long") - 86400L).as("rs"),
+            (col("ts").cast("long") + 86400L).as("re"))
+        intervalOverlapJoin(sess, err, "user_id", "ls", "le", "rs", "re", 86400L)
+          .select("user_id", "sid", "event_id", "ls", "le", "rs", "re", "overlap_secs")
+          .orderBy("user_id", "sid", "event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs
+             |  FROM events WHERE event_type = 'purchase'
+             |),
+             |f AS (
+             |  SELECT *, CASE WHEN lag(secs) OVER w IS NULL
+             |    OR secs - lag(secs) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+             |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id)
+             |),
+             |g AS (
+             |  SELECT user_id, secs, CAST(sum(is_new) OVER (PARTITION BY user_id
+             |    ORDER BY secs, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+             |  FROM f
+             |),
+             |sess AS (SELECT user_id, sid, min(secs) AS ls, max(secs) AS le
+             |         FROM g GROUP BY 1, 2),
+             |err AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) - 86400 AS rs,
+             |    CAST(floor(epoch(ts)) AS BIGINT) + 86400 AS re
+             |  FROM events WHERE event_type = 'error'
+             |)
+             |SELECT s.user_id, s.sid, e.event_id, s.ls, s.le, e.rs, e.re,
+             |  least(s.le, e.re) - greatest(s.ls, e.rs) AS overlap_secs
+             |FROM sess s JOIN err e ON s.user_id = e.user_id
+             |  AND s.ls <= e.re AND e.rs <= s.le
+             |ORDER BY s.user_id, s.sid, e.event_id""".stripMargin),
+    ),
   )
+
+  /** Bucket-blocked interval-overlap join: all (left, right) pairs sharing
+    * `keyCol` whose closed intervals [ls, le] and [rs, re] overlap
+    * (ls ≤ re ∧ rs ≤ le), plus `overlap_secs` = length of the
+    * intersection. Spark has no native interval-overlap physical join —
+    * a bare theta join would be a per-key cross product. Instead each
+    * interval explodes to the coarse time buckets it touches, the join
+    * runs as a pure EQUI-join on (key, bucket) — shuffle-partitionable,
+    * AQE-skew-splittable — and the overlap predicate is a residual
+    * filter. A pair meeting in several shared buckets is emitted exactly
+    * once: only in the bucket containing the overlap's start
+    * (`greatest(ls, rs) div bucketW`) — dedup by construction, no
+    * distinct pass. Replication factor = interval span / bucketW + 1, so
+    * bucketW trades shuffle volume against per-bucket join density.
+    * Bounds must be non-negative (epoch seconds): `div` truncates toward
+    * zero, which only floor-aligns buckets for non-negative operands.
+    */
+  def intervalOverlapJoin(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame, keyCol: String,
+      ls: String, le: String, rs: String, re: String,
+      bucketW: Long): org.apache.spark.sql.DataFrame = {
+    require(bucketW >= 1, s"bucket width must be >= 1, got $bucketW")
+    val lb = left.withColumn("bkt",
+      explode(expr(s"sequence($ls div $bucketW, $le div $bucketW)")))
+    val rb = right.withColumn("bkt",
+      explode(expr(s"sequence($rs div $bucketW, $re div $bucketW)")))
+    lb.join(rb, Seq(keyCol, "bkt"))
+      .filter(col(ls) <= col(re) && col(rs) <= col(le))
+      .filter(col("bkt") === expr(s"greatest($ls, $rs) div $bucketW"))
+      .drop("bkt")
+      .withColumn("overlap_secs", least(col(le), col(re)) - greatest(col(ls), col(rs)))
+  }
 }
