@@ -491,6 +491,103 @@ object Analytics {
              |  AND s.ls <= e.re AND e.rs <= s.le
              |ORDER BY s.user_id, s.sid, e.event_id""".stripMargin),
     ),
+
+    // Per-key exponentially-weighted moving average: alpha = 1/2 over the
+    // current + 7 preceding purchases, weights renormalized to the rows
+    // actually present. A rows-frame window — ONE exchange on user_id.
+    // alpha = 1/2 keeps every weight a small power of two, so each product
+    // is EXACT in IEEE double and both engines add the same 8 terms in the
+    // same left-to-right order — bit-identical before the output rounding.
+    // (An unbounded recursive EWMA is a running fold — that shape lives in
+    // streaming state, q_stateful_classify; the bounded-window form is the
+    // batch-friendly one: at 100 TB it stays a single window pass with no
+    // per-key sequential dependency longer than the frame.)
+    GraftQuery(
+      "q_ewma",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("secs", "event_id")
+        val lags = (0 until 8).map { k =>
+          val v = if (k == 0) col("value") else lag("value", k).over(w)
+          (v, lit(math.pow(0.5, k)))
+        }
+        val num = lags.map { case (v, wt) => when(v.isNotNull, v * wt).otherwise(lit(0.0)) }.reduce(_ + _)
+        val den = lags.map { case (v, wt) => when(v.isNotNull, wt).otherwise(lit(0.0)) }.reduce(_ + _)
+        Tables(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("long").as("secs"), col("value"))
+          .withColumn("ewma", floor(num / den * lit(1e6) + lit(0.5)) / lit(1e6))
+          .drop("secs")
+          .orderBy("event_id")
+      },
+      Some {
+        val num = (0 until 8).map { k =>
+          val v = if (k == 0) "value" else s"lag(value, $k) OVER w"
+          s"(CASE WHEN $v IS NOT NULL THEN $v * ${math.pow(0.5, k)} ELSE 0.0 END)"
+        }.mkString(" + ")
+        val den = (0 until 8).map { k =>
+          val v = if (k == 0) "value" else s"lag(value, $k) OVER w"
+          s"(CASE WHEN $v IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0.0 END)"
+        }.mkString(" + ")
+        s"""SELECT event_id, user_id, value,
+           |  floor(($num) / ($den) * 1e6 + 0.5) / 1e6 AS ewma
+           |FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs, value
+           |      FROM events WHERE event_type = 'purchase')
+           |WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id)
+           |ORDER BY event_id""".stripMargin
+      },
+    ),
+
+    // Robust outlier flags via median/MAD — the heavy-tail-safe twin of
+    // q_anomaly's z-score (one wild value drags a mean+stddev control band;
+    // the median and MAD barely move). Two grouped EXACT percentile
+    // aggregates (already pinned engine-equal by q_quantiles), each median
+    // quantized before reuse so downstream arithmetic starts from identical
+    // doubles; group stats are group-count-sized → broadcast back onto the
+    // stream. Scale note: exact percentile sorts each group's values — at
+    // 100 TB swap approx_percentile into the same shape (the operator
+    // contract keeps the quantize-then-broadcast structure).
+    GraftQuery(
+      "q_mad_outlier",
+      (s, dir) => {
+        val e = Tables(s, dir, "events").select("event_id", "event_type", "value")
+        val med = e.groupBy("event_type").agg(
+          (floor(expr("percentile(value, 0.5)") * lit(1e6) + lit(0.5)) / lit(1e6)).as("med"))
+        val dev = e.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type").agg(
+          (floor(expr("percentile(dev, 0.5)") * lit(1e6) + lit(0.5)) / lit(1e6)).as("mad"))
+        val rz = floor((col("value") - col("med")) * lit(0.6745) / col("mad") * lit(1e4) + lit(0.5)) / lit(1e4)
+        dev.join(broadcast(mad), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"), col("med"), col("mad"),
+            when(col("mad") === 0.0, lit(0.0)).otherwise(rz).as("robust_z"),
+            when(col("mad") === 0.0, lit(false))
+              .otherwise(abs(floor((col("value") - col("med")) * lit(0.6745) / col("mad") * lit(1e4) + lit(0.5)) / lit(1e4)) > 3.5)
+              .as("is_outlier"))
+          .orderBy("event_id")
+      },
+      Some("""WITH med AS (
+             |  SELECT event_type,
+             |    floor(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS med
+             |  FROM events GROUP BY event_type
+             |),
+             |dev AS (
+             |  SELECT e.event_id, e.event_type, e.value, m.med,
+             |    abs(e.value - m.med) AS dev
+             |  FROM events e JOIN med m ON m.event_type = e.event_type
+             |),
+             |mad AS (
+             |  SELECT event_type,
+             |    floor(quantile_cont(dev, 0.5) * 1e6 + 0.5) / 1e6 AS mad
+             |  FROM dev GROUP BY event_type
+             |)
+             |SELECT d.event_id, d.event_type, d.value, d.med, a.mad,
+             |  CASE WHEN a.mad = 0.0 THEN 0.0
+             |    ELSE floor((d.value - d.med) * 0.6745 / a.mad * 1e4 + 0.5) / 1e4 END AS robust_z,
+             |  CASE WHEN a.mad = 0.0 THEN FALSE
+             |    ELSE abs(floor((d.value - d.med) * 0.6745 / a.mad * 1e4 + 0.5) / 1e4) > 3.5 END AS is_outlier
+             |FROM dev d JOIN mad a ON a.event_type = d.event_type
+             |ORDER BY d.event_id""".stripMargin),
+    ),
   )
 
   /** Bucket-blocked interval-overlap join: all (left, right) pairs sharing

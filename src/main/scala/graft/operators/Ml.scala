@@ -1,7 +1,8 @@
 package graft.operators
 
-import graft.GraftQuery
+import graft.{GraftQuery, Tables}
 import graft.ml.FraudScorer
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The MLlib layer's deterministic scoring surface (BASELINE.json north
@@ -66,6 +67,71 @@ object Ml {
               |  floor(1.0 / (1.0 + exp(-m)) * 1e4 + 0.5) / 1e4 AS ml_score,
               |  CASE WHEN m > 0 THEN 'FRAUD' ELSE 'GENUINE' END AS ml_label
               |FROM feat ORDER BY event_id""".stripMargin),
+    ),
+
+    // kNN majority-vote classification over the embedding column: each
+    // vector takes the majority label of its 5 exact-cosine nearest
+    // neighbors (leave-one-out over the labeled corpus). Neighbor search is
+    // [[Similarity.bruteForceTopK]] — the tiled pair scan, so the only
+    // O(n²) work is bounded per (tile × tile) cell and nothing lands on the
+    // driver; the label join is corpus-sized → broadcast; the vote is a
+    // 5-rows-per-query partial aggregate. Ties break to the label of the
+    // nearer neighbor (min rank — unique per query, so the vote is total).
+    // The same shape serves label propagation / weak supervision at 100 TB:
+    // swap the exact scan for the LSH/IVF variants, keep the vote.
+    GraftQuery(
+      "q_knn_label",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+        val nn = Similarity.bruteForceTopK(e, "vec_id", "embedding", 5)
+        val votes = nn
+          .join(broadcast(e.select(col("vec_id").as("neighbor_id"),
+            col("label").cast("long").as("n_label"))), "neighbor_id")
+          .groupBy("query_id", "n_label")
+          .agg(count(lit(1)).as("votes"), min("rank").as("best_rank"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("best_rank"))
+        votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .join(broadcast(e.select(col("vec_id").as("query_id"),
+            col("label").cast("long").as("true_label"))), "query_id")
+          .select(col("query_id").as("vec_id"), col("true_label"),
+            col("n_label").as("pred_label"), col("votes"),
+            (col("n_label") === col("true_label")).as("correct"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH prep AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+             |  FROM embeddings
+             |),
+             |normed AS (
+             |  SELECT vec_id, label, q, list_dot_product(q, q) AS nrm FROM prep
+             |),
+             |pairs AS (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS n_label,
+             |    list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+             |  FROM normed a JOIN normed b ON a.vec_id <> b.vec_id
+             |),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, n_label,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM pairs
+             |),
+             |votes AS (
+             |  SELECT query_id, n_label, count(*) AS votes, min(rank) AS best_rank
+             |  FROM ranked WHERE rank <= 5 GROUP BY query_id, n_label
+             |),
+             |win AS (
+             |  SELECT query_id, n_label, votes,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, best_rank) AS rn
+             |  FROM votes
+             |)
+             |SELECT w.query_id AS vec_id, CAST(e.label AS BIGINT) AS true_label,
+             |  CAST(w.n_label AS BIGINT) AS pred_label, w.votes,
+             |  w.n_label = e.label AS correct
+             |FROM win w JOIN embeddings e ON e.vec_id = w.query_id
+             |WHERE w.rn = 1
+             |ORDER BY vec_id""".stripMargin),
     ),
   )
 }

@@ -404,6 +404,64 @@ object TextAnalysis {
              |    AS avg_gram_freq
              |FROM base b LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin),
     ),
+
+    // Collocation mining: pointwise mutual information over adjacent word
+    // pairs — PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with pair probability over
+    // bigram occurrences and word probabilities over unigram occurrences.
+    // Shape: two partial-aggregated counts (unigram, bigram), the totals as
+    // 1-row broadcast cross joins, the vocab-sized unigram table broadcast
+    // onto the pair table twice. Probabilities divide exact integer counts
+    // in a FIXED operation order so both engines produce bit-identical
+    // doubles into ln (the raw numerator c12·Nu² would overflow 2^53 at
+    // corpus scale — the ratio-of-ratios form never leaves double range);
+    // ln itself is quantized at 1e4 (same libm-divergence guard as
+    // q_char_entropy). Pairs below 5 occurrences are noise-floored out.
+    GraftQuery(
+      "q_pmi",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val words = docs.select(explode(split(col("text"), " ")).as("w"))
+        val uni = words.groupBy("w").agg(count(lit(1)).as("c"))
+        val nu = words.agg(count(lit(1)).as("nu"))
+        val big = docs.select(explode(Curation.gramsOf(col("text"), 2)).as("g"))
+          .select(split(col("g"), " ").getItem(0).as("w1"),
+            split(col("g"), " ").getItem(1).as("w2"))
+        val nb = big.agg(count(lit(1)).as("nb"))
+        val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val pmi = log(
+          col("c12").cast("double") / col("nb").cast("double") /
+            (col("c1").cast("double") / col("nu").cast("double")) /
+            (col("c2").cast("double") / col("nu").cast("double")))
+        c12.filter(col("c12") >= 5)
+          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+          .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+          .select(col("w1"), col("w2"), col("c12"),
+            (floor(pmi * lit(1e4) + lit(0.5)) / lit(1e4)).as("pmi"))
+          .orderBy("w1", "w2")
+      },
+      Some("""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+             |nu AS (SELECT count(*) AS nu FROM words),
+             |base AS (SELECT string_split(text, ' ') AS ws FROM documents),
+             |big AS (
+             |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+             |  FROM base, unnest(range(1, greatest(len(ws), 1))) AS t(i)
+             |),
+             |nb AS (SELECT count(*) AS nb FROM big),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2)
+             |SELECT p.w1, p.w2, p.c12,
+             |  floor(ln(CAST(p.c12 AS DOUBLE) / CAST(nb.nb AS DOUBLE)
+             |      / (CAST(a.c AS DOUBLE) / CAST(nu.nu AS DOUBLE))
+             |      / (CAST(b.c AS DOUBLE) / CAST(nu.nu AS DOUBLE)))
+             |    * 1e4 + 0.5) / 1e4 AS pmi
+             |FROM c12 p
+             |JOIN uni a ON a.w = p.w1
+             |JOIN uni b ON b.w = p.w2
+             |CROSS JOIN nu CROSS JOIN nb
+             |WHERE p.c12 >= 5
+             |ORDER BY p.w1, p.w2""".stripMargin),
+    ),
   )
 
   /** Per-source quality quota: keep the top `quota` documents of each
