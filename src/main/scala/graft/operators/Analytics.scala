@@ -3,7 +3,7 @@ package graft.operators
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Analytics operators beyond the reference's literal surface (SURVEY §2.4
   * notes the engine gets these "free from Spark"): exact interpolated
@@ -587,6 +587,108 @@ object Analytics {
              |    ELSE abs(floor((d.value - d.med) * 0.6745 / a.mad * 1e4 + 0.5) / 1e4) > 3.5 END AS is_outlier
              |FROM dev d JOIN mad a ON a.event_type = d.event_type
              |ORDER BY d.event_id""".stripMargin),
+    ),
+
+    // First-order Markov transition matrix over per-user event sequences:
+    // P(next_type | type) — the behavioral-model primitive behind both
+    // fraud sequence scoring and synthetic-session generation. One
+    // exchange on user_id for the lead(), one agg shuffle on (src, dst);
+    // the per-src normalizer is a window over the tiny transition matrix
+    // (|types|² rows), so no third data-sized shuffle. Scales: the matrix
+    // is bounded by the type-vocabulary square regardless of corpus size.
+    GraftQuery(
+      "q_markov",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("secs", "event_id")
+        val tr = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            col("ts").cast("long").as("secs"), col("event_type"))
+          .withColumn("dst", lead("event_type", 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("cnt"))
+        tr.select(col("src"), col("dst"), col("cnt"),
+            (floor(col("cnt").cast(DoubleType) /
+              sum("cnt").over(Window.partitionBy("src")).cast(DoubleType)
+              * lit(1e6) + lit(0.5)) / lit(1e6)).as("p"))
+          .orderBy("src", "dst")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs, event_type
+             |  FROM events),
+             |t AS (
+             |  SELECT event_type AS src,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY secs, event_id) AS dst
+             |  FROM e),
+             |c AS (SELECT src, dst, count(*) AS cnt FROM t WHERE dst IS NOT NULL GROUP BY 1, 2)
+             |SELECT src, dst, cnt,
+             |  floor(CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY src) AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS p
+             |FROM c ORDER BY src, dst""".stripMargin),
+    ),
+
+    // Benford first-significant-digit profile of order totals — the
+    // classic book-cooking screen: log-uniform processes put digit d at
+    // log10(1 + 1/d); fabricated amounts don't. Digit via
+    // floor(x / 10^floor(log10 x)) — identical IEEE double ops on both
+    // engines. A 9-row result from one agg shuffle; scales trivially.
+    GraftQuery(
+      "q_benford",
+      (s, dir) => {
+        val x = col("o_totalprice")
+        val digits = Tables(s, dir, "orders")
+          .filter(x > 0.0)
+          .select(floor(x / pow(lit(10.0), floor(log10(x)))).cast(LongType).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("cnt"))
+        val total = digits.groupBy().agg(sum("cnt").as("__t"))
+        digits.crossJoin(broadcast(total))
+          .withColumn("share",
+            floor(col("cnt").cast(DoubleType) /
+              col("__t").cast(DoubleType) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .drop("__t")
+          .withColumn("expected",
+            floor(log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .select("digit", "cnt", "share", "expected")
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(floor(o_totalprice / pow(10.0, floor(log10(o_totalprice)))) AS BIGINT) AS digit
+             |  FROM orders WHERE o_totalprice > 0.0),
+             |c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1)
+             |SELECT digit, cnt,
+             |  floor(CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share,
+             |  floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS expected
+             |FROM c ORDER BY digit""".stripMargin),
+    ),
+
+    // Per-segment winsorization: clamp account balances to the exact
+    // interpolated [p05, p95] of their market segment — the standard
+    // robust-feature step before training. Percentiles are quantized to
+    // 1e6 BEFORE the clamp (the q_mad_outlier recipe) so both engines
+    // compare against identical doubles; the clamp itself is then exact.
+    // Group stats are segment-count-sized → broadcast back; one agg
+    // shuffle + one map-side join, scales.
+    GraftQuery(
+      "q_winsorize",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val qs = c.groupBy("c_mktsegment").agg(
+          (floor(expr("percentile(c_acctbal, 0.05)") * lit(1e6) + lit(0.5)) / lit(1e6)).as("lo"),
+          (floor(expr("percentile(c_acctbal, 0.95)") * lit(1e6) + lit(0.5)) / lit(1e6)).as("hi"))
+        c.join(broadcast(qs), "c_mktsegment")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            least(greatest(col("c_acctbal"), col("lo")), col("hi")).as("clamped"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH q AS (
+             |  SELECT c_mktsegment,
+             |    floor(quantile_cont(c_acctbal, 0.05) * 1e6 + 0.5) / 1e6 AS lo,
+             |    floor(quantile_cont(c_acctbal, 0.95) * 1e6 + 0.5) / 1e6 AS hi
+             |  FROM customer GROUP BY 1)
+             |SELECT c_custkey, c.c_mktsegment, c_acctbal,
+             |  least(greatest(c_acctbal, lo), hi) AS clamped
+             |FROM customer c JOIN q ON q.c_mktsegment = c.c_mktsegment
+             |ORDER BY c_custkey""".stripMargin),
     ),
   )
 

@@ -418,5 +418,36 @@ object Curation {
              |FROM base b LEFT JOIN cov c USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
     ),
+
+    // Deterministic weighted-priority sampling: pick 50 documents with
+    // probability increasing in weight (n_chars — stand-in for a quality
+    // score) via priority = hash48(doc_id) / weight, keep the smallest.
+    // The exponential-jumps variant of Efraimidis–Spirakis reservoir
+    // sampling, with the uniform drawn from the doc's own hash so the
+    // sample is REPRODUCIBLE across engines, partitionings, and reruns —
+    // the property corpus-subset selection actually needs. All-integer
+    // hash (< 2^48) divided by an integer weight is one exact-rounded
+    // IEEE op → bit-identical priorities everywhere. Top-k by priority is
+    // TakeOrdered: per-partition heaps, no global sort — scales.
+    GraftQuery(
+      "q_weighted_sample",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .filter(col("n_chars") > 0L)
+          .select(col("doc_id"), col("n_chars"),
+            (Sketches.hash48(col("doc_id")).cast("double") / col("n_chars").cast("double"))
+              .as("priority"))
+          .orderBy(col("priority"), col("doc_id"))
+          .limit(50)
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_chars, priority FROM (
+              |  SELECT doc_id, n_chars,
+              |    CAST(${Sketches.hash48Sql("doc_id")} AS DOUBLE) / CAST(n_chars AS DOUBLE)
+              |      AS priority
+              |  FROM documents WHERE n_chars > 0
+              |  ORDER BY priority, doc_id LIMIT 50)
+              |ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

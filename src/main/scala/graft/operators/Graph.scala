@@ -199,5 +199,38 @@ object Graph {
              |SELECT n.node, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tri
              |FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node""".stripMargin),
     ),
+
+    // Weighted bipartite projection with a hub-degree cap: supplier pairs
+    // ranked by how many parts they both ship — the shared-entity screen
+    // behind fraud-ring detection (two cards at the same set of obscure
+    // merchants). The cap is the scale discipline: a part shipped by d
+    // suppliers emits d² pairs, so without it one hub key quadratically
+    // dominates the shuffle; keys with fanout > 25 are dropped BEFORE the
+    // self-join (hubs carry no affinity signal — everyone co-occurs on
+    // them). With the cap, output per key is ≤ 25² and the projection is
+    // linear in the edge count. The distinct, the degree count, and the
+    // semi-join all share ONE exchange on the part key.
+    GraftQuery(
+      "q_cooccur",
+      (s, dir) => {
+        val ps = Tables(s, dir, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sup")).distinct()
+        val ok = ps.groupBy("p").agg(count(lit(1)).as("d"))
+          .filter(col("d") <= 25).select("p")
+        val capped = ps.join(ok, "p")
+        capped.select(col("p"), col("sup").as("s1"))
+          .join(capped.select(col("p"), col("sup").as("s2")), "p")
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("common_parts"))
+          .filter(col("common_parts") >= 3)
+          .orderBy("s1", "s2")
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+             |ok AS (SELECT p FROM ps GROUP BY p HAVING count(*) <= 25)
+             |SELECT a.sup AS s1, b.sup AS s2, count(*) AS common_parts
+             |FROM ps a JOIN ok USING (p) JOIN ps b ON b.p = a.p AND a.sup < b.sup
+             |GROUP BY 1, 2 HAVING count(*) >= 3
+             |ORDER BY s1, s2""".stripMargin),
+    ),
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -111,6 +112,34 @@ object Windows {
              |  GROUP BY user_id
              |)
              |ORDER BY user_id""".stripMargin),
+    ),
+
+    // Rolling distinct count — distinct event types a user touched in
+    // their last 5 events. Spark has no DISTINCT window aggregate, so the
+    // idiomatic form is size(collect_set() OVER rows-frame); the frame is
+    // bounded (5 rows), so per-row state is O(frame), not O(partition) —
+    // the shape that survives 100 TB. One exchange on user_id shared by
+    // the sort. Velocity screens ("new merchant burst") are this operator.
+    GraftQuery(
+      "q_rolling_distinct",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("secs", "event_id")
+          .rowsBetween(-4, Window.currentRow)
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("long").as("secs"), col("event_type"))
+          .withColumn("n_types_5", size(collect_set("event_type").over(w)).cast("long"))
+          .select("event_id", "user_id", "n_types_5")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs, event_type
+             |  FROM events)
+             |SELECT event_id, user_id,
+             |  count(DISTINCT event_type) OVER (
+             |    PARTITION BY user_id ORDER BY secs, event_id
+             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_types_5
+             |FROM e ORDER BY event_id""".stripMargin),
     ),
   )
 }
