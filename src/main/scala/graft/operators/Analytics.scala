@@ -636,10 +636,13 @@ object Analytics {
       "q_benford",
       (s, dir) => {
         val x = col("o_totalprice")
+        // digits feeds both the output and its own normalizer — materialize
+        // the 9-row aggregate once or the orders scan replays per leg
         val digits = Tables(s, dir, "orders")
           .filter(x > 0.0)
           .select(floor(x / pow(lit(10.0), floor(log10(x)))).cast(LongType).as("digit"))
           .groupBy("digit").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false)
         val total = digits.groupBy().agg(sum("cnt").as("__t"))
         digits.crossJoin(broadcast(total))
           .withColumn("share",

@@ -213,11 +213,15 @@ object Graph {
     GraftQuery(
       "q_cooccur",
       (s, dir) => {
+        // ps feeds the degree count AND both self-join legs — materialize
+        // the distinct once (the triangle-query recipe) or Catalyst
+        // replays the scan+shuffle per consumer
         val ps = Tables(s, dir, "lineitem")
           .select(col("l_partkey").as("p"), col("l_suppkey").as("sup")).distinct()
+          .localCheckpoint(false)
         val ok = ps.groupBy("p").agg(count(lit(1)).as("d"))
           .filter(col("d") <= 25).select("p")
-        val capped = ps.join(ok, "p")
+        val capped = ps.join(ok, "p").localCheckpoint(false)
         capped.select(col("p"), col("sup").as("s1"))
           .join(capped.select(col("p"), col("sup").as("s2")), "p")
           .filter(col("s1") < col("s2"))
