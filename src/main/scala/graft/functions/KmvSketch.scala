@@ -51,16 +51,22 @@ final class KmvBuffer(val k: Int) {
 case class KmvSketch(
     child: Expression,
     k: Int,
+    full: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0,
 ) extends TypedImperativeAggregate[KmvBuffer] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = StructType(Seq(
-    StructField("nd", LongType, nullable = false),
-    StructField("kth", LongType, nullable = false)))
-  override def prettyName: String = "kmv_sketch"
+  // `full` adds the retained k-min array itself — the form set-operation
+  // estimators (union/intersection) consume; still ≤ k longs per group
+  override def dataType: DataType = {
+    val base = Seq(
+      StructField("nd", LongType, nullable = false),
+      StructField("kth", LongType, nullable = false))
+    StructType(if (full) base :+ StructField("mins", ArrayType(LongType, containsNull = false), nullable = false) else base)
+  }
+  override def prettyName: String = if (full) "kmv_sketch_full" else "kmv_sketch"
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
@@ -77,7 +83,11 @@ case class KmvSketch(
 
   override def eval(buffer: KmvBuffer): Any = {
     val kth = if (buffer.size > 0) buffer.vals(buffer.size - 1) else 0L
-    new GenericInternalRow(Array[Any](buffer.size.toLong, kth))
+    if (full) {
+      val mins = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(buffer.vals, buffer.size))
+      new GenericInternalRow(Array[Any](buffer.size.toLong, kth, mins))
+    } else new GenericInternalRow(Array[Any](buffer.size.toLong, kth))
   }
 
   override def serialize(buffer: KmvBuffer): Array[Byte] = {
@@ -110,10 +120,12 @@ case class KmvSketch(
 object KmvSketch {
   val identifier: FunctionIdentifier = FunctionIdentifier("kmv_sketch")
   val info: ExpressionInfo = new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch")
+  val fullIdentifier: FunctionIdentifier = FunctionIdentifier("kmv_sketch_full")
+  val fullInfo: ExpressionInfo = new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch_full")
 
   // arity/type checked at resolution (builder-coercion pattern shared with
   // SimHash16/MinHashSig — ExpectsInputTypes is private[sql] in Spark 4)
-  val builder: Seq[Expression] => Expression = {
+  private def mkBuilder(full: Boolean): Seq[Expression] => Expression = {
     case Seq(e, Literal(kv: Int, IntegerType)) =>
       require(kv > 0 && kv <= 65536, s"kmv_sketch k must be in [1, 65536], got $kv")
       val hash = e.dataType match {
@@ -122,11 +134,15 @@ object KmvSketch {
         case other => throw new IllegalArgumentException(
           s"kmv_sketch expects an integral hash column, got ${other.simpleString}")
       }
-      KmvSketch(hash, kv)
+      KmvSketch(hash, kv, full)
     case other => throw new IllegalArgumentException(
       s"kmv_sketch expects (hashCol, k literal), got ${other.size} args")
   }
+  val builder: Seq[Expression] => Expression = mkBuilder(full = false)
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(identifier, info, builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      fullIdentifier, fullInfo, mkBuilder(full = true))
+  }
 }

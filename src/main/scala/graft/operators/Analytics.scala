@@ -693,6 +693,80 @@ object Analytics {
              |FROM customer c JOIN q ON q.c_mktsegment = c.c_mktsegment
              |ORDER BY c_custkey""".stripMargin),
     ),
+
+    // 2-D skyline (Pareto frontier): parts no other part dominates
+    // (higher-or-equal price AND smaller-or-equal size, one strict). The
+    // naive form is an O(n²) NOT EXISTS self-join; the scalable form used
+    // here is a telescoped running min — collapse to one row per distinct
+    // price (data-sized agg, one shuffle), then the strictly-higher-price
+    // running min of size. The cross-price window runs over the DISTINCT
+    // PRICE aggregate, bounded by the value domain, not the table — the
+    // same small-frame discipline as the bucket spines elsewhere. A part
+    // survives iff no strictly-higher price saw size ≤ its own and no
+    // equal-price row beats it strictly.
+    GraftQuery(
+      "q_skyline",
+      (s, dir) => {
+        val g = Tables(s, dir, "part")
+          .groupBy(col("p_retailprice").as("price")).agg(min("p_size").as("msz"))
+        val w = Window.orderBy(col("price").desc).rowsBetween(Window.unboundedPreceding, -1)
+        val r = g.withColumn("mh", min("msz").over(w))
+        Tables(s, dir, "part")
+          .join(r, col("p_retailprice") === col("price"))
+          .filter(!coalesce(col("mh") <= col("p_size"), lit(false)) &&
+            !(col("msz") < col("p_size")))
+          .select("p_partkey", "p_retailprice", "p_size")
+          .orderBy("p_partkey")
+      },
+      Some("""WITH g AS (
+             |  SELECT p_retailprice AS price, min(p_size) AS msz
+             |  FROM part GROUP BY 1),
+             |r AS (
+             |  SELECT price, msz,
+             |    min(msz) OVER (ORDER BY price DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mh
+             |  FROM g)
+             |SELECT p_partkey, p_retailprice, p_size
+             |FROM part JOIN r ON price = p_retailprice
+             |WHERE NOT coalesce(mh <= p_size, FALSE) AND NOT (msz < p_size)
+             |ORDER BY p_partkey""".stripMargin),
+    ),
+
+    // Gaps-and-islands: maximal runs of consecutive active days per user.
+    // day − dense-ordinal is constant within a run (the classic trick), so
+    // islands fall out of one groupBy — no self-join, no iteration; ONE
+    // exchange on user_id serves the distinct, the window, and the final
+    // group. The coverage-gap report ("activity streaks", data freshness
+    // audits) is this operator.
+    GraftQuery(
+      "q_gap_islands",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("day")
+        Tables(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .withColumn("grp", datediff(col("day"), lit("1970-01-01")) -
+            row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(min("day").as("start_day"), max("day").as("end_day"),
+            count(lit(1)).as("n_days"))
+          .select(col("user_id"),
+            date_format(col("start_day"), "yyyy-MM-dd").as("start_day"),
+            date_format(col("end_day"), "yyyy-MM-dd").as("end_day"), col("n_days"))
+          .orderBy("user_id", "start_day")
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |g AS (
+             |  SELECT user_id, day,
+             |    CAST(day - DATE '1970-01-01' AS BIGINT) -
+             |      row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+             |  FROM d)
+             |SELECT user_id,
+             |  strftime(min(day), '%Y-%m-%d') AS start_day,
+             |  strftime(max(day), '%Y-%m-%d') AS end_day,
+             |  count(*) AS n_days
+             |FROM g GROUP BY user_id, grp
+             |ORDER BY user_id, start_day""".stripMargin),
+    ),
   )
 
   /** Bucket-blocked interval-overlap join: all (left, right) pairs sharing

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -146,6 +146,90 @@ object Sketches {
               |FROM r JOIN x ON x.event_type = r.event_type
               |WHERE r.rk = least(64, r.nd)
               |ORDER BY r.event_type""".stripMargin),
+    ),
+
+    // KMV set-operation estimates: |urgent-order customers ∪ high-order
+    // customers| and their intersection from two k-min sketches (k=64),
+    // never from the key sets. The union sketch is the k smallest of the merged min
+    // arrays; ρ = |K_∪ ∩ K_A ∩ K_B| / |K_∪| scales the union estimate
+    // (Beyer et al., exact below saturation). Everything after the two
+    // ≤(4+8k)-byte aggregates is array algebra on one broadcast row —
+    // this is how audience-overlap questions get answered at 100 TB. The
+    // exact-intersection leg exists to EXHIBIT estimator error and would
+    // be dropped in production.
+    GraftQuery(
+      "q_kmv_intersect",
+      (s, dir) => {
+        graft.functions.KmvSketch.register(s)
+        val k = 64
+        val e = Tables(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        val sk = e.withColumn("h", hash48(col("o_custkey")))
+          .groupBy("o_orderpriority").agg(expr(s"kmv_sketch_full(h, $k)").as("sk"))
+          .localCheckpoint(false) // 2 rows; feeds both pivot legs
+        val a = sk.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("sk.nd").as("a_nd"), col("sk.kth").as("a_kth"), col("sk.mins").as("am"))
+        val b = sk.filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("sk.nd").as("b_nd"), col("sk.kth").as("b_kth"), col("sk.mins").as("bm"))
+        val exact = e.groupBy("o_custkey")
+          .agg(count_distinct(col("o_orderpriority")).as("nt"))
+          .filter(col("nt") === 2).groupBy().agg(count(lit(1)).as("exact_common"))
+        val twoPow48 = lit(281474976710656.0)
+        val est = (nd: Column, kth: Column) =>
+          when(nd < k, nd.cast("double"))
+            .otherwise(lit((k - 1).toDouble) * twoPow48 / kth.cast("double"))
+        val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+        a.crossJoin(b).crossJoin(broadcast(exact))
+          .withColumn("um", slice(array_sort(array_union(col("am"), col("bm"))), 1, k))
+          .withColumn("usz", size(col("um")).cast("long"))
+          .withColumn("estU", est(col("usz"), element_at(col("um"), size(col("um")))))
+          .withColumn("rho",
+            size(array_intersect(col("um"), array_intersect(col("am"), col("bm"))))
+              .cast("double") / col("usz").cast("double"))
+          .select(
+            r6(est(col("a_nd"), col("a_kth"))).as("est_urgent"),
+            r6(est(col("b_nd"), col("b_kth"))).as("est_high"),
+            r6(col("estU")).as("est_union"),
+            r6(col("rho") * col("estU")).as("est_common"),
+            col("exact_common"))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT DISTINCT o_orderpriority, ${hash48Sql("o_custkey")} AS h
+              |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+              |r AS (
+              |  SELECT o_orderpriority, h,
+              |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rk,
+              |    count(*) OVER (PARTITION BY o_orderpriority) AS nd
+              |  FROM h),
+              |a AS (SELECT list(h ORDER BY h) AS am, any_value(nd) AS a_nd,
+              |        max(h) AS a_kth FROM r WHERE o_orderpriority = '1-URGENT' AND rk <= 64),
+              |b AS (SELECT list(h ORDER BY h) AS bm, any_value(nd) AS b_nd,
+              |        max(h) AS b_kth FROM r WHERE o_orderpriority = '2-HIGH' AND rk <= 64),
+              |x AS (SELECT count(*) AS exact_common FROM (
+              |        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+              |        INTERSECT
+              |        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')),
+              |u AS (
+              |  SELECT *, list_slice(list_sort(list_distinct(list_concat(am, bm))), 1, 64) AS um
+              |  FROM a, b, x),
+              |f AS (
+              |  SELECT *, len(um) AS usz,
+              |    CASE WHEN len(um) < 64 THEN CAST(len(um) AS DOUBLE)
+              |         ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(um[len(um)] AS DOUBLE) END AS estU,
+              |    CAST(len(list_intersect(um, list_intersect(am, bm))) AS DOUBLE)
+              |      / CAST(len(um) AS DOUBLE) AS rho
+              |  FROM u)
+              |SELECT
+              |  floor((CASE WHEN a_nd < 64 THEN CAST(a_nd AS DOUBLE)
+              |    ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(a_kth AS DOUBLE) END) * 1e6 + 0.5) / 1e6
+              |    AS est_urgent,
+              |  floor((CASE WHEN b_nd < 64 THEN CAST(b_nd AS DOUBLE)
+              |    ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / CAST(b_kth AS DOUBLE) END) * 1e6 + 0.5) / 1e6
+              |    AS est_high,
+              |  floor(estU * 1e6 + 0.5) / 1e6 AS est_union,
+              |  floor(rho * estU * 1e6 + 0.5) / 1e6 AS est_common,
+              |  exact_common
+              |FROM f""".stripMargin),
     ),
   )
 }

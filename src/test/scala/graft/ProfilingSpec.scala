@@ -101,6 +101,41 @@ class ProfilingSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("q_skyline: equals the brute-force dominance filter") {
+    val front = q(Analytics.queries, "q_skyline")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val p = Tables(spark, dir, "part")
+      .select(col("p_partkey").as("k"), col("p_retailprice").as("pr"), col("p_size").as("sz"))
+    // O(n²) oracle: dominated = exists q with pr>=, sz<=, one strict
+    val dominated = p.as("x").join(p.as("y"),
+        col("y.pr") >= col("x.pr") && col("y.sz") <= col("x.sz") &&
+          (col("y.pr") > col("x.pr") || col("y.sz") < col("x.sz")), "left_semi")
+      .select("k").collect().map(_.getLong(0)).toSet
+    val all = p.select("k").collect().map(_.getLong(0)).toSet
+    assert(front == all -- dominated)
+    assert(front.nonEmpty)
+  }
+
+  test("q_gap_islands: islands are disjoint, maximal, and cover every active day") {
+    val df = q(Analytics.queries, "q_gap_islands").cache()
+    val activeDays = Tables(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().count()
+    assert(df.agg(sum("n_days")).head().getLong(0) == activeDays)
+    // spans are internally consistent and inter-island gaps exceed 1 day
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start_day")
+    val bad = df
+      .withColumn("span_len",
+        datediff(to_date(col("end_day")), to_date(col("start_day"))) + 1)
+      .withColumn("prev_end", lag(to_date(col("end_day")), 1).over(w))
+      .filter(col("span_len") =!= col("n_days") ||
+        (col("prev_end").isNotNull &&
+          datediff(to_date(col("start_day")), col("prev_end")) <= 1))
+      .count()
+    assert(bad == 0)
+    df.unpersist()
+  }
+
   test("q_weighted_sample: deterministic, exactly 50, priorities are the hash/weight ratio") {
     val df1 = q(Curation.queries, "q_weighted_sample")
     val df2 = q(Curation.queries, "q_weighted_sample")

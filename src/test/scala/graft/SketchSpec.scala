@@ -108,4 +108,35 @@ class SketchSpec extends SparkSuite {
     intercept[Exception](s.sql("SELECT kmv_sketch('a', 4)").collect())
     intercept[Exception](s.sql("SELECT kmv_sketch(1, 0)").collect())
   }
+
+  test("kmv_sketch_full: mins is exactly the sorted bottom-k distinct set, any partitioning") {
+    val s = spark
+    import s.implicits._
+    graft.functions.KmvSketch.register(s)
+    val data = (1L to 400L).map(i => i * 2654435761L % 99991L)
+    val expect = data.distinct.sorted.take(16)
+    for (parts <- Seq(1, 7)) {
+      val r = data.toDF("h").repartition(parts)
+        .selectExpr("kmv_sketch_full(h, 16) AS sk")
+        .select("sk.nd", "sk.kth", "sk.mins").head()
+      assert(r.getLong(0) == 16L)
+      assert(r.getLong(1) == expect.last)
+      assert(r.getSeq[Long](2) == expect, s"parts=$parts")
+    }
+  }
+
+  test("kmv_sketch_full: below saturation the union algebra recovers exact set sizes") {
+    val s = spark
+    import s.implicits._
+    graft.functions.KmvSketch.register(s)
+    // A = {1..20}, B = {11..30}: union 30, intersection 10 — all below k=64,
+    // so the q_kmv_intersect estimator must be EXACT here
+    val df = ((1L to 20L).map(("a", _)) ++ (11L to 30L).map(("b", _))).toDF("g", "h")
+    val sk = df.groupBy("g").agg(org.apache.spark.sql.functions.expr("kmv_sketch_full(h, 64)").as("sk"))
+    val m = sk.collect().map(r => r.getString(0) -> r.getStruct(1).getSeq[Long](2)).toMap
+    val union = (m("a") ++ m("b")).distinct.sorted.take(64)
+    val rho = union.count(x => m("a").contains(x) && m("b").contains(x)).toDouble / union.size
+    assert(union.size == 30)
+    assert(rho * union.size == 10.0)
+  }
 }
