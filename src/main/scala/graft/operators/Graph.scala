@@ -205,26 +205,26 @@ object Graph {
     // behind fraud-ring detection (two cards at the same set of obscure
     // merchants). The cap is the scale discipline: a part shipped by d
     // suppliers emits d² pairs, so without it one hub key quadratically
-    // dominates the shuffle; keys with fanout > 25 are dropped BEFORE the
-    // self-join (hubs carry no affinity signal — everyone co-occurs on
-    // them). With the cap, output per key is ≤ 25² and the projection is
-    // linear in the edge count. The distinct, the degree count, and the
-    // semi-join all share ONE exchange on the part key.
+    // dominates everything; hubs carry no affinity signal anyway (everyone
+    // co-occurs on them). Shape: ONE aggregation shuffle building each
+    // part's supplier set via the native `bounded_set` aggregate — per-key
+    // state is O(cap) BY CONSTRUCTION (a hub collapses to a null flag the
+    // moment it exceeds the cap, map-side partials included), so no degree
+    // pre-pass, no self-join, no materialization barrier, and no task ever
+    // holds a hub's fanout. Pairs explode map-side (≤ cap² per part), then
+    // one count shuffle on the pair key.
     GraftQuery(
       "q_cooccur",
       (s, dir) => {
-        // ps feeds the degree count AND both self-join legs — materialize
-        // the distinct once (the triangle-query recipe) or Catalyst
-        // replays the scan+shuffle per consumer
-        val ps = Tables(s, dir, "lineitem")
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sup")).distinct()
-          .localCheckpoint(false)
-        val ok = ps.groupBy("p").agg(count(lit(1)).as("d"))
-          .filter(col("d") <= 25).select("p")
-        val capped = ps.join(ok, "p").localCheckpoint(false)
-        capped.select(col("p"), col("sup").as("s1"))
-          .join(capped.select(col("p"), col("sup").as("s2")), "p")
-          .filter(col("s1") < col("s2"))
+        graft.functions.BoundedSetAgg.register(s)
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(expr("bounded_set(l_suppkey, 25)").as("ss"))
+          .filter(col("ss").isNotNull) // null = hub (fanout > 25), dropped
+          // ss is sorted, so suffix-slicing emits each unordered pair once
+          // (s1 < s2) without generating the full cap² cross product
+          .select(posexplode(col("ss")).as(Seq("i", "s1")), col("ss"))
+          .select(col("s1"), explode(slice(col("ss"), col("i") + 2, lit(25))).as("s2"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("common_parts"))
           .filter(col("common_parts") >= 3)
           .orderBy("s1", "s2")

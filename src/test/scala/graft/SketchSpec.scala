@@ -125,6 +125,36 @@ class SketchSpec extends SparkSuite {
     }
   }
 
+  test("bounded_set: sorted distinct set below cap, null at cap+1, any partitioning") {
+    val s = spark
+    import s.implicits._
+    graft.functions.BoundedSetAgg.register(s)
+    // group 1: 5 distinct (fits cap 5); group 2: 6 distinct (overflows)
+    val rows = (1L to 5L).flatMap(v => Seq((1L, v), (1L, v))) ++ (1L to 6L).map((2L, _))
+    for (parts <- Seq(1, 7)) {
+      val m = rows.toDF("g", "v").repartition(parts)
+        .groupBy("g").agg(org.apache.spark.sql.functions.expr("bounded_set(v, 5)").as("ss"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(m(1L).map(_.asInstanceOf[scala.collection.Seq[Long]].toList) == Some((1L to 5L).toList), s"parts=$parts")
+      assert(m(2L).isEmpty, s"parts=$parts") // overflow -> null
+    }
+  }
+
+  test("bounded_set: overflow survives serialize/merge round-trips and nulls are skipped") {
+    val s = spark
+    import s.implicits._
+    graft.functions.BoundedSetAgg.register(s)
+    // many partitions force serialize+merge: group 1 overflows cap 8 only
+    // AFTER partial merge (each partial holds < 8), group 2 mixes nulls in
+    val rows = (1L to 100L).map(v => (1L, Some(v))) ++
+      Seq((2L, Some(42L)), (2L, None), (2L, None))
+    val m = rows.toDF("g", "v").repartition(23)
+      .groupBy("g").agg(org.apache.spark.sql.functions.expr("bounded_set(v, 8)").as("ss"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(m(1L).isEmpty) // 100 distinct > 8 -> overflow propagates through merges
+    assert(m(2L).map(_.asInstanceOf[scala.collection.Seq[Long]].toList) == Some(List(42L))) // nulls skipped
+  }
+
   test("kmv_sketch_full: below saturation the union algebra recovers exact set sizes") {
     val s = spark
     import s.implicits._
