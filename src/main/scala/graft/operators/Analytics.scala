@@ -743,7 +743,12 @@ object Analytics {
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy("day")
         Tables(s, dir, "events")
-          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          // partition by user only: hashpartitioning(user_id) satisfies the
+          // (user_id, day) distinct AND the window AND the island groupBy,
+          // so the whole pipeline rides ONE exchange
+          .repartition(col("user_id"))
+          .distinct()
           .withColumn("grp", datediff(col("day"), lit("1970-01-01")) -
             row_number().over(w))
           .groupBy("user_id", "grp")
