@@ -88,6 +88,38 @@ object Sketches {
        |    c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
        |  (a, b) -> a * 16 + b)""".stripMargin
 
+  /** Mergeable fixed-grid histogram quantiles: bucket counts (state ≤ `bins`
+    * longs per group, map-side combinable by plain addition) → cumulative
+    * counts → for each requested q, the midpoint of the first bucket whose
+    * cumulative count reaches ⌈q·n⌉. Deterministic, partition-invariant,
+    * and O(bins) memory — the 100 TB replacement for exact `percentile`
+    * (whose state is the value multiset itself; see q_quantiles for the
+    * exact twin). Error is bounded by the grid pitch (hi−lo)/bins.
+    */
+  def histQuantile(df: DataFrame, valueCol: String, groupCol: String,
+      lo: Double, hi: Double, bins: Int, qs: Seq[Double]): DataFrame = {
+    require(hi > lo && bins > 0)
+    val width = (hi - lo) / bins
+    val bkt = least(greatest(
+        floor((col(valueCol) - lit(lo)) / lit(width)), lit(0.0)), lit((bins - 1).toDouble))
+      .cast(LongType)
+    val h = df.groupBy(col(groupCol), bkt.as("bkt")).agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    h.withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .select(col(groupCol), col("bkt"), col("cum"), col("n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col(groupCol), col("q"))
+      .agg(min("bkt").as("qb"), first("n").as("n"))
+      .select(col(groupCol), col("q"),
+        (lit(lo) + (col("qb").cast("double") + lit(0.5)) * lit(width)).as("est"),
+        col("n"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // Exact heavy hitters over l_partkey at support 0.00065 (~85 keys at
@@ -230,6 +262,41 @@ object Sketches {
               |  floor(rho * estU * 1e6 + 0.5) / 1e6 AS est_common,
               |  exact_common
               |FROM f""".stripMargin),
+    ),
+
+    // Histogram-sketch quantiles per event type: p50/p90/p99 of value from
+    // a 512-bin fixed grid over [0, 500]. Contrast with q_quantiles (exact
+    // interpolated percentile, whose aggregation state is the value
+    // multiset): this state is ≤512 longs per group no matter how many
+    // rows flow through it, merges by addition, and its error is bounded
+    // by the 0.98 grid pitch.
+    GraftQuery(
+      "q_hist_quantile",
+      (s, dir) => histQuantile(Tables(s, dir, "events"), "value", "event_type",
+          lo = 0.0, hi = 500.0, bins = 512, qs = Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type", "q"),
+      Some("""WITH w AS (SELECT CAST(500 AS DOUBLE) / CAST(512 AS DOUBLE) AS pitch),
+             |h AS (
+             |  SELECT event_type,
+             |    CAST(least(greatest(floor(value / pitch), CAST(0 AS DOUBLE)),
+             |      CAST(511 AS DOUBLE)) AS BIGINT) AS bkt,
+             |    count(*) AS cnt
+             |  FROM events, w GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_type, bkt,
+             |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |  FROM h),
+             |x AS (
+             |  SELECT event_type, q, bkt, cum, n
+             |  FROM c CROSS JOIN (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+             |  WHERE cum >= ceil(q * n))
+             |SELECT event_type, q,
+             |  (CAST(min(bkt) AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (SELECT pitch FROM w) AS est,
+             |  any_value(n) AS n
+             |FROM x GROUP BY event_type, q
+             |ORDER BY event_type, q""".stripMargin),
     ),
   )
 }

@@ -155,6 +155,24 @@ class SketchSpec extends SparkSuite {
     assert(m(2L).map(_.asInstanceOf[scala.collection.Seq[Long]].toList) == Some(List(42L))) // nulls skipped
   }
 
+  test("histQuantile: within one grid pitch of the exact percentile, any partitioning") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 2000).map(i => ("g", (i % 997).toDouble))
+    val exactP50 = 498.0 // median of 0..996 cycle over 2000 draws, approx
+    for (parts <- Seq(1, 11)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = Sketches.histQuantile(df, "v", "g", 0.0, 1000.0, 500, Seq(0.5))
+        .select("est").head().getDouble(0)
+      assert(math.abs(got - exactP50) <= 2.0 + 1e-9, s"parts=$parts got=$got")
+    }
+    // clamp: out-of-range values land in the edge buckets, not out of bounds
+    val wild = Seq(("g", -50.0), ("g", 1e9), ("g", 5.0)).toDF("g", "v")
+    val est = Sketches.histQuantile(wild, "v", "g", 0.0, 10.0, 10, Seq(0.5))
+      .select("est").head().getDouble(0)
+    assert(est >= 0.0 && est <= 10.0)
+  }
+
   test("kmv_sketch_full: below saturation the union algebra recovers exact set sizes") {
     val s = spark
     import s.implicits._
