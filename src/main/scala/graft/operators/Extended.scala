@@ -470,5 +470,100 @@ object Extended {
              |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
              |ORDER BY event_id""".stripMargin),
     ),
+
+    // Column profile (DESCRIBE-with-stats): one row per column with
+    // non-null count, exact distinct count, and typed min/max — the
+    // catalog-stats pass ANALYZE TABLE runs. ONE scan: all per-column
+    // aggregates ride a single Expand-based aggregation (the multi-
+    // countDistinct plan), then a map-side explode pivots the wide row
+    // into per-column rows. Numerics keep their min/max as doubles,
+    // strings as strings — no cross-engine number-formatting hazards. At
+    // 100 TB the exact distinct switches to approx_count_distinct or the
+    // KMV sketch; the shape is otherwise identical.
+    GraftQuery(
+      "q_profile",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val numeric = Seq("c_custkey", "c_nationkey", "c_acctbal")
+        val strings = Seq("c_name", "c_mktsegment")
+        val aggs = (numeric ++ strings).flatMap { f =>
+          Seq(count(col(f)).as(s"${f}__nn"), countDistinct(col(f)).as(s"${f}__nd")) ++
+            (if (numeric.contains(f))
+              Seq(min(col(f)).cast("double").as(s"${f}__mn"),
+                max(col(f)).cast("double").as(s"${f}__mx"))
+            else
+              Seq(min(col(f)).as(s"${f}__mns"), max(col(f)).as(s"${f}__mxs")))
+        }
+        val rows = (numeric.map { f =>
+          struct(lit(f).as("column"), col(s"${f}__nn").as("n_nonnull"),
+            col(s"${f}__nd").as("n_distinct"),
+            col(s"${f}__mn").as("min_num"), col(s"${f}__mx").as("max_num"),
+            lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+        } ++ strings.map { f =>
+          struct(lit(f).as("column"), col(s"${f}__nn").as("n_nonnull"),
+            col(s"${f}__nd").as("n_distinct"),
+            lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+            col(s"${f}__mns").as("min_str"), col(s"${f}__mxs").as("max_str"))
+        })
+        c.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rows: _*)).as("p"))
+          .select("p.*")
+          .orderBy("column")
+      },
+      Some("""SELECT 'c_acctbal' AS "column", count(c_acctbal) AS n_nonnull,
+             |  count(DISTINCT c_acctbal) AS n_distinct,
+             |  CAST(min(c_acctbal) AS DOUBLE) AS min_num, CAST(max(c_acctbal) AS DOUBLE) AS max_num,
+             |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |FROM customer
+             |UNION ALL
+             |SELECT 'c_custkey', count(c_custkey), count(DISTINCT c_custkey),
+             |  CAST(min(c_custkey) AS DOUBLE), CAST(max(c_custkey) AS DOUBLE), NULL, NULL
+             |FROM customer
+             |UNION ALL
+             |SELECT 'c_mktsegment', count(c_mktsegment), count(DISTINCT c_mktsegment),
+             |  NULL, NULL, min(c_mktsegment), max(c_mktsegment)
+             |FROM customer
+             |UNION ALL
+             |SELECT 'c_name', count(c_name), count(DISTINCT c_name),
+             |  NULL, NULL, min(c_name), max(c_name)
+             |FROM customer
+             |UNION ALL
+             |SELECT 'c_nationkey', count(c_nationkey), count(DISTINCT c_nationkey),
+             |  CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE), NULL, NULL
+             |FROM customer
+             |ORDER BY "column"""".stripMargin),
+    ),
+
+    // Sequence motifs: the corpus's most common event-type trigrams within
+    // a user's timeline — third-order cousin of q_markov's first-order
+    // matrix, the signature-path mining behind funnel discovery and bot
+    // screens. Two leads over ONE user exchange, count shuffle bounded by
+    // |types|³, deterministic top-10 by (count desc, motif).
+    GraftQuery(
+      "q_seq_motifs",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("secs", "event_id")
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            col("ts").cast("long").as("secs"), col("event_type"))
+          .withColumn("t2", lead("event_type", 1).over(w))
+          .withColumn("t3", lead("event_type", 2).over(w))
+          .filter(col("t3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("motif"))
+          .groupBy("motif").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("motif")).limit(10)
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs, event_type
+             |  FROM events),
+             |t AS (
+             |  SELECT event_type || '>' ||
+             |    lead(event_type, 1) OVER w || '>' ||
+             |    lead(event_type, 2) OVER w AS motif
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id))
+             |SELECT motif, count(*) AS n FROM t WHERE motif IS NOT NULL
+             |GROUP BY motif ORDER BY n DESC, motif LIMIT 10""".stripMargin),
+    ),
   )
 }
