@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -771,6 +772,95 @@ object Analytics {
              |  count(*) AS n_days
              |FROM g GROUP BY user_id, grp
              |ORDER BY user_id, start_day""".stripMargin),
+    ),
+
+    // Two-sample Welch test between event cohorts (purchase vs click
+    // values): means and the t statistic from EXACT decimal moments — one
+    // partial-aggregated scan, a 2-row pivot, all the statistics arithmetic
+    // on broadcast scalars. The experiment-readout primitive: at 100 TB
+    // the only data-sized work is the moment aggregation, which map-side
+    // combines. Sample variance (n−1); identical double math both engines
+    // from identical exact sums.
+    GraftQuery(
+      "q_ab_test",
+      (s, dir) => {
+        val m = Tables(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(30, 10))).cast(DoubleType).as("sm"),
+            sum((col("value") * col("value")).cast(DecimalType(30, 10))).cast(DoubleType).as("s2"))
+          .localCheckpoint(false) // 2 rows, feeds both pivot legs
+        val a = m.filter(col("event_type") === "purchase")
+          .select(col("n").as("na"), col("sm").as("sma"), col("s2").as("s2a"))
+        val b = m.filter(col("event_type") === "click")
+          .select(col("n").as("nb"), col("sm").as("smb"), col("s2").as("s2b"))
+        val mean = (sm: Column, n: Column) => sm / n.cast(DoubleType)
+        val varS = (sm: Column, s2: Column, n: Column) => {
+          val nd = n.cast(DoubleType)
+          (s2 - sm * sm / nd) / (nd - lit(1.0))
+        }
+        val r6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+        a.crossJoin(b).select(
+          col("na"), col("nb"),
+          r6(mean(col("sma"), col("na"))).as("mean_a"),
+          r6(mean(col("smb"), col("nb"))).as("mean_b"),
+          r6((mean(col("sma"), col("na")) - mean(col("smb"), col("nb"))) /
+            sqrt(varS(col("sma"), col("s2a"), col("na")) / col("na").cast(DoubleType) +
+              varS(col("smb"), col("s2b"), col("nb")) / col("nb").cast(DoubleType)))
+            .as("t_welch"))
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type, count(*) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sm,
+             |    CAST(sum(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE) AS s2
+             |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+             |a AS (SELECT n AS na, sm AS sma, s2 AS s2a FROM m WHERE event_type = 'purchase'),
+             |b AS (SELECT n AS nb, sm AS smb, s2 AS s2b FROM m WHERE event_type = 'click')
+             |SELECT na, nb,
+             |  floor(sma / CAST(na AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_a,
+             |  floor(smb / CAST(nb AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_b,
+             |  floor((sma / CAST(na AS DOUBLE) - smb / CAST(nb AS DOUBLE)) /
+             |    sqrt((s2a - sma * sma / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) / CAST(na AS DOUBLE)
+             |       + (s2b - smb * smb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE))
+             |    * 1e6 + 0.5) / 1e6 AS t_welch
+             |FROM a, b""".stripMargin),
+    ),
+
+    // Per-segment Gini concentration of positive account balances: rank
+    // windows + Σi·x from exact decimal sums (i·x stays integral-decimal,
+    // so accumulation order can't perturb the result), final Gini as one
+    // double expression per segment. ONE exchange on the segment serves
+    // the rank window and the aggregate — the wealth-concentration /
+    // skew-audit primitive.
+    GraftQuery(
+      "q_gini",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+        Tables(s, dir, "customer")
+          .filter(col("c_acctbal") > 0.0)
+          .withColumn("i", row_number().over(w))
+          .groupBy("c_mktsegment").agg(
+            count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(DecimalType(30, 6))).cast(DoubleType).as("sx"),
+            sum((col("i") * col("c_acctbal")).cast(DecimalType(30, 6))).cast(DoubleType).as("six"))
+          .select(col("c_mktsegment"), col("n"),
+            (floor((lit(2.0) * col("six") - (col("n").cast(DoubleType) + lit(1.0)) * col("sx")) /
+              (col("n").cast(DoubleType) * col("sx")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("gini"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH r AS (
+             |  SELECT c_mktsegment, c_acctbal,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY c_acctbal, c_custkey) AS i
+             |  FROM customer WHERE c_acctbal > 0.0)
+             |SELECT c_mktsegment, count(*) AS n,
+             |  floor((2.0 * CAST(sum(CAST(i * c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+             |    - (CAST(count(*) AS DOUBLE) + 1.0) * CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE))
+             |    / (CAST(count(*) AS DOUBLE) * CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE))
+             |    * 1e6 + 0.5) / 1e6 AS gini
+             |FROM r GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin),
     ),
   )
 

@@ -60,4 +60,40 @@ class StreamOpsSpec extends SparkSuite {
       assert(got.toSeq == Seq((7L, "OK"))) // only the in-window pair joins
     } finally q.stop()
   }
+
+  test("kmv_sketch and bounded_set run inside a watermarked streaming aggregation") {
+    // the custom TypedImperativeAggregates must partial-aggregate and merge
+    // under the streaming state store exactly as they do in batch — this is
+    // what makes the sketch layer usable in the speed path (distinct-count
+    // and neighbor-set maintenance over an unbounded stream at O(k) state)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.KmvSketch.register(s)
+    graft.functions.BoundedSetAgg.register(s)
+    val input = MemoryStream[(String, Long, Timestamp)]
+    val agg = input.toDF().toDF("grp", "uid", "ts")
+      .withWatermark("ts", "10 minutes")
+      .withColumn("win", window(col("ts"), "1 hour"))
+      .groupBy("grp", "win")
+      .agg(expr("kmv_sketch(uid, 4) AS sk"), expr("bounded_set(uid, 3) AS ss"))
+    val q = agg.writeStream.format("memory").queryName("sketch_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(("a", 7L, ts("10:00")), ("a", 3L, ts("10:01")), ("a", 7L, ts("10:02")))
+      input.addData(("b", 1L, ts("10:00")), ("b", 2L, ts("10:01")),
+        ("b", 3L, ts("10:02")), ("b", 4L, ts("10:03")))
+      q.processAllAvailable()
+      val rows = spark.table("sketch_out")
+        .select(col("grp"), col("sk.nd"), col("sk.kth"), col("ss"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+      // a: 2 distinct uids {3, 7}; set fits cap 3
+      assert(rows("a")._1 == 2L && rows("a")._2 == 7L)
+      assert(rows("a")._3.map(_.asInstanceOf[scala.collection.Seq[Long]].toList) == Some(List(3L, 7L)))
+      // b: 4 distinct uids saturate kmv k=4 (kth=4) and overflow bounded_set cap 3 -> null
+      assert(rows("b")._1 == 4L && rows("b")._2 == 4L)
+      assert(rows("b")._3.isEmpty)
+    } finally q.stop()
+  }
 }
