@@ -133,5 +133,51 @@ object Ml {
              |WHERE w.rn = 1
              |ORDER BY vec_id""".stripMargin),
     ),
+
+    // One Lloyd assignment step of k-means (k=8, deterministic lowest-id
+    // init) — the IVF coarse-quantizer trainer. Distances are EXACT
+    // integer squared-L2 over the ×1000-quantized vectors (the Similarity
+    // recipe), so the argmin is unambiguous and engine-identical; ties
+    // break to the lower centroid id. Centroids broadcast (k rows);
+    // assignment is a map-side k-way compare + one partial-aggregated
+    // min(struct) per vector — NO shuffle of the corpus, which is what
+    // lets the step run per-epoch over 100 TB of embeddings. Centroid
+    // RE-computation is the oracle-pinned q_centroid machinery.
+    GraftQuery(
+      "q_kmeans_step",
+      (s, dir) => {
+        val k = 8
+        val e = Tables(s, dir, "embeddings")
+          .withColumn("q", transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long")))
+        val cents = e.orderBy("vec_id").limit(k)
+          .select(col("vec_id").as("cid"), col("q").as("cq"))
+        val d2 = aggregate(
+          zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+        e.select(col("vec_id"), col("q")).crossJoin(broadcast(cents))
+          .withColumn("d2", d2)
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("best"))
+          .select(col("vec_id"), col("best.cid").as("cluster"), col("best.d2").as("d2"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH prep AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, q AS cq FROM prep ORDER BY vec_id LIMIT 8),
+             |asg AS (
+             |  SELECT p.vec_id, c.cid,
+             |    CAST(list_dot_product(p.q, p.q) - 2 * list_dot_product(p.q, c.cq)
+             |      + list_dot_product(c.cq, c.cq) AS BIGINT) AS d2
+             |  FROM prep p CROSS JOIN cents c),
+             |r AS (
+             |  SELECT vec_id, cid, d2,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             |  FROM asg)
+             |SELECT vec_id, cid AS cluster, d2 FROM r WHERE rn = 1
+             |ORDER BY vec_id""".stripMargin),
+    ),
   )
 }
