@@ -805,9 +805,13 @@ object Analytics {
           col("na"), col("nb"),
           r6(mean(col("sma"), col("na"))).as("mean_a"),
           r6(mean(col("smb"), col("nb"))).as("mean_b"),
-          r6((mean(col("sma"), col("na")) - mean(col("smb"), col("nb"))) /
-            sqrt(varS(col("sma"), col("s2a"), col("na")) / col("na").cast(DoubleType) +
-              varS(col("smb"), col("s2b"), col("nb")) / col("nb").cast(DoubleType)))
+          // n < 2 leaves the sample variance undefined: abstain with null
+          // rather than emit an Inf/NaN statistic
+          when(col("na") < 2 || col("nb") < 2, lit(null).cast(DoubleType))
+            .otherwise(
+              r6((mean(col("sma"), col("na")) - mean(col("smb"), col("nb"))) /
+                sqrt(varS(col("sma"), col("s2a"), col("na")) / col("na").cast(DoubleType) +
+                  varS(col("smb"), col("s2b"), col("nb")) / col("nb").cast(DoubleType))))
             .as("t_welch"))
       },
       Some("""WITH m AS (
@@ -820,10 +824,11 @@ object Analytics {
              |SELECT na, nb,
              |  floor(sma / CAST(na AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_a,
              |  floor(smb / CAST(nb AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_b,
+             |  CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE
              |  floor((sma / CAST(na AS DOUBLE) - smb / CAST(nb AS DOUBLE)) /
              |    sqrt((s2a - sma * sma / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) / CAST(na AS DOUBLE)
              |       + (s2b - smb * smb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE))
-             |    * 1e6 + 0.5) / 1e6 AS t_welch
+             |    * 1e6 + 0.5) / 1e6 END AS t_welch
              |FROM a, b""".stripMargin),
     ),
 
