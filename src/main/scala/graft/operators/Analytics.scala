@@ -867,6 +867,53 @@ object Analytics {
              |FROM r GROUP BY c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin),
     ),
+
+    // Touch attribution: each purchase credits the user's most recent
+    // strictly-prior click (last-touch) and their first prior view
+    // (first-touch), with the click→purchase lag. Two IGNORE NULLS value
+    // windows over ONE exchange on the user key — the same carry-forward
+    // machinery as q_first_last, aimed at the conversion-credit question
+    // every growth pipeline answers. Purchases with no prior touch
+    // abstain with nulls rather than mis-credit.
+    GraftQuery(
+      "q_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("secs", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("long").as("secs"), col("event_type"))
+          .withColumn("last_click_id",
+            last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("last_click_secs",
+            last(when(col("event_type") === "click", col("secs")), ignoreNulls = true).over(w))
+          .withColumn("first_view_id",
+            first(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("last_click_id"),
+            (col("secs") - col("last_click_secs")).as("click_lag_secs"),
+            col("first_view_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs, event_type
+             |  FROM events),
+             |t AS (
+             |  SELECT event_id, user_id, secs, event_type,
+             |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+             |      OVER w AS last_click_id,
+             |    last_value(CASE WHEN event_type = 'click' THEN secs END IGNORE NULLS)
+             |      OVER w AS last_click_secs,
+             |    first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+             |      OVER w AS first_view_id
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT event_id, user_id, last_click_id,
+             |  secs - last_click_secs AS click_lag_secs, first_view_id
+             |FROM t WHERE event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin),
+    ),
   )
 
   /** Bucket-blocked interval-overlap join: all (left, right) pairs sharing
