@@ -136,6 +136,32 @@ class ProfilingSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("histQuantile and bounded_set survive empty input") {
+    val s = spark
+    import s.implicits._
+    graft.functions.BoundedSetAgg.register(s)
+    val emptyV = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(operators.Sketches.histQuantile(emptyV, "v", "g", 0.0, 1.0, 8, Seq(0.5)).count() == 0)
+    val emptyL = Seq.empty[(Long, Long)].toDF("g", "v")
+    assert(emptyL.groupBy("g").agg(expr("bounded_set(v, 4)")).count() == 0)
+  }
+
+  test("single-event users produce no markov transitions but keep their rolling count") {
+    val s = spark
+    import s.implicits._
+    // replicate the q_markov lead+group shape on a toy frame: a user with
+    // one event contributes nothing; two events -> one transition
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("t")
+    val df = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 2L, "a"))
+      .toDF("t", "u", "ty")
+      .withColumn("dst", lead("ty", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("ty").as("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a", "b", 1L)))
+  }
+
   test("q_weighted_sample: deterministic, exactly 50, priorities are the hash/weight ratio") {
     val df1 = q(Curation.queries, "q_weighted_sample")
     val df2 = q(Curation.queries, "q_weighted_sample")
