@@ -914,6 +914,52 @@ object Analytics {
              |FROM t WHERE event_type = 'purchase'
              |ORDER BY event_id""".stripMargin),
     ),
+
+    // RFM segmentation: recency / frequency / monetary quintiles per
+    // customer — the classic value-segmentation grid. One aggregation
+    // shuffle on custkey builds the three metrics (decimal-exact spend);
+    // each ntile(5) is a global rank over the CUSTOMER aggregate (entity-
+    // bounded, orders of magnitude smaller than the fact table), with
+    // custkey tie-breaks so bucket edges are total orders — deterministic
+    // on any engine. Segment ids concatenate the three scores. At extreme
+    // entity counts (ntile's global sort stops amortizing) the scores swap
+    // to broadcast cutoffs from [[Sketches.histQuantile]] — same output
+    // contract, no global window.
+    GraftQuery(
+      "q_rfm",
+      (s, dir) => {
+        val m = Tables(s, dir, "orders").groupBy("o_custkey").agg(
+          max(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+            .cast(LongType).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast(DecimalType(30, 6))).cast(DoubleType).as("spend"))
+        m.withColumn("r_score",
+            ntile(5).over(Window.orderBy(col("last_day").desc, col("o_custkey"))).cast("long"))
+          .withColumn("f_score",
+            ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey"))).cast("long"))
+          .withColumn("m_score",
+            ntile(5).over(Window.orderBy(col("spend").desc, col("o_custkey"))).cast("long"))
+          .select(col("o_custkey"), col("freq"), col("spend"),
+            col("r_score"), col("f_score"), col("m_score"),
+            concat_ws("-", col("r_score"), col("f_score"), col("m_score")).as("segment"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_custkey,
+             |    CAST(CAST(max(o_orderdate) AS DATE) - DATE '1970-01-01' AS BIGINT) AS last_day,
+             |    count(*) AS freq,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS spend
+             |  FROM orders GROUP BY 1),
+             |sc AS (
+             |  SELECT o_custkey, freq, spend,
+             |    CAST(ntile(5) OVER (ORDER BY last_day DESC, o_custkey) AS BIGINT) AS r_score,
+             |    CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_score,
+             |    CAST(ntile(5) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS m_score
+             |  FROM m)
+             |SELECT o_custkey, freq, spend, r_score, f_score, m_score,
+             |  r_score || '-' || f_score || '-' || m_score AS segment
+             |FROM sc ORDER BY o_custkey""".stripMargin),
+    ),
   )
 
   /** Bucket-blocked interval-overlap join: all (left, right) pairs sharing
