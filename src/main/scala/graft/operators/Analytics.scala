@@ -960,6 +960,42 @@ object Analytics {
              |  r_score || '-' || f_score || '-' || m_score AS segment
              |FROM sc ORDER BY o_custkey""".stripMargin),
     ),
+
+    // Period-over-period reporting: monthly revenue per order priority
+    // with previous-month delta and percent change. The fact table
+    // collapses to a (priority × month) aggregate in one decimal-exact
+    // shuffle; the lag window runs over that calendar-bounded frame.
+    // First months abstain (null delta) rather than fake a 0% baseline.
+    GraftQuery(
+      "q_pop_growth",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("month_start")
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(30, 6))).cast(DoubleType).as("revenue"))
+          .withColumn("prev", lag("revenue", 1).over(w))
+          .select(col("o_orderpriority"), col("month_start"),
+            (floor(col("revenue") * lit(1e2) + lit(0.5)) / lit(1e2)).as("revenue"),
+            (floor((col("revenue") - col("prev")) * lit(1e2) + lit(0.5)) / lit(1e2)).as("delta"),
+            (floor((col("revenue") - col("prev")) / col("prev") * lit(1e6) + lit(0.5)) / lit(1e6)).as("pct_change"))
+          .orderBy("o_orderpriority", "month_start")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority,
+             |    strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+             |  FROM orders GROUP BY 1, 2),
+             |l AS (
+             |  SELECT *, lag(revenue) OVER (PARTITION BY o_orderpriority
+             |    ORDER BY month_start) AS prev
+             |  FROM m)
+             |SELECT o_orderpriority, month_start,
+             |  floor(revenue * 1e2 + 0.5) / 1e2 AS revenue,
+             |  floor((revenue - prev) * 1e2 + 0.5) / 1e2 AS delta,
+             |  floor((revenue - prev) / prev * 1e6 + 0.5) / 1e6 AS pct_change
+             |FROM l ORDER BY o_orderpriority, month_start""".stripMargin),
+    ),
   )
 
   /** Bucket-blocked interval-overlap join: all (left, right) pairs sharing
