@@ -548,8 +548,11 @@ object Extended {
             col("ts").cast("long").as("secs"), col("event_type"))
           .withColumn("t2", lead("event_type", 1).over(w))
           .withColumn("t3", lead("event_type", 2).over(w))
-          .filter(col("t3").isNotNull)
-          .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("motif"))
+          // concat, NOT concat_ws: concat_ws silently skips null components
+          // (a null event_type would fake a bigram as a trigram); concat
+          // nulls the whole motif, matching the oracle's || semantics
+          .select(concat(col("event_type"), lit(">"), col("t2"), lit(">"), col("t3")).as("motif"))
+          .filter(col("motif").isNotNull)
           .groupBy("motif").agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), col("motif")).limit(10)
       },

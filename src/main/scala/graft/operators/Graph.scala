@@ -217,14 +217,16 @@ object Graph {
       "q_cooccur",
       (s, dir) => {
         graft.functions.BoundedSetAgg.register(s)
+        val cap = 25 // fanout cap — the oracle SQL's HAVING bound must match
         Tables(s, dir, "lineitem")
           .groupBy(col("l_partkey"))
-          .agg(expr("bounded_set(l_suppkey, 25)").as("ss"))
-          .filter(col("ss").isNotNull) // null = hub (fanout > 25), dropped
+          .agg(expr(s"bounded_set(l_suppkey, $cap)").as("ss"))
+          .filter(col("ss").isNotNull) // null = hub (fanout > cap), dropped
           // ss is sorted, so suffix-slicing emits each unordered pair once
-          // (s1 < s2) without generating the full cap² cross product
+          // (s1 < s2) without generating the full cap² cross product; the
+          // slice length is the set's own size so a cap change can't truncate
           .select(posexplode(col("ss")).as(Seq("i", "s1")), col("ss"))
-          .select(col("s1"), explode(slice(col("ss"), col("i") + 2, lit(25))).as("s2"))
+          .select(col("s1"), explode(slice(col("ss"), col("i") + 2, size(col("ss")))).as("s2"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("common_parts"))
           .filter(col("common_parts") >= 3)
           .orderBy("s1", "s2")

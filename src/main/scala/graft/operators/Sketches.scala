@@ -103,7 +103,11 @@ object Sketches {
     val bkt = least(greatest(
         floor((col(valueCol) - lit(lo)) / lit(width)), lit(0.0)), lit((bins - 1).toDouble))
       .cast(LongType)
-    val h = df.groupBy(col(groupCol), bkt.as("bkt")).agg(count(lit(1)).as("cnt"))
+    // nulls are excluded by contract (a NULL bucket would sort NULLS FIRST
+    // into every cumulative count and bias quantiles low); n counts
+    // non-null values only — same denominator rule as heavyHitters
+    val h = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), bkt.as("bkt")).agg(count(lit(1)).as("cnt"))
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy("bkt")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -234,9 +238,11 @@ object Sketches {
               |    count(*) OVER (PARTITION BY o_orderpriority) AS nd
               |  FROM h),
               |a AS (SELECT list(h ORDER BY h) AS am, any_value(nd) AS a_nd,
-              |        max(h) AS a_kth FROM r WHERE o_orderpriority = '1-URGENT' AND rk <= 64),
+              |        max(h) AS a_kth FROM r WHERE o_orderpriority = '1-URGENT' AND rk <= 64
+              |        HAVING count(*) > 0),
               |b AS (SELECT list(h ORDER BY h) AS bm, any_value(nd) AS b_nd,
-              |        max(h) AS b_kth FROM r WHERE o_orderpriority = '2-HIGH' AND rk <= 64),
+              |        max(h) AS b_kth FROM r WHERE o_orderpriority = '2-HIGH' AND rk <= 64
+              |        HAVING count(*) > 0),
               |x AS (SELECT count(*) AS exact_common FROM (
               |        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
               |        INTERSECT
