@@ -227,5 +227,53 @@ object Warehouse {
              |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
              |FROM c2 ORDER BY key, version""".stripMargin),
     ),
+
+    // Snapshot reconciliation: FULL OUTER diff of two aggregate snapshots
+    // (per-customer 1995 vs 1996 spend) with added/removed/changed/same
+    // status per key — the data-migration audit every cutover runs. The
+    // equality leg compares DECIMAL-EXACT sums (doubles only at the
+    // presentation edge), so 'same' can never flap on accumulation order.
+    // Both snapshots shuffle once on the join key; the full-outer join is
+    // co-partitioned on that same key.
+    GraftQuery(
+      "q_reconcile",
+      (s, dir) => {
+        def snap(year: Int) = Tables(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date")
+            .between(lit(s"$year-01-01"), lit(s"$year-12-31")))
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast(DecimalType(30, 6))).as("spend"))
+        val a = snap(1995).select(col("o_custkey"), col("spend").as("spend_a"))
+        val b = snap(1996).select(col("o_custkey"), col("spend").as("spend_b"))
+        a.join(b, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            col("spend_a").cast(DoubleType).as("spend_1995"),
+            col("spend_b").cast(DoubleType).as("spend_1996"),
+            when(col("spend_a").isNull, lit("added"))
+              .when(col("spend_b").isNull, lit("removed"))
+              .when(col("spend_a") === col("spend_b"), lit("same"))
+              .otherwise(lit("changed")).as("status"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(30,6))) AS spend_a
+             |  FROM orders
+             |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+             |  GROUP BY 1),
+             |b AS (
+             |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(30,6))) AS spend_b
+             |  FROM orders
+             |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+             |  GROUP BY 1)
+             |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+             |  CAST(spend_a AS DOUBLE) AS spend_1995,
+             |  CAST(spend_b AS DOUBLE) AS spend_1996,
+             |  CASE WHEN spend_a IS NULL THEN 'added'
+             |       WHEN spend_b IS NULL THEN 'removed'
+             |       WHEN spend_a = spend_b THEN 'same'
+             |       ELSE 'changed' END AS status
+             |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+             |ORDER BY o_custkey""".stripMargin),
+    ),
   )
 }
