@@ -93,6 +93,23 @@ object Warehouse {
       .unionByName(upserts)
   }
 
+  /** Incremental JOIN maintenance (the IVM delta rule): given stored sides
+    * and their deltas, the join's delta is ΔA⋈Bₙₑw ∪ Aₒₗd⋈ΔB — two joins
+    * sized by the DELTAS, not the stored tables. Appending that delta to
+    * the stored join result equals a full recompute (the oracle), without
+    * ever rescanning history. All legs are equi-joins on `key`, so a
+    * bucketed store keeps every one of them shuffle-free on the stored
+    * side. Append-only deltas; deletes/updates route through [[cdcMerge]]
+    * first.
+    */
+  def maintainJoin(aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame, key: String): DataFrame = {
+    val bNew = bOld.unionByName(bDelta)
+    aOld.join(bOld, key) // the stored result (stands in for the materialized view)
+      .unionByName(aDelta.join(bNew, key))
+      .unionByName(aOld.join(bDelta, key))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // MERGE semantics over a deterministic delta synthesized from the
@@ -274,6 +291,35 @@ object Warehouse {
              |       ELSE 'changed' END AS status
              |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
              |ORDER BY o_custkey""".stripMargin),
+    ),
+
+    // Join IVM end-to-end: orders split at 1997 (stored/delta), customers
+    // split at custkey 1200 (stored/delta — late-arriving dimension rows),
+    // maintained via the delta rule and aggregated per segment. The oracle
+    // is the FULL recompute — the incremental path must be invisible in
+    // the result, the same contract as q_incremental_agg.
+    GraftQuery(
+      "q_join_ivm",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("ck"), col("o_totalprice"), col("o_orderdate"))
+        val c = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("ck"), col("c_mktsegment"))
+        val cut = lit("1997-01-01").cast("date")
+        val joined = maintainJoin(
+          o.filter(col("o_orderdate").cast("date") < cut),
+          o.filter(col("o_orderdate").cast("date") >= cut),
+          c.filter(col("ck") < 1200L),
+          c.filter(col("ck") >= 1200L), "ck")
+        joined.groupBy("c_mktsegment").agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(30, 6))).cast(DoubleType).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
   )
 }
