@@ -462,6 +462,37 @@ object TextAnalysis {
              |WHERE p.c12 >= 5
              |ORDER BY p.w1, p.w2""".stripMargin),
     ),
+
+    // Trigram-prefiltered substring search (the pg_trgm recipe): docs can
+    // only contain the pattern if they contain every one of its character
+    // trigrams, so a trigram semi-join prunes the corpus BEFORE the exact
+    // contains() verify — at scale the trigram side is a precomputed
+    // inverted index and the LIKE '%…%' full scan disappears. The oracle
+    // is the naive LIKE: the prefilter must be result-invisible (the
+    // q_bloom_prune contract). Short-doc guard: sequence() REVERSES when
+    // end < start (the Curation gramsOf trap), hence the length gate.
+    GraftQuery(
+      "q_like_prefilter",
+      (s, dir) => {
+        val pattern = "slow query"
+        val grams = pattern.sliding(3).toSeq.distinct
+        val doc = Tables(s, dir, "documents")
+        val cand = doc.filter(length(col("text")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
+              i => col("text").substr(i, lit(3))))).as("g"))
+          .filter(col("g").isin(grams: _*))
+          .groupBy("doc_id").agg(count(lit(1)).as("ng"))
+          .filter(col("ng") === grams.size)
+        doc.join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
+          .filter(col("text").contains(pattern))
+          .select("doc_id", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
+             |WHERE text LIKE '%slow query%'
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** Per-source quality quota: keep the top `quota` documents of each
