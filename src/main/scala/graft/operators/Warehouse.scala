@@ -93,22 +93,19 @@ object Warehouse {
       .unionByName(upserts)
   }
 
-  /** Incremental JOIN maintenance (the IVM delta rule): given stored sides
-    * and their deltas, the join's delta is ΔA⋈Bₙₑw ∪ Aₒₗd⋈ΔB — two joins
-    * sized by the DELTAS, not the stored tables. Appending that delta to
-    * the stored join result equals a full recompute (the oracle), without
-    * ever rescanning history. All legs are equi-joins on `key`, so a
-    * bucketed store keeps every one of them shuffle-free on the stored
-    * side. Append-only deltas; deletes/updates route through [[cdcMerge]]
-    * first.
+  /** Incremental JOIN maintenance (the IVM delta rule): the join's delta
+    * under appends is ΔA⋈Bₙₑw ∪ Aₒₗd⋈ΔB — two joins sized by the DELTAS,
+    * not the stored tables. Appending the returned delta to the STORED
+    * join result (which the caller holds materialized, same contract as
+    * [[mergeStates]] absorbing a delta state) equals a full recompute —
+    * history is never rescanned. All legs are equi-joins on `key`, so a
+    * bucketed store keeps them shuffle-free on the stored side.
+    * Append-only deltas; deletes/updates route through [[cdcMerge]] first.
     */
-  def maintainJoin(aOld: DataFrame, aDelta: DataFrame,
-      bOld: DataFrame, bDelta: DataFrame, key: String): DataFrame = {
-    val bNew = bOld.unionByName(bDelta)
-    aOld.join(bOld, key) // the stored result (stands in for the materialized view)
-      .unionByName(aDelta.join(bNew, key))
+  def joinDelta(aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame, key: String): DataFrame =
+    aDelta.join(bOld.unionByName(bDelta), key)
       .unionByName(aOld.join(bDelta, key))
-  }
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -306,11 +303,13 @@ object Warehouse {
         val c = Tables(s, dir, "customer")
           .select(col("c_custkey").as("ck"), col("c_mktsegment"))
         val cut = lit("1997-01-01").cast("date")
-        val joined = maintainJoin(
-          o.filter(col("o_orderdate").cast("date") < cut),
-          o.filter(col("o_orderdate").cast("date") >= cut),
-          c.filter(col("ck") < 1200L),
-          c.filter(col("ck") >= 1200L), "ck")
+        val (aOld, aDelta) = (o.filter(col("o_orderdate").cast("date") < cut),
+          o.filter(col("o_orderdate").cast("date") >= cut))
+        val (bOld, bDelta) = (c.filter(col("ck") < 1200L), c.filter(col("ck") >= 1200L))
+        // aOld⋈bOld stands in for the stored materialized view; a real
+        // refresh reads it from storage and appends only joinDelta
+        val joined = aOld.join(bOld, "ck")
+          .unionByName(joinDelta(aOld, aDelta, bOld, bDelta, "ck"))
         joined.groupBy("c_mktsegment").agg(
             count(lit(1)).as("n_orders"),
             sum(col("o_totalprice").cast(DecimalType(30, 6))).cast(DoubleType).as("revenue"))

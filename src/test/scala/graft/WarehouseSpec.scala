@@ -112,7 +112,7 @@ class WarehouseSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(1L -> "a"))
   }
 
-  test("maintainJoin: delta rule equals full recompute across all four quadrants") {
+  test("joinDelta: stored join + delta equals full recompute across all four quadrants") {
     val s = spark
     import s.implicits._
     // rows joining old×old, delta×old, old×delta, and delta×delta — the
@@ -121,7 +121,8 @@ class WarehouseSpec extends SparkSuite {
     val aDelta = Seq((2L, "ad2"), (3L, "ad3")).toDF("k", "av")
     val bOld = Seq((1L, "bo1"), (2L, "bo2"), (3L, "bo3")).toDF("k", "bv")
     val bDelta = Seq((2L, "bd2"), (3L, "bd3"), (8L, "bd8")).toDF("k", "bv")
-    val maintained = Warehouse.maintainJoin(aOld, aDelta, bOld, bDelta, "k")
+    val maintained = aOld.join(bOld, "k")
+      .unionByName(Warehouse.joinDelta(aOld, aDelta, bOld, bDelta, "k"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
     val full = aOld.unionByName(aDelta).join(bOld.unionByName(bDelta), "k")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
@@ -129,15 +130,13 @@ class WarehouseSpec extends SparkSuite {
     assert(full.exists(t => t._2 == "ad2" && t._3 == "bd2")) // delta×delta present
   }
 
-  test("maintainJoin: empty deltas reduce to the stored join") {
+  test("joinDelta: empty deltas contribute nothing") {
     val s = spark
     import s.implicits._
     val a = Seq((1L, "a1")).toDF("k", "av")
     val b = Seq((1L, "b1"), (2L, "b2")).toDF("k", "bv")
     val none = Seq.empty[(Long, String)].toDF("k", "av")
     val noneB = Seq.empty[(Long, String)].toDF("k", "bv")
-    val got = Warehouse.maintainJoin(a, none, b, noneB, "k")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-    assert(got == Seq((1L, "a1", "b1")))
+    assert(Warehouse.joinDelta(a, none, b, noneB, "k").count() == 0)
   }
 }
