@@ -477,14 +477,14 @@ object TextAnalysis {
         val pattern = "slow query"
         val grams = pattern.sliding(3).toSeq.distinct
         val doc = Tables(s, dir, "documents")
-        val cand = doc.filter(length(col("text")) >= 3)
-          .select(col("doc_id"),
-            explode(array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
-              i => col("text").substr(i, lit(3))))).as("g"))
-          .filter(col("g").isin(grams: _*))
-          .groupBy("doc_id").agg(count(lit(1)).as("ng"))
-          .filter(col("ng") === grams.size)
-        doc.join(cand.select("doc_id"), Seq("doc_id"), "left_semi")
+        // the prefilter is ONE map-side conjunction: the doc must contain
+        // every pattern trigram — codegen'd substring probes, no explode,
+        // no shuffle, no per-doc gram materialization. On an indexed lake
+        // the same predicate becomes a posting-list intersection over a
+        // precomputed trigram index and the full-text scan disappears;
+        // here it demonstrates the pruning semantics at scan speed.
+        doc.filter(length(col("text")) >= 3)
+          .filter(grams.map(g => col("text").contains(g)).reduce(_ && _))
           .filter(col("text").contains(pattern))
           .select("doc_id", "n_chars")
           .orderBy("doc_id")
