@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -492,6 +493,49 @@ object TextAnalysis {
       Some("""SELECT doc_id, n_chars FROM documents
              |WHERE text LIKE '%slow query%'
              |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Vocabulary coverage: per-doc out-of-vocabulary token rate against
+    // the corpus's own top-100 words — the tokenizer-fit metric run before
+    // committing a vocab. The vocab derives from one word-count aggregate
+    // (top-100 with deterministic ties = rank window over the word-count
+    // frame, word-bounded not corpus-bounded) and broadcasts back; the
+    // per-doc rate is then a map-side semi-membership count via the same
+    // left-semi shape as q_decontaminate, aggregated per doc.
+    GraftQuery(
+      "q_oov_rate",
+      (s, dir) => {
+        val doc = Tables(s, dir, "documents")
+        val words = doc.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
+        val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("w"))))
+          .filter(col("rk") <= 100).select("w")
+        val perDoc = words
+          .join(broadcast(vocab.withColumn("__in", lit(1L))), Seq("w"), "left")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        perDoc.select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            (floor(col("n_oov").cast("double") / col("n_tokens").cast("double")
+              * lit(1e6) + lit(0.5)) / lit(1e6)).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, w FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE w <> ''),
+             |vocab AS (
+             |  SELECT w FROM (
+             |    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+             |    FROM words GROUP BY w)
+             |  WHERE rk <= 100)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |  floor(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS oov_rate
+             |FROM words LEFT JOIN vocab v USING (w)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
   )
 
