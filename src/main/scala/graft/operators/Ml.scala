@@ -23,6 +23,46 @@ import org.apache.spark.sql.functions._
   */
 object Ml {
 
+  /** Full Lloyd's k-means over ×1000-quantized vectors, `iters` rounds of
+    * assign (broadcast centroids, exact integer squared-L2 argmin — the
+    * q_kmeans_step kernel) + update (per-(cluster, dim) integer mean via
+    * posexplode partial agg, floor division — no per-cluster vector
+    * materialization). All-integer arithmetic makes every round
+    * partitioning-invariant and engine-deterministic, the [[Graph.pageRank]]
+    * discipline applied to clustering; empty clusters keep their previous
+    * centroid. Init = the k lowest-id vectors. Per round: one id-keyed
+    * shuffle (assignment join) + one (cluster, dim)-keyed partial agg —
+    * the corpus vectors themselves never shuffle. Output: (id, cluster,
+    * d2) under the FINAL centroids.
+    */
+  def lloyd(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && iters >= 1 && iters <= 50)
+    val e = df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
+      .localCheckpoint(false) // feeds every round — quantize once
+    val d2 = aggregate(
+      zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    def assign(cents: org.apache.spark.sql.DataFrame) =
+      e.crossJoin(broadcast(cents)).withColumn("d2", d2)
+        .groupBy("id").agg(min(struct(col("d2"), col("cid"))).as("b"))
+    var cents = e.orderBy("id").limit(k).select(col("id").as("cid"), col("q").as("cq"))
+    for (_ <- 1 to iters) {
+      val members = e.join(assign(cents).select(col("id"), col("b.cid").as("cluster")), "id")
+      val upd = members.select(col("cluster"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"), expr("sv div n").as("cv"))
+        .groupBy("cluster").agg(
+          transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+            s => s.getField("cv")).as("cq_new"))
+      cents = cents.join(upd.withColumnRenamed("cluster", "cid"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cq_new"), col("cq")).as("cq"))
+        .localCheckpoint(false) // k rows; truncates the per-round lineage
+    }
+    assign(cents).select(col("id"), col("b.cid").as("cluster"), col("b.d2").as("d2"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
       "q_ml_score",

@@ -72,4 +72,37 @@ class MLSpec extends SparkSuite {
     assert(m("a") != m("c")) // order-sensitive, unlike the sorted-set md5 fingerprint
     assert(m.values.forall(h => h >= 0L && h < 2147483647L))
   }
+
+  test("lloyd: converges to the true partition on separated clusters, any partitioning") {
+    val s = spark
+    import s.implicits._
+    // two tight clusters around (0,0) and (10,10); init picks ids 0 and 1
+    // (one from each cluster by construction)
+    val pts = Seq(
+      (0L, Array(0.1f, 0.0f)), (1L, Array(10.0f, 10.1f)),
+      (2L, Array(0.0f, 0.2f)), (3L, Array(9.9f, 10.0f)),
+      (4L, Array(0.2f, 0.1f)), (5L, Array(10.1f, 9.9f)),
+    )
+    for (parts <- Seq(1, 5)) {
+      val df = pts.toDF("vec_id", "embedding").repartition(parts)
+      val got = operators.Ml.lloyd(df, "vec_id", "embedding", k = 2, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(0L) == got(2L) && got(2L) == got(4L), s"parts=$parts")
+      assert(got(1L) == got(3L) && got(3L) == got(5L), s"parts=$parts")
+      assert(got(0L) != got(1L), s"parts=$parts")
+    }
+  }
+
+  test("lloyd: an empty cluster keeps its previous centroid instead of vanishing") {
+    val s = spark
+    import s.implicits._
+    // k=2 but every point sits on one spot: the second centroid (init id 1)
+    // attracts nothing after round 1 yet must survive with k rows of output space
+    val pts = Seq((0L, Array(5.0f, 5.0f)), (1L, Array(5.0f, 5.0f)), (2L, Array(5.0f, 5.0f)))
+    val got = operators.Ml.lloyd(pts.toDF("vec_id", "embedding"), "vec_id", "embedding", 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 3)
+    // identical points all land in ONE cluster (tie breaks to lower cid)
+    assert(got.values.toSet.size == 1)
+  }
 }
