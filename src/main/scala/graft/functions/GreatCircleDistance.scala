@@ -68,6 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSketch.builder))
     e.injectFunction((SimHash16.identifier, SimHash16.info, SimHash16.builder))
     e.injectFunction((MinHashSig.identifier, MinHashSig.info, MinHashSig.builder))
+    e.injectFunction((KmvSketch.identifier, KmvSketch.info, KmvSketch.builder))
+    e.injectFunction((KmvSketch.fullIdentifier, KmvSketch.fullInfo,
+      KmvSketch.fullBuilder))
+    e.injectFunction((BoundedSetAgg.identifier, BoundedSetAgg.info,
+      BoundedSetAgg.builder))
     e.injectOptimizerRule(_ => ZeroDistanceFold)
   }
 }

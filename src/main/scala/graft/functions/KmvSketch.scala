@@ -139,10 +139,11 @@ object KmvSketch {
       s"kmv_sketch expects (hashCol, k literal), got ${other.size} args")
   }
   val builder: Seq[Expression] => Expression = mkBuilder(full = false)
+  val fullBuilder: Seq[Expression] => Expression = mkBuilder(full = true)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(identifier, info, builder)
     spark.sessionState.functionRegistry.registerFunction(
-      fullIdentifier, fullInfo, mkBuilder(full = true))
+      fullIdentifier, fullInfo, fullBuilder)
   }
 }
