@@ -23,17 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Ml {
 
-  /** Full Lloyd's k-means over ×1000-quantized vectors, `iters` rounds of
-    * assign (broadcast centroids, exact integer squared-L2 argmin — the
-    * q_kmeans_step kernel) + update (per-(cluster, dim) integer mean via
-    * posexplode partial agg, floor division — no per-cluster vector
-    * materialization). All-integer arithmetic makes every round
-    * partitioning-invariant and engine-deterministic, the [[Graph.pageRank]]
-    * discipline applied to clustering; empty clusters keep their previous
-    * centroid. Init = the k lowest-id vectors. Per round: one id-keyed
-    * shuffle (assignment join) + one (cluster, dim)-keyed partial agg —
-    * the corpus vectors themselves never shuffle. Output: (id, cluster,
-    * d2) under the FINAL centroids.
+  /** Full Lloyd's k-means over ×1000-quantized vectors. Centroids live on
+    * the DRIVER between rounds (k rows — a constant, the bounded-collect
+    * class of the Geo dimension), so each round's assignment is a pure
+    * map-side expression: fold the k centroid literals per row, take the
+    * lexicographic-min (d2, cid) struct. No assignment join, no id-keyed
+    * shuffle — the ONLY exchange per round carries (cluster, dim) partial
+    * sums, bounded by k·dims·partitions, and the corpus vectors never
+    * leave their scan tasks. Integer squared-L2 + true FLOOR division
+    * ((sv − pmod(sv, n)) / n — `div` would truncate toward zero and bias
+    * negative coordinates) keep every round partitioning-invariant and
+    * engine-deterministic, the [[Graph.pageRank]] discipline applied to
+    * clustering. Empty clusters keep their previous centroid. Init = the
+    * k lowest-id vectors. Output: (id, cluster, d2) under the FINAL
+    * centroids.
     */
   def lloyd(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): org.apache.spark.sql.DataFrame = {
@@ -41,26 +44,35 @@ object Ml {
     val e = df.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
       .localCheckpoint(false) // feeds every round — quantize once
-    val d2 = aggregate(
-      zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
-    def assign(cents: org.apache.spark.sql.DataFrame) =
-      e.crossJoin(broadcast(cents)).withColumn("d2", d2)
-        .groupBy("id").agg(min(struct(col("d2"), col("cid"))).as("b"))
-    var cents = e.orderBy("id").limit(k).select(col("id").as("cid"), col("q").as("cq"))
+    // the lambda-valued aggregate loses its Alias inside struct() (fields
+    // resolve as col1/col2), so the struct is re-typed by cast
+    def best(cents: Array[(Long, Array[Long])]) = array_min(
+      array(cents.map { case (cid, cq) =>
+        struct(
+          aggregate(zip_with(col("q"), array(cq.map(lit).toIndexedSeq: _*),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x),
+          lit(cid))
+      }.toIndexedSeq: _*)).cast("struct<d2:bigint,cid:bigint>")
+    var cents: Array[(Long, Array[Long])] = e.orderBy("id").limit(k).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
     for (_ <- 1 to iters) {
-      val members = e.join(assign(cents).select(col("id"), col("b.cid").as("cluster")), "id")
-      val upd = members.select(col("cluster"), posexplode(col("q")).as(Seq("dim", "v")))
+      val upd = e.select(best(cents).getField("cid").as("cluster"),
+          posexplode(col("q")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim").agg(sum("v").as("sv"), count(lit(1)).as("n"))
-        .select(col("cluster"), col("dim"), expr("sv div n").as("cv"))
-        .groupBy("cluster").agg(
-          transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-            s => s.getField("cv")).as("cq_new"))
-      cents = cents.join(upd.withColumnRenamed("cluster", "cid"), Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cq_new"), col("cq")).as("cq"))
-        .localCheckpoint(false) // k rows; truncates the per-round lineage
+        // numerator is exactly divisible after the pmod subtraction, so the
+        // truncating `div` IS floor division here — and stays in long
+        // arithmetic (plain `/` would detour through double and lose
+        // exactness past 2^53)
+        .select(col("cluster"), col("dim"),
+          expr("(sv - pmod(sv, n)) div n").as("cv"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray // dim is posexplode's int
+        }
+      cents = cents.map { case (cid, cq) => cid -> upd.getOrElse(cid, cq) }
     }
-    assign(cents).select(col("id"), col("b.cid").as("cluster"), col("b.d2").as("d2"))
+    e.select(col("id"), best(cents).getField("cid").as("cluster"),
+      best(cents).getField("d2").as("d2"))
   }
 
   val queries: Seq[GraftQuery] = Seq(

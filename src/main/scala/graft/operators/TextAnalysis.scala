@@ -466,25 +466,22 @@ object TextAnalysis {
 
     // Trigram-prefiltered substring search (the pg_trgm recipe): docs can
     // only contain the pattern if they contain every one of its character
-    // trigrams, so a trigram semi-join prunes the corpus BEFORE the exact
-    // contains() verify — at scale the trigram side is a precomputed
-    // inverted index and the LIKE '%…%' full scan disappears. The oracle
-    // is the naive LIKE: the prefilter must be result-invisible (the
-    // q_bloom_prune contract). Short-doc guard: sequence() REVERSES when
-    // end < start (the Curation gramsOf trap), hence the length gate.
+    // trigrams, so the prefilter prunes the corpus BEFORE the exact
+    // contains() verify. The oracle is the naive LIKE: the prefilter must
+    // be result-invisible (the q_bloom_prune contract).
     GraftQuery(
       "q_like_prefilter",
       (s, dir) => {
         val pattern = "slow query"
         val grams = pattern.sliding(3).toSeq.distinct
-        val doc = Tables(s, dir, "documents")
         // the prefilter is ONE map-side conjunction: the doc must contain
         // every pattern trigram — codegen'd substring probes, no explode,
-        // no shuffle, no per-doc gram materialization. On an indexed lake
-        // the same predicate becomes a posting-list intersection over a
-        // precomputed trigram index and the full-text scan disappears;
-        // here it demonstrates the pruning semantics at scan speed.
-        doc.filter(length(col("text")) >= 3)
+        // no shuffle, no per-doc gram materialization (short docs simply
+        // fail the probes). On an indexed lake the same predicate becomes
+        // a posting-list intersection over a precomputed trigram index and
+        // the full-text scan disappears; here it demonstrates the pruning
+        // semantics at scan speed.
+        Tables(s, dir, "documents")
           .filter(grams.map(g => col("text").contains(g)).reduce(_ && _))
           .filter(col("text").contains(pattern))
           .select("doc_id", "n_chars")
