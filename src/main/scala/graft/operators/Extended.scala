@@ -568,5 +568,61 @@ object Extended {
              |SELECT motif, count(*) AS n FROM t WHERE motif IS NOT NULL
              |GROUP BY motif ORDER BY n DESC, motif LIMIT 10""".stripMargin),
     ),
+
+    // LATERAL correlated subquery: each nation's top-2 customers by
+    // balance — the per-row-subquery SQL surface (Spark 3.2+/DuckDB both
+    // speak it). Catalyst rewrites the lateral into a ranked window join,
+    // so the executed plan is the same WindowGroupLimit shape as
+    // q_topk_per_key — no per-row re-execution.
+    GraftQuery(
+      "q_lateral",
+      (s, dir) => {
+        Tables(s, dir, "customer").createOrReplaceTempView("ext_lat_customer")
+        Tables(s, dir, "nation").createOrReplaceTempView("ext_lat_nation")
+        s.sql("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+                |FROM ext_lat_nation n,
+                |LATERAL (
+                |  SELECT c_custkey, c_acctbal FROM ext_lat_customer c
+                |  WHERE c.c_nationkey = n.n_nationkey
+                |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+                |) t
+                |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+      },
+      Some("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+             |FROM nation n,
+             |LATERAL (
+             |  SELECT c_custkey, c_acctbal FROM customer c
+             |  WHERE c.c_nationkey = n.n_nationkey
+             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+             |) t
+             |ORDER BY n.n_name, t.c_custkey""".stripMargin),
+    ),
+
+    // Null-semantics surface: null-safe equality (<=> / IS NOT DISTINCT
+    // FROM), NULLIF, three-valued-logic counts, and null-safe join
+    // matching — the SQL corner every migration audit trips over. Nulls
+    // injected deterministically (every 7th event's value) so both
+    // engines see the same null mask.
+    GraftQuery(
+      "q_null_semantics",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .withColumn("v", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        e.select(
+            col("event_id"),
+            col("v").eqNullSafe(lit(null)).as("is_null_safe"),
+            nullif(col("event_type"), lit("error")).as("type_or_null"),
+            coalesce(col("v"), lit(-1.0)).as("v_filled"),
+            (col("v") > 100.0).as("gt_threeval"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  (CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END) IS NOT DISTINCT FROM NULL
+             |    AS is_null_safe,
+             |  nullif(event_type, 'error') AS type_or_null,
+             |  coalesce(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END, -1.0) AS v_filled,
+             |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END > 100.0 AS gt_threeval
+             |FROM events ORDER BY event_id""".stripMargin),
+    ),
   )
 }

@@ -173,6 +173,27 @@ class SketchSpec extends SparkSuite {
     assert(est >= 0.0 && est <= 10.0)
   }
 
+  test("bounded_set: property — equals sorted-distinct when |set| <= cap, null otherwise") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    graft.functions.BoundedSetAgg.register(s)
+    val gen = for {
+      xs <- Gen.listOfN(60, Gen.choose(-20L, 20L)) // duplicates + negatives likely
+      cap <- Gen.choose(1, 30)
+      parts <- Gen.oneOf(1, 3, 9)
+    } yield (xs, cap, parts)
+    val prop = Prop.forAllNoShrink(gen) { case (xs, cap, parts) =>
+      val got = Option(xs.toDF("v").repartition(parts)
+        .agg(expr(s"bounded_set(v, $cap)")).head().get(0))
+        .map(_.asInstanceOf[scala.collection.Seq[Long]].toList)
+      val distinct = xs.distinct.sorted
+      if (distinct.size <= cap) got.contains(distinct) else got.isEmpty
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("kmv_sketch_full: below saturation the union algebra recovers exact set sizes") {
     val s = spark
     import s.implicits._
