@@ -15,6 +15,84 @@ object Analytics {
 
   val queries: Seq[GraftQuery] = Seq(
 
+    // Per-group OLS trend fit: SQL-standard regr_slope/intercept/r2 of
+    // value on days-since-epoch-origin — the drift detector every metrics
+    // warehouse runs. One partial-aggregated groupBy (regr_* state is 6
+    // doubles per group, map-side combinable); transcendental-free but
+    // accumulation-order-sensitive, so outputs carry the same 1e-4
+    // primitive-rounding guard as q_stats_corr.
+    GraftQuery(
+      "q_linreg",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+          .withColumn("x",
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast(DoubleType))
+        e.groupBy("event_type").agg(
+            (floor(regr_slope(col("value"), col("x")) * lit(1e4) + lit(0.5)) / lit(1e4)).as("slope"),
+            (floor(regr_intercept(col("value"), col("x")) * lit(1e4) + lit(0.5)) / lit(1e4)).as("intercept"),
+            (floor(regr_r2(col("value"), col("x")) * lit(1e4) + lit(0.5)) / lit(1e4)).as("r2"),
+            regr_count(col("value"), col("x")).cast(LongType).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, value,
+             |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x
+             |  FROM events
+             |)
+             |SELECT event_type,
+             |  floor(regr_slope(value, x) * 1e4 + 0.5) / 1e4 AS slope,
+             |  floor(regr_intercept(value, x) * 1e4 + 0.5) / 1e4 AS intercept,
+             |  floor(regr_r2(value, x) * 1e4 + 0.5) / 1e4 AS r2,
+             |  CAST(regr_count(value, x) AS BIGINT) AS n
+             |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // CUSUM changepoint series: per key, the running sum of deviations
+    // from the key's mean (cusum_i = S_i − i·μ), whose |max| marks the
+    // most likely level-shift point. One shuffle on the key; both windows
+    // (running and whole-partition) share the same exchange. Float
+    // discipline: S_i and the total accumulate in DECIMAL(38,6) — exact
+    // and order-insensitive under any merge tree (a double running sum
+    // would be partition-order-dependent) — with double math only in the
+    // final per-row expression, identically parenthesized in the oracle.
+    GraftQuery(
+      "q_cusum",
+      (s, dir) => {
+        val byTs = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        val wRun = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("event_type")
+        val d = Tables(s, dir, "events")
+          .withColumn("s_i", sum(col("value").cast(DecimalType(38, 6))).over(wRun).cast(DoubleType))
+          .withColumn("i", row_number().over(byTs).cast(LongType))
+          .withColumn("t", sum(col("value").cast(DecimalType(38, 6))).over(wAll).cast(DoubleType))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("cusum", col("s_i") - col("i") * (col("t") / col("n")))
+        d.select(col("event_type"), col("event_id"), col("i"),
+            (floor(col("cusum") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cusum"),
+            (row_number().over(
+              Window.partitionBy("event_type").orderBy(abs(col("cusum")).desc, col("event_id"))) === 1)
+              .as("is_peak"))
+          .orderBy("event_type", "i")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, event_id,
+             |    CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+             |      PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s_i,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS i,
+             |    CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY event_type) AS DOUBLE) AS t,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events
+             |),
+             |c AS (
+             |  SELECT event_type, event_id, i, s_i - i * (t / n) AS cusum FROM b
+             |)
+             |SELECT event_type, event_id, i,
+             |  floor(cusum * 1e6 + 0.5) / 1e6 AS cusum,
+             |  row_number() OVER (PARTITION BY event_type ORDER BY abs(cusum) DESC, event_id) = 1 AS is_peak
+             |FROM c ORDER BY event_type, i""".stripMargin),
+    ),
+
     // Per-group z-score anomaly flags: moments via exact decimal sums (the
     // UCL recipe — order-insensitive, then identical double math on both
     // engines), broadcast back onto the stream, |z| > 3 flags outliers.

@@ -21,6 +21,126 @@ object TextAnalysis {
 
   val queries: Seq[GraftQuery] = Seq(
 
+    // BM25 retrieval scoring (Robertson idf, k1=1.2, b=0.75) for a fixed
+    // query term set — the retrieval primitive behind corpus search and
+    // RAG-style training-data selection. Scale shape: tokens are filtered
+    // to the query terms BEFORE the tf aggregate (the explode never
+    // shuffles non-matching words), df and the corpus stats are tiny
+    // broadcast sides, so the only full-width shuffle is the tf groupBy
+    // keyed by (doc, term). Per-term contributions are combined by
+    // FIXED-ORDER addition (one conditional max per term, then an explicit
+    // sum) — a float sum over an unordered group would be
+    // accumulation-order-dependent and could not hash-match any oracle.
+    GraftQuery(
+      "q_bm25",
+      (s, dir) => {
+        val terms = Seq("spark", "join", "window")
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .withColumn("dl", size(col("ws")).cast(LongType))
+        val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        val tf = docs.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+          .filter(col("w").isInCollection(terms))
+          .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val contrib = tf.join(broadcast(df_), "w")
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .withColumn("idf",
+            log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .withColumn("contrib",
+            (col("idf") * (col("tf") * lit(2.2))) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        val perTerm = terms.map(t =>
+          coalesce(max(when(col("w") === t, col("contrib"))), lit(0.0)))
+        contrib.groupBy("doc_id")
+          .agg((floor(perTerm.reduce(_ + _) * lit(1e6) + lit(0.5)) / lit(1e6)).as("bm25"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ws,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |  FROM documents
+             |),
+             |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs),
+             |tok AS (SELECT doc_id, dl, unnest(ws) AS w FROM docs),
+             |tf AS (
+             |  SELECT doc_id, dl, w, count(*) AS tf FROM tok
+             |  WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2, 3
+             |),
+             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+             |c AS (
+             |  SELECT tf.doc_id, tf.w,
+             |    (ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * (tf * 2.2)) /
+             |      (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS contrib
+             |  FROM tf JOIN dfq USING (w) CROSS JOIN stats
+             |)
+             |SELECT doc_id,
+             |  floor((coalesce(max(CASE WHEN w = 'spark' THEN contrib END), 0.0)
+             |       + coalesce(max(CASE WHEN w = 'join' THEN contrib END), 0.0)
+             |       + coalesce(max(CASE WHEN w = 'window' THEN contrib END), 0.0)) * 1e6 + 0.5) / 1e6 AS bm25
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Gopher-style quality rules (Rae et al. 2021 §A1.1, re-expressed for
+    // this corpus's lowercase-ASCII text): word count bounds, mean word
+    // length in [3,10], >=2 distinct stopwords, >=80% words containing a
+    // letter, <=10% symbol characters. Pure map-side metrics (scan-speed,
+    // fully codegen'd); the keep flag is evaluated on EXACT integer-ratio
+    // doubles (one division of exact ints per ratio), so the boolean can
+    // never disagree between engines even though displayed ratios are
+    // rounded for the hash.
+    GraftQuery(
+      "q_gopher_rules",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("n_words", size(col("ws")).cast(LongType))
+          .withColumn("sum_wlen",
+            aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)))
+          .withColumn("n_alpha",
+            size(filter(col("ws"), w => w.rlike("[a-z]"))).cast(LongType))
+          .withColumn("n_stop",
+            size(filter(array_distinct(col("ws")), w => w.isInCollection(stopwords))).cast(LongType))
+          .withColumn("mean_wlen", col("sum_wlen").cast("double") / col("n_words"))
+          .withColumn("alpha_frac", col("n_alpha").cast("double") / col("n_words"))
+          .withColumn("symbol_ratio",
+            (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("double")
+              / length(col("text")))
+        d.select(
+          col("doc_id"), col("n_words"), col("n_stop"),
+          (floor(col("mean_wlen") * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_wlen"),
+          (floor(col("alpha_frac") * lit(1e6) + lit(0.5)) / lit(1e6)).as("alpha_frac"),
+          (floor(col("symbol_ratio") * lit(1e6) + lit(0.5)) / lit(1e6)).as("symbol_ratio"),
+          (col("n_words").between(50L, 100000L) &&
+            col("mean_wlen").between(3.0, 10.0) &&
+            col("n_stop") >= 2L &&
+            col("alpha_frac") >= 0.8 &&
+            col("symbol_ratio") <= 0.1).as("keep"),
+        ).orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+              |),
+              |r AS (
+              |  SELECT doc_id,
+              |    CAST(len(ws) AS BIGINT) AS n_words,
+              |    CAST(len(list_filter(list_distinct(ws), w -> w IN $stopListSql)) AS BIGINT) AS n_stop,
+              |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mean_wlen,
+              |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws) AS alpha_frac,
+              |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS symbol_ratio
+              |  FROM m
+              |)
+              |SELECT doc_id, n_words, n_stop,
+              |  floor(mean_wlen * 1e6 + 0.5) / 1e6 AS mean_wlen,
+              |  floor(alpha_frac * 1e6 + 0.5) / 1e6 AS alpha_frac,
+              |  floor(symbol_ratio * 1e6 + 0.5) / 1e6 AS symbol_ratio,
+              |  (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
+              |    AND n_stop >= 2 AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1) AS keep
+              |FROM r ORDER BY doc_id""".stripMargin),
+    ),
+
     // Quality scoring: length/punctuation/stopword signals → a composite
     // score; the standard pre-training corpus filters.
     GraftQuery(
