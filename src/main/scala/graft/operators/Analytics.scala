@@ -93,6 +93,61 @@ object Analytics {
              |FROM c ORDER BY event_type, i""".stripMargin),
     ),
 
+    // The SAME cusum series through the scale path: q_cusum's
+    // Window.partitionBy(event_type) puts each key's entire history in
+    // ONE task (5 keys -> 5-way parallelism, unbounded task heap at
+    // 100 TB). Here [[Scale.chunkedPrefixSums]] chunks by day — running
+    // sums within (key, day), a tiny cross-chunk offset window, one
+    // co-partitioned join — and the peak is an argmax AGGREGATE
+    // (max(struct), map-side combinable) instead of a per-key ranking
+    // window. The oracle is LITERALLY q_cusum's serial-window SQL:
+    // decimal-exact accumulation makes the two-phase result
+    // bit-identical, so the hash gate proves scalable ≡ serial.
+    GraftQuery(
+      "q_cusum_scaled",
+      (s, dir) => {
+        val e = Tables(s, dir, "events")
+        val pre = Scale.chunkedPrefixSums(
+          e, "event_type", Seq(col("ts"), col("event_id")), to_date(col("ts")),
+          Seq("s_dec" -> col("value").cast(DecimalType(38, 6)), "i_l" -> lit(1L)))
+        val tot = e.groupBy("event_type").agg(
+          sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType).as("t"),
+          count(lit(1)).as("n"))
+        val c = pre.join(broadcast(tot), "event_type")
+          .withColumn("s_i", col("s_dec").cast(DoubleType))
+          .withColumn("i", col("i_l").cast(LongType))
+          .withColumn("cusum", col("s_i") - col("i") * (col("t") / col("n")))
+        // argmax by (|cusum| desc, event_id asc) without a ranking window:
+        // max(struct) takes the largest |cusum|, ties resolve to the max
+        // negated id = the smallest event_id — row_number's tiebreak.
+        val peak = c.groupBy("event_type")
+          .agg(max(struct(abs(col("cusum")).as("a"), (-col("event_id")).as("nid"))).as("pk"))
+          .select(col("event_type"), (-col("pk.nid")).as("peak_id"))
+        c.join(broadcast(peak), "event_type")
+          .select(col("event_type"), col("event_id"), col("i"),
+            (floor(col("cusum") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cusum"),
+            (col("event_id") === col("peak_id")).as("is_peak"))
+          .orderBy("event_type", "i")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, event_id,
+             |    CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+             |      PARTITION BY event_type ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s_i,
+             |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS i,
+             |    CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY event_type) AS DOUBLE) AS t,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events
+             |),
+             |c AS (
+             |  SELECT event_type, event_id, i, s_i - i * (t / n) AS cusum FROM b
+             |)
+             |SELECT event_type, event_id, i,
+             |  floor(cusum * 1e6 + 0.5) / 1e6 AS cusum,
+             |  row_number() OVER (PARTITION BY event_type ORDER BY abs(cusum) DESC, event_id) = 1 AS is_peak
+             |FROM c ORDER BY event_type, i""".stripMargin),
+    ),
+
     // Per-group z-score anomaly flags: moments via exact decimal sums (the
     // UCL recipe — order-insensitive, then identical double math on both
     // engines), broadcast back onto the stream, |z| > 3 flags outliers.

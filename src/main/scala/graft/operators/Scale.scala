@@ -79,4 +79,60 @@ object Scale {
       .agg(countDistinct(col(valueCol)).as("__partial"))
       .groupBy(col(key))
       .agg(sum("__partial").as("n_distinct"))
+
+  /** Chunked distributed prefix sums — the scale path for per-key running
+    * aggregates when the key cardinality is LOW (a plain
+    * `Window.partitionBy(key)` materializes each key's entire history in
+    * one task: with 5 keys, a 100 TB scan has 5-way parallelism and one
+    * task's heap holds 20 TB). The classic two-phase scan, expressed
+    * declaratively:
+    *
+    *   1. rows are chunked by `chunkCol`, a monotone coarsening of the
+    *      primary order column (e.g. `to_date(ts)` when ordering by `ts`)
+    *      — so chunk boundaries respect the global per-key order;
+    *   2. running sums WITHIN (key, chunk) — parallelism is keys × chunks;
+    *   3. per-chunk totals (tiny: one row per key × chunk) get an
+    *      exclusive running offset over the chunk axis — the only
+    *      key-partitioned window, over the chunk-count-bounded frame;
+    *   4. offsets join back on (key, chunk) — co-partitioned with step
+    *      2's exchange — and add to the in-chunk sums.
+    *
+    * Each entry of `sums` is (outputName, valueColumn); pass DECIMAL
+    * values for exact, order-insensitive accumulation (a double would
+    * make the two-phase result differ from the serial window's). The
+    * returned frame carries the input columns plus one running-sum
+    * column per entry, equal row-for-row to
+    * `sum(value).over(partitionBy(key).orderBy(ord).rowsBetween(unboundedPreceding, currentRow))`.
+    */
+  def chunkedPrefixSums(
+      df: DataFrame,
+      keyCol: String,
+      ordCols: Seq[Column],
+      chunkCol: Column,
+      sums: Seq[(String, Column)],
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.withColumn("__chunk", chunkCol)
+    val wIn = Window.partitionBy(keyCol, "__chunk").orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(keyCol).orderBy("__chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = d.groupBy(col(keyCol), col("__chunk"))
+      .agg(sums.map { case (n, v) => sum(v).as(s"__t_$n") }.head,
+        sums.tail.map { case (n, v) => sum(v).as(s"__t_$n") }: _*)
+    val offsets = sums.foldLeft(totals) { case (acc, (n, _)) =>
+      acc.withColumn(s"__off_$n", sum(col(s"__t_$n")).over(wOff))
+    }.select(col(keyCol) +: col("__chunk") +: sums.map { case (n, _) => col(s"__off_$n") }: _*)
+    // offsets is keys × chunks rows (e.g. 5 keys × days — kilobytes even
+    // over a century of history): broadcast it so the fact side is never
+    // shuffled FOR THE JOIN — its single full-width exchange is the
+    // (key, chunk) window partitioning below
+    val joined = d.join(broadcast(offsets), Seq(keyCol, "__chunk"))
+    sums.foldLeft(joined) { case (acc, (n, v)) =>
+      // first chunk has no offset row history -> null; treat as zero by
+      // coalescing with the in-chunk sum alone
+      acc.withColumn(n,
+        coalesce(col(s"__off_$n") + sum(v).over(wIn), sum(v).over(wIn)))
+    }.drop("__chunk" +: sums.map { case (n, _) => s"__off_$n" }: _*)
+  }
 }

@@ -72,4 +72,30 @@ class ScaleSpec extends SparkSuite {
     val plan = oneDay.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(day"), plan.take(500))
   }
+
+  test("chunked prefix sums equal the serial per-key window row-for-row") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // pre-aggregate to a UNIQUE (flag, orderkey, linenumber) key: the
+    // synthetic lineitem repeats line numbers, which would both break the
+    // row-for-row join below and make the window order non-total
+    val li = Tables(spark, sf("sf0.001"), "lineitem")
+      .groupBy($"l_returnflag", $"l_orderkey", $"l_linenumber")
+      .agg(sum($"l_quantity".cast(DecimalType(38, 6))).as("q"))
+    // chunk by coarse orderkey ranges: many chunks per key, uneven sizes
+    val two = Scale.chunkedPrefixSums(
+      li, "l_returnflag", Seq($"l_orderkey", $"l_linenumber"),
+      floor($"l_orderkey" / 500L),
+      Seq("run_q" -> $"q", "run_n" -> lit(1L)))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val serial = li
+      .withColumn("exp_q", sum($"q").over(w))
+      .withColumn("exp_n", sum(lit(1L)).over(w))
+    val joined = two.join(serial.drop("q"),
+      Seq("l_returnflag", "l_orderkey", "l_linenumber"))
+    assert(joined.count() == li.count())
+    assert(joined.filter($"run_q" =!= $"exp_q" || $"run_n" =!= $"exp_n").count() == 0)
+  }
 }
