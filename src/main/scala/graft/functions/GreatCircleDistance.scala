@@ -74,5 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((BoundedSetAgg.identifier, BoundedSetAgg.info,
       BoundedSetAgg.builder))
     e.injectOptimizerRule(_ => ZeroDistanceFold)
+    // whole-operator tier: broadcast interval-index join replacing the
+    // BNLJ plan for banded-dimension range joins (graft.plans)
+    e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

@@ -102,6 +102,45 @@ object Extended {
              |GROUP BY band_id ORDER BY band_id""".stripMargin),
     ),
 
+    // The banding join through the CUSTOM WHOLE-OPERATOR tier
+    // (graft.plans.IntervalJoinStrategy + BroadcastIntervalJoinExec,
+    // SURVEY §7.4c): at 2000 bands the default BroadcastNestedLoopJoin
+    // compares every fact row against every band (probe: 25.6 s at 10k
+    // bands × 600k rows, vs 0.41 s through the interval index — a sorted
+    // lo-array with prefix max-hi, O(log n + matches) per row). The
+    // strategy registration is idempotent; once registered it may also
+    // plan q_range_join's band shape in the same session — the results
+    // are identical by construction (IntervalJoinSpec pins equivalence),
+    // and this query's oracle hash-checks the custom exec end-to-end.
+    GraftQuery(
+      "q_band_join_indexed",
+      (s, dir) => {
+        if (!s.experimental.extraStrategies.contains(graft.plans.IntervalJoinStrategy))
+          s.experimental.extraStrategies =
+            s.experimental.extraStrategies :+ graft.plans.IntervalJoinStrategy
+        val s_ = s
+        import s_.implicits._
+        val bands = (0 until 2000)
+          .map(i => (i.toLong, i * 55.0, (i + 1) * 55.0))
+          .toDF("band_id", "lo", "hi")
+        val li = Tables(s, dir, "lineitem")
+        li.join(bands,
+            li("l_extendedprice") >= bands("lo") && li("l_extendedprice") < bands("hi"))
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n_lines"), exactSum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("band_id")
+      },
+      Some("""WITH bands AS (
+             |  SELECT CAST(i AS BIGINT) AS band_id, i * 55.0 AS lo, (i + 1) * 55.0 AS hi
+             |  FROM range(2000) t(i)
+             |)
+             |SELECT band_id, count(*) AS n_lines,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN bands
+             |  ON l_extendedprice >= lo AND l_extendedprice < hi
+             |GROUP BY band_id ORDER BY band_id""".stripMargin),
+    ),
+
     // Subquery surface: correlated scalar (per-customer order count),
     // uncorrelated scalar (global mean balance, decimal-exact), correlated
     // EXISTS (big-ticket customers only). Catalyst decorrelates all three
