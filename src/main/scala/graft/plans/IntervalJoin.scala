@@ -93,9 +93,11 @@ object IntervalJoinStrategy extends SparkStrategy {
   * The right side is collected once (broadcast-sized by the strategy's
   * stats guard), sorted by `lo` with a running prefix max of `hi`; each
   * left row binary-searches the last admissible `lo` and walks left while
-  * the prefix max-hi can still reach its point value. Null or NaN points
-  * and bounds never match — identical to the comparison semantics of the
-  * BNLJ plan this replaces.
+  * the prefix max-hi can still reach its point value. All comparisons use
+  * Spark SQL's double total order (NaN greater than everything,
+  * -0.0 == 0.0); null points or bounds never match — identical to the
+  * comparison semantics of the BNLJ plan this replaces, property-pinned
+  * in IntervalJoinSpec.
   */
 case class BroadcastIntervalJoinExec(
     left: SparkPlan, right: SparkPlan,
@@ -118,22 +120,28 @@ case class BroadcastIntervalJoinExec(
     val numIntervals = longMetric("numIntervals")
     val loBound = BindReferences.bindReference(lo, right.output)
     val hiBound = BindReferences.bindReference(hi, right.output)
-    // rows whose bounds are null/NaN can never satisfy the comparisons —
-    // drop them from the index instead of special-casing the probe loop
+    // rows with a null bound can never satisfy the comparisons (three-
+    // valued logic) — drop them from the index; NaN bounds STAY: Spark
+    // SQL's double comparisons use the total order where NaN is greater
+    // than every value (0.0 < NaN is TRUE), so hi = NaN behaves as an
+    // open top and lo = NaN admits only NaN points — the index must
+    // reproduce that, not IEEE all-false NaN semantics (the property
+    // spec's minimal counterexample for the IEEE version was exactly
+    // point 0.0 vs interval (-Inf, NaN))
     val collected = right.executeCollect().flatMap { r =>
       (loBound.eval(r), hiBound.eval(r)) match {
-        case (l: java.lang.Double, h: java.lang.Double)
-            if !l.isNaN && !h.isNaN => Some((l.doubleValue(), h.doubleValue(), r))
+        case (l: java.lang.Double, h: java.lang.Double) =>
+          Some((l.doubleValue(), h.doubleValue(), r))
         case _ => None
       }
-    }.sortBy(_._1)
+    }.sortBy(_._1) // 2.13 Ordering[Double] = total order, NaN last
     val loArr = collected.map(_._1)
     val hiArr = collected.map(_._2)
     val maxHi = new Array[Double](collected.length)
     var i = 0
     var mx = Double.NegativeInfinity
     while (i < collected.length) {
-      if (hiArr(i) > mx) mx = hiArr(i)
+      if (BroadcastIntervalJoinExec.cmp(hiArr(i), mx) > 0) mx = hiArr(i)
       maxHi(i) = mx
       i += 1
     }
@@ -144,29 +152,34 @@ case class BroadcastIntervalJoinExec(
     val leftOutput = left.output
     val fullOutput = output
     left.execute().mapPartitions { iter =>
+      import BroadcastIntervalJoinExec.cmp
       val (los, his, mxs, rows) = index.value
       val pointBound = BindReferences.bindReference(locPoint, leftOutput)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(fullOutput, fullOutput)
       iter.flatMap { leftRow =>
         pointBound.eval(leftRow) match {
-          case v: java.lang.Double if !v.isNaN =>
+          case v: java.lang.Double =>
             val p = v.doubleValue()
-            // last index whose lo admits p: lo <= p (inclusive) / lo < p
+            // last index whose lo admits p: lo <= p (inclusive) / lo < p,
+            // in the same total order the sort used — the admit predicate
+            // is monotone along the sorted lo array
             var start = -1
             var a = 0
             var b = los.length - 1
             while (a <= b) {
               val m = (a + b) >>> 1
-              val admit = if (locLoIncl) los(m) <= p else los(m) < p
+              val c = cmp(los(m), p)
+              val admit = if (locLoIncl) c <= 0 else c < 0
               if (admit) { start = m; a = m + 1 } else b = m - 1
             }
             new Iterator[InternalRow] {
               private var j = start
               private var ready: InternalRow = null
               private def advance(): Unit = {
-                while (ready == null && j >= 0 && mxs(j) >= p) {
-                  val ok = if (locHiIncl) p <= his(j) else p < his(j)
+                while (ready == null && j >= 0 && cmp(mxs(j), p) >= 0) {
+                  val c = cmp(p, his(j))
+                  val ok = if (locHiIncl) c <= 0 else c < 0
                   if (ok) ready = rows(j)
                   j -= 1
                 }
@@ -185,4 +198,13 @@ case class BroadcastIntervalJoinExec(
       }
     }
   }
+}
+
+object BroadcastIntervalJoinExec {
+  /** Spark SQL's double comparison (SQLOrderingUtil shape): primitive
+    * equality first — so -0.0 == 0.0 — then java.lang.Double.compare,
+    * which places NaN above positive infinity.
+    */
+  @inline private[plans] def cmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
 }

@@ -88,6 +88,43 @@ class IntervalJoinSpec extends SparkSuite {
     }
   }
 
+  test("property: random adversarial intervals/points equal the BNLJ result") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // discrete value pool maximizes boundary collisions; includes the
+    // degenerate doubles the index must not mis-prune on
+    val pool = Seq(-1.0 / 0.0, -5.0, -1.0, 0.0, 0.5, 1.0, 1.5, 2.0, 3.0,
+      5.0, 1.0 / 0.0, 0.0 / 0.0)
+    val dGen = Gen.oneOf(pool)
+    val gen = for {
+      nP <- Gen.choose(1, 25)
+      nI <- Gen.choose(1, 25)
+      ps <- Gen.listOfN(nP, dGen)
+      los <- Gen.listOfN(nI, dGen)
+      his <- Gen.listOfN(nI, dGen) // independent of lo: inverted/empty intervals occur
+    } yield (ps, los.zip(his))
+    val prop = Prop.forAll(gen) { case (ps, ivs) =>
+      val points = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+      val intervals = ivs.zipWithIndex.map { case ((l, h), i) => (i.toLong, l, h) }
+        .toDF("iid", "lo", "hi")
+      def pairs(df: DataFrame) = df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cond = $"v" >= $"lo" && $"v" < $"hi"
+      val expected = pairs(points.join(intervals, cond))
+      withStrategy {
+        val joined = points.join(intervals, cond)
+        // plan-shape assert only when neither side is empty: shrinking
+        // reaches empty lists (bypassing the generator minimum), where
+        // PropagateEmptyRelation folds the join away before planning
+        val planned = ps.isEmpty || ivs.isEmpty ||
+          joined.queryExecution.executedPlan
+            .exists(_.isInstanceOf[BroadcastIntervalJoinExec])
+        planned && pairs(joined) == expected
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bails out to default planning for non-band shapes") {
     val a = Seq((1L, 5.0)).toDF("id", "v")
     val b = Seq((1L, 0.0, 10.0)).toDF("id2", "lo", "hi")
