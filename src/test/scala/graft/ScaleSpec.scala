@@ -73,6 +73,36 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(day"), plan.take(500))
   }
 
+  test("chunked prefix sums property: any chunk width equals the serial window") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      k <- Gen.choose(1, 4)
+      width <- Gen.oneOf(1L, 2L, 7L, 1000L) // per-row chunks ... one chunk
+      vals <- Gen.listOfN(n, Gen.oneOf(-3.5, -1.0, 0.0, 0.25, 2.0, 10.0))
+      keys <- Gen.listOfN(n, Gen.choose(0, k - 1))
+    } yield (width, vals.zip(keys))
+    val prop = Prop.forAll(gen) { case (width, rows) =>
+      val df = rows.zipWithIndex
+        .map { case ((v, key), i) => (key.toLong, i.toLong, v) }
+        .toDF("key", "ord", "v")
+        .withColumn("q", $"v".cast(DecimalType(38, 6))).drop("v")
+      val got = Scale.chunkedPrefixSums(df, "key", Seq($"ord"),
+        floor($"ord" / width), Seq("run" -> $"q", "cnt" -> lit(1L)))
+      val w = Window.partitionBy("key").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exp = df.withColumn("e_run", sum($"q").over(w))
+        .withColumn("e_cnt", sum(lit(1L)).over(w))
+      got.join(exp, Seq("key", "ord"))
+        .filter($"run" =!= $"e_run" || $"cnt" =!= $"e_cnt").count() == 0 &&
+        got.count() == rows.length
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("chunked prefix sums equal the serial per-key window row-for-row") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
