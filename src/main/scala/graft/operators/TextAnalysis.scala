@@ -463,9 +463,12 @@ object TextAnalysis {
 
     // Inverted index: term → document frequency + bounded posting list.
     // One explode of per-doc DISTINCT terms, one partial-aggregated
-    // groupBy; postings sort deterministically and CAP at 20 ids (a hot
-    // term's full posting list is unbounded — the real layout shards
-    // postings across files; the capped prefix is the join-able summary).
+    // groupBy; postings sort deterministically (numeric sort BEFORE the
+    // string render) and CAP at 20 ids (a hot term's full posting list is
+    // unbounded — the real layout shards postings across files; the capped
+    // prefix is the join-able summary). The posting list is emitted as a
+    // comma-joined STRING, not an array: same information, and a scalar
+    // column hashes in any downstream comparator/exchange format.
     GraftQuery(
       "q_inverted_index",
       (s, dir) => {
@@ -473,11 +476,13 @@ object TextAnalysis {
           .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
           .groupBy("term")
           .agg(count(lit(1)).as("df"),
-            slice(array_sort(collect_list(col("doc_id"))), 1, 20).as("postings"))
+            concat_ws(",", transform(
+              slice(array_sort(collect_list(col("doc_id"))), 1, 20),
+              _.cast("string"))).as("postings"))
           .orderBy("term")
       },
       Some("""SELECT term, count(*) AS df,
-             |  list_slice(list_sort(list(doc_id)), 1, 20) AS postings
+             |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',') AS postings
              |FROM (
              |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
              |  FROM documents
@@ -614,11 +619,14 @@ object TextAnalysis {
 
     // Vocabulary coverage: per-doc out-of-vocabulary token rate against
     // the corpus's own top-100 words — the tokenizer-fit metric run before
-    // committing a vocab. The vocab derives from one word-count aggregate
-    // (top-100 with deterministic ties = rank window over the word-count
-    // frame, word-bounded not corpus-bounded) and broadcasts back; the
-    // per-doc rate is then a map-side semi-membership count via the same
-    // left-semi shape as q_decontaminate, aggregated per doc.
+    // committing a vocab. The vocab derives from one word-count aggregate;
+    // top-100 with deterministic ties is orderBy+limit (Spark plans
+    // TakeOrderedAndProject: a per-partition k-heap + driver merge of 100
+    // rows — NOT a single-partition window over the full vocabulary, which
+    // at corpus scale is billions of distinct words through one task). The
+    // 100-word vocab broadcasts back; the per-doc rate is then a map-side
+    // semi-membership count via the same left-semi shape as
+    // q_decontaminate, aggregated per doc.
     GraftQuery(
       "q_oov_rate",
       (s, dir) => {
@@ -626,8 +634,7 @@ object TextAnalysis {
         val words = doc.select(col("doc_id"),
           explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "")
         val vocab = words.groupBy("w").agg(count(lit(1)).as("c"))
-          .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("w"))))
-          .filter(col("rk") <= 100).select("w")
+          .orderBy(col("c").desc, col("w")).limit(100).select("w")
         val perDoc = words
           .join(broadcast(vocab.withColumn("__in", lit(1L))), Seq("w"), "left")
           .groupBy("doc_id").agg(
