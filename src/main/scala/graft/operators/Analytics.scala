@@ -1051,13 +1051,12 @@ object Analytics {
     // RFM segmentation: recency / frequency / monetary quintiles per
     // customer — the classic value-segmentation grid. One aggregation
     // shuffle on custkey builds the three metrics (decimal-exact spend);
-    // each ntile(5) is a global rank over the CUSTOMER aggregate (entity-
-    // bounded, orders of magnitude smaller than the fact table), with
-    // custkey tie-breaks so bucket edges are total orders — deterministic
-    // on any engine. Segment ids concatenate the three scores. At extreme
-    // entity counts (ntile's global sort stops amortizing) the scores swap
-    // to broadcast cutoffs from [[Sketches.histQuantile]] — same output
-    // contract, no global window.
+    // each quintile score is [[Scale.distributedNtile]] — exact SQL
+    // ntile(5) semantics (the oracle below IS ntile) computed as a
+    // range-repartitioned two-phase rank + broadcast offsets, so no score
+    // pulls the full customer population through one task. Custkey
+    // tie-breaks make each order total, hence deterministic on any
+    // engine. Segment ids concatenate the three scores.
     GraftQuery(
       "q_rfm",
       (s, dir) => {
@@ -1066,12 +1065,16 @@ object Analytics {
             .cast(LongType).as("last_day"),
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast(DecimalType(30, 6))).cast(DoubleType).as("spend"))
-        m.withColumn("r_score",
-            ntile(5).over(Window.orderBy(col("last_day").desc, col("o_custkey"))).cast("long"))
-          .withColumn("f_score",
-            ntile(5).over(Window.orderBy(col("freq").desc, col("o_custkey"))).cast("long"))
-          .withColumn("m_score",
-            ntile(5).over(Window.orderBy(col("spend").desc, col("o_custkey"))).cast("long"))
+        val scored = Seq(
+          ("r_score", "last_day"),
+          ("f_score", "freq"),
+          ("m_score", "spend"),
+        ).foldLeft(m) { case (acc, (out, metric)) =>
+          Scale.distributedNtile(acc,
+            Seq(col(metric).desc, col("o_custkey").asc),
+            metric, descending = true, 5, out)
+        }
+        scored
           .select(col("o_custkey"), col("freq"), col("spend"),
             col("r_score"), col("f_score"), col("m_score"),
             concat_ws("-", col("r_score"), col("f_score"), col("m_score")).as("segment"))

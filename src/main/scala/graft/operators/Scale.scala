@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -112,6 +113,14 @@ object Scale {
       sums: Seq[(String, Column)],
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // helper names are reserved: withColumn would silently REPLACE a
+    // same-named caller column and the epilogue would drop it — fail fast
+    // instead of losing data
+    val reserved = df.columns.filter(c =>
+      c == "__chunk" || c.startsWith("__t_") || c.startsWith("__off_"))
+    require(reserved.isEmpty,
+      s"chunkedPrefixSums reserves __chunk/__t_*/__off_* helper names; " +
+        s"input already has: ${reserved.mkString(", ")}")
     val d = df.withColumn("__chunk", chunkCol)
     val wIn = Window.partitionBy(keyCol, "__chunk").orderBy(ordCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -123,16 +132,139 @@ object Scale {
     val offsets = sums.foldLeft(totals) { case (acc, (n, _)) =>
       acc.withColumn(s"__off_$n", sum(col(s"__t_$n")).over(wOff))
     }.select(col(keyCol) +: col("__chunk") +: sums.map { case (n, _) => col(s"__off_$n") }: _*)
+    // the sum's result type (decimal widening etc.) — the typed zero /
+    // typed null below keep the NULL-semantics branch from changing the
+    // column type vs the serial window
+    val sumTypes = totals.schema.fields.collect {
+      case f if f.name.startsWith("__t_") => f.name.stripPrefix("__t_") -> f.dataType
+    }.toMap
     // offsets is keys × chunks rows (e.g. 5 keys × days — kilobytes even
     // over a century of history): broadcast it so the fact side is never
     // shuffled FOR THE JOIN — its single full-width exchange is the
-    // (key, chunk) window partitioning below
-    val joined = d.join(broadcast(offsets), Seq(keyCol, "__chunk"))
+    // (key, chunk) window partitioning below. The join is NULL-SAFE on
+    // both key and chunk: the serial window keeps null-key rows (null is
+    // its own window partition) and a plain equi-join would drop them.
+    val offs = offsets
+      .withColumnRenamed(keyCol, "__jk").withColumnRenamed("__chunk", "__jc")
+    val joined = d.join(broadcast(offs),
+      d(keyCol) <=> col("__jk") && d("__chunk") <=> col("__jc"), "left")
+      .drop("__jk", "__jc")
     sums.foldLeft(joined) { case (acc, (n, v)) =>
-      // first chunk has no offset row history -> null; treat as zero by
-      // coalescing with the in-chunk sum alone
+      // Serial-window semantics for NULL values: sum(...) skips nulls and
+      // is NULL only while the whole prefix so far is NULL. Two-phase:
+      // the running total is NULL iff BOTH the prior-chunk offset and the
+      // in-chunk prefix sum are NULL; otherwise each NULL side contributes
+      // a typed zero. (A bare coalesce(off + in, in) conflates "first
+      // chunk" with "NULL in-chunk sum" and loses the carried offset.)
+      val inSum = sum(v).over(wIn)
+      val off = col(s"__off_$n")
+      val dt = sumTypes(n)
       acc.withColumn(n,
-        coalesce(col(s"__off_$n") + sum(v).over(wIn), sum(v).over(wIn)))
+        when(off.isNull && inSum.isNull, lit(null).cast(dt))
+          .otherwise(coalesce(off, lit(0).cast(dt)) + coalesce(inSum, lit(0).cast(dt))))
     }.drop("__chunk" +: sums.map { case (n, _) => s"__off_$n" }: _*)
   }
+
+  /** Distributed global row_number — the scale path for a TOTAL rank when
+    * `Window.orderBy(...)` (no partition) would pull every row through one
+    * task. Classic two-phase rank, declaratively:
+    *
+    *   1. rows are bucketed by VALUE: cutoffs on the leading sort column
+    *      come from one driver-side `approxQuantile` pass and are baked in
+    *      as literals. (NOT `repartitionByRange` + `spark_partition_id`:
+    *      each physical evaluation of a range exchange samples its OWN
+    *      boundaries, so a partition id is not stable across the two uses
+    *      below — a value-derived bucket is a pure function of the row and
+    *      survives AQE re-planning, stage retries, and plan duplication.)
+    *   2. local row_number within each bucket — parallelism = buckets,
+    *      modulo ties: equal leading-column values share a bucket, so the
+    *      practical bound is min(buckets, leading-column cardinality);
+    *   3. per-bucket counts (one row per bucket) get an exclusive running
+    *      offset — the only unpartitioned window, over a
+    *      bucket-count-bounded frame — broadcast back; rank = local + off.
+    *
+    * `ord` must be a total order (include a unique tie-break column) whose
+    * LEADING column is the numeric `bucketCol` with direction `descending`;
+    * the result then equals `row_number().over(Window.orderBy(ord))`
+    * row-for-row. Nulls in `bucketCol` follow Spark's default null
+    * ordering (asc = nulls first, desc = nulls last).
+    */
+  def globalRowNumber(df: DataFrame, ord: Seq[Column], bucketCol: String,
+      descending: Boolean, out: String, buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = df.columns.filter(c => c == "__bkt" || c == "__cnt" || c == "__off")
+    require(reserved.isEmpty,
+      s"globalRowNumber reserves __bkt/__cnt/__off; input has: ${reserved.mkString(", ")}")
+    val b = if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // one pass, driver-held cut list of ≤ b-1 doubles — tiny, broadcast as
+    // literals; relativeError trades bucket balance, never correctness
+    val cuts = df.stat.approxQuantile(bucketCol,
+      (1 until b).map(_.toDouble / b).toArray, 0.001).distinct.sorted.toSeq
+    val v = col(bucketCol).cast("double")
+    // bucket = how many cuts the value has passed ALONG THE SORT DIRECTION;
+    // equal values always share a bucket, so bucket order refines the sort
+    val passed = cuts.map { c =>
+      val cmp = if (descending) lit(c) > v else lit(c) < v
+      when(cmp, 1).otherwise(0)
+    }.foldLeft(lit(0))(_ + _)
+    // Spark default null ordering: asc nulls FIRST (bucket 0 — the null
+    // comparison already yields 0), desc nulls LAST (force the top bucket)
+    val bkt = if (descending) when(v.isNull, lit(cuts.length)).otherwise(passed) else passed
+    val d = df.withColumn("__bkt", bkt)
+    val wOff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("__bkt").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .select("__bkt", "__off")
+    val wLocal = Window.partitionBy("__bkt").orderBy(ord: _*)
+    d.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn(out, row_number().over(wLocal).cast("long") + col("__off"))
+      .drop("__bkt", "__off")
+  }
+
+  /** Distributed ntile over a total order: exact SQL `ntile(buckets)`
+    * semantics (first n mod buckets buckets get the extra row) computed
+    * from [[globalRowNumber]] + a broadcast total count — no
+    * single-partition sort anywhere. Bit-identical to
+    * `ntile(buckets).over(Window.orderBy(ord))` given a total order whose
+    * leading column is `bucketCol` sorted `descending`.
+    */
+  def distributedNtile(df: DataFrame, ord: Seq[Column], bucketCol: String,
+      descending: Boolean, buckets: Int, out: String): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val rn = globalRowNumber(df, ord, bucketCol, descending, "__rn")
+    val tot = df.agg(count(lit(1)).as("__n"))
+    // bucket sizes: k = n div B (+1 for the first m = n mod B buckets);
+    // rank rn lands in ceil(rn/(k+1)) while inside the m big buckets,
+    // else m + ceil((rn - m(k+1))/k). Integer `div` throughout — the
+    // k = 0 (n < B) case never evaluates the else branch.
+    val joined = rn.crossJoin(broadcast(tot))
+      .withColumn("__k", expr(s"__n div $buckets"))
+      .withColumn("__m", col("__n") % buckets)
+    joined.withColumn(out,
+        when(col("__rn") <= col("__m") * (col("__k") + lit(1L)),
+          expr("(__rn + __k) div (__k + 1)"))
+          .otherwise(col("__m") + expr("(__rn - __m * (__k + 1) + __k - 1) div __k")))
+      .drop("__rn", "__n", "__k", "__m")
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+    // The distributed total rank against SQL row_number as the oracle: the
+    // exact global ranking every leaderboard/percentile pipeline needs,
+    // with NO single-partition sort — value-bucketed two-phase rank
+    // (globalRowNumber above), parallelism = bucket count.
+    GraftQuery(
+      "q_global_rank",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        globalRowNumber(o, Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+            "o_totalprice", descending = true, "rank")
+          .orderBy("rank")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+             |FROM orders ORDER BY rank""".stripMargin),
+    ),
+  )
 }

@@ -103,6 +103,104 @@ class ScaleSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("chunked prefix sums: NULL values follow the serial window's skip-null semantics") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // adversarial layout: key 0's first CHUNK is entirely null (the serial
+    // window stays null through it, then starts at 7), and a later chunk's
+    // in-chunk prefix is all-null while prior chunks carry a total (the
+    // round-6 advice counterexample: a bare coalesce loses the carry)
+    val rows = Seq(
+      (0L, 0L, None), (0L, 1L, None),               // chunk 0: all null
+      (0L, 2L, Some(7.0)), (0L, 3L, None),          // chunk 1: null in-chunk prefix at ord=3
+      (0L, 4L, None), (0L, 5L, None),               // chunk 2: ALL null -> carry 7 through
+      (0L, 6L, Some(1.5)),                          // chunk 3
+      (1L, 0L, None), (1L, 1L, None), (1L, 2L, None), // key 1: never non-null -> all NULL
+    )
+    val df = rows.toDF("key", "ord", "v")
+      .withColumn("q", $"v".cast(DecimalType(38, 6))).drop("v")
+    val got = Scale.chunkedPrefixSums(df, "key", Seq($"ord"),
+      floor($"ord" / 2), Seq("run" -> $"q"))
+    val w = Window.partitionBy("key").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("e_run", sum($"q").over(w))
+    val joined = got.join(exp, Seq("key", "ord"))
+    assert(joined.count() == rows.length)
+    assert(joined.filter(
+      ($"run".isNull && $"e_run".isNotNull) || ($"run".isNotNull && $"e_run".isNull) ||
+        ($"run" =!= $"e_run")).count() == 0,
+      joined.orderBy("key", "ord").collect().mkString("\n"))
+  }
+
+  test("chunked prefix sums: null key and null chunk rows are kept, not dropped") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val df = Seq(
+      (Some(0L), Some(0L), 1.0), (Some(0L), Some(3L), 2.0),
+      (None, Some(1L), 5.0), (None, Some(2L), 6.0),   // null KEY: its own window partition
+      (Some(0L), None, 9.0),                          // null ORD -> null chunk, sorts first
+    ).toDF("key", "ord", "v")
+      .withColumn("q", $"v".cast(DecimalType(38, 6))).drop("v")
+    val got = Scale.chunkedPrefixSums(df, "key", Seq($"ord"),
+      floor($"ord" / 2), Seq("run" -> $"q"))
+    assert(got.count() == 5, "rows with null key/chunk must survive the offsets join")
+    val w = Window.partitionBy("key").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("e_run", sum($"q").over(w))
+    val joined = got.join(exp, got("key") <=> exp("key") && got("ord") <=> exp("ord"))
+    assert(joined.count() == 5)
+    assert(joined.filter($"run" =!= $"e_run").count() == 0)
+  }
+
+  test("chunked prefix sums fail fast on reserved helper column names") {
+    val df = Seq((1L, 1L, 1.0)).toDF("key", "ord", "__chunk")
+    val e = intercept[IllegalArgumentException](
+      Scale.chunkedPrefixSums(df, "key", Seq($"ord"), floor($"ord"), Seq("s" -> $"__chunk")))
+    assert(e.getMessage.contains("__chunk"))
+  }
+
+  test("distributed global row_number equals the serial unpartitioned window") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties on the leading column (freq-like: few distinct values)
+    // plus a unique tie-break — the adversarial case for value bucketing
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      card <- Gen.oneOf(1, 2, 5, 50) // 1 = ALL rows tie on the leading col
+      desc <- Gen.oneOf(true, false)
+      vals <- Gen.listOfN(n, Gen.choose(0, card - 1))
+    } yield (desc, vals)
+    val prop = Prop.forAll(gen) { case (desc, vals) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (v.toLong, i.toLong) }
+        .toDF("m", "id")
+      val ord = if (desc) Seq($"m".desc, $"id".asc) else Seq($"m".asc, $"id".asc)
+      val got = Scale.globalRowNumber(df, ord, "m", desc, "rn", buckets = 4)
+      val exp = df.withColumn("e_rn",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      got.join(exp, Seq("m", "id"))
+        .filter($"rn" =!= $"e_rn").count() == 0 && got.count() == vals.length
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("distributed ntile equals SQL ntile for every n mod buckets shape") {
+    import org.apache.spark.sql.expressions.Window
+    // n = 3 (n < B), 10 (n mod 5 = 0), 12, 14 — covers the uneven-bucket
+    // boundary arithmetic and the k = 0 small-input branch
+    for (n <- Seq(3, 10, 12, 14)) {
+      val df = (0 until n).map(i => ((i * 7 % 5).toLong, i.toLong)).toDF("m", "id")
+      val got = Scale.distributedNtile(
+        df, Seq($"m".desc, $"id".asc), "m", descending = true, 5, "t")
+      val exp = df.withColumn("e_t",
+        ntile(5).over(Window.orderBy($"m".desc, $"id".asc)).cast("long"))
+      val joined = got.join(exp, Seq("m", "id"))
+      assert(joined.count() == n)
+      assert(joined.filter($"t" =!= $"e_t").count() == 0,
+        s"n=$n: " + joined.orderBy("e_t", "id").collect().mkString(", "))
+    }
+  }
+
   test("chunked prefix sums equal the serial per-key window row-for-row") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
