@@ -1,10 +1,11 @@
 package graft.plans
 
+import org.apache.spark.SparkException
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
@@ -74,11 +75,28 @@ object IntervalJoinStrategy extends SparkStrategy {
     case _ => None
   }
 
+  /** An explicit join-strategy hint steers planning away from this
+    * substitution: any left-side strategy hint, or a right-side hint other
+    * than BROADCAST (e.g. SHUFFLE_MERGE / SHUFFLE_REPLICATE_NL), makes the
+    * strategy back off and leave the plan to Spark. A right-side BROADCAST
+    * hint is an explicit request for the broadcast shape — it both permits
+    * the substitution and bypasses the stats-estimate size gate (the
+    * execution-time cap in the exec still bounds the actual collect).
+    */
+  private[plans] def hintConflicts(hint: JoinHint): Boolean =
+    hint.leftHint.exists(_.strategy.isDefined) ||
+      hint.rightHint.exists(_.strategy.exists(_ != BROADCAST))
+
+  private[plans] def rightBroadcastHinted(hint: JoinHint): Boolean =
+    hint.rightHint.exists(_.strategy.contains(BROADCAST))
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(left, right, Inner, Some(cond), _)
+    case Join(left, right, Inner, Some(cond), hint)
         if SQLConf.get.getConfString("spark.graft.intervalJoin.enabled", "true") == "true" &&
-          right.stats.sizeInBytes >= 0 &&
-          right.stats.sizeInBytes <= SQLConf.get.autoBroadcastJoinThreshold =>
+          !hintConflicts(hint) &&
+          (rightBroadcastHinted(hint) ||
+            (right.stats.sizeInBytes >= 0 &&
+              right.stats.sizeInBytes <= SQLConf.get.autoBroadcastJoinThreshold)) =>
       extractBand(cond, left, right) match {
         case Some((point, lo, hi, loIncl, hiIncl)) =>
           BroadcastIntervalJoinExec(planLater(left), planLater(right),
@@ -128,7 +146,36 @@ case class BroadcastIntervalJoinExec(
     // reproduce that, not IEEE all-false NaN semantics (the property
     // spec's minimal counterexample for the IEEE version was exactly
     // point 0.0 vs interval (-Inf, NaN))
-    val collected = right.executeCollect().flatMap { r =>
+    // Execution-time broadcast enforcement, mirroring Spark's own
+    // BroadcastExchange limits (512m rows / 8 GB): the planner gated on a
+    // STATS ESTIMATE, which a filter/join upstream can underestimate
+    // arbitrarily — without this cap a mis-estimated right side would OOM
+    // the driver with no diagnosable error.
+    val rightRows = right.executeCollect()
+    val maxRows = SQLConf.get.getConfString(
+      "spark.graft.intervalJoin.maxBroadcastRows", "512000000").toLong
+    if (rightRows.length >= maxRows)
+      throw new SparkException(
+        s"BroadcastIntervalJoinExec: cannot broadcast ${rightRows.length} interval rows " +
+          s"(cap $maxRows). The planner's size estimate was wrong; disable with " +
+          "spark.graft.intervalJoin.enabled=false to fall back to Spark's join planning.")
+    val maxBytes = SQLConf.get.getConfString(
+      "spark.graft.intervalJoin.maxBroadcastBytes", (8L << 30).toString).toLong
+    var estBytes = 0L
+    var ri = 0
+    while (ri < rightRows.length) {
+      rightRows(ri) match {
+        case u: UnsafeRow => estBytes += u.getSizeInBytes
+        case _ => estBytes += 64 // non-unsafe rows: conservative floor
+      }
+      if (estBytes > maxBytes)
+        throw new SparkException(
+          s"BroadcastIntervalJoinExec: broadcast side exceeds $maxBytes bytes " +
+            s"(at row $ri of ${rightRows.length}). Disable with " +
+            "spark.graft.intervalJoin.enabled=false to fall back to Spark's join planning.")
+      ri += 1
+    }
+    val collected = rightRows.flatMap { r =>
       (loBound.eval(r), hiBound.eval(r)) match {
         case (l: java.lang.Double, h: java.lang.Double) =>
           Some((l.doubleValue(), h.doubleValue(), r))

@@ -125,6 +125,51 @@ class IntervalJoinSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("respects explicit join-strategy hints") {
+    val a = Seq((1L, 5.0), (2L, 15.0)).toDF("id", "v")
+    val b = Seq((1L, 0.0, 10.0), (2L, 10.0, 20.0)).toDF("id2", "lo", "hi")
+    val cond = $"v" >= $"lo" && $"v" < $"hi"
+    withStrategy {
+      // an explicit non-broadcast strategy hint on the dim side wins: the
+      // user steered planning, the custom strategy must back off
+      val merged = a.join(b.hint("merge"), cond)
+      assert(!merged.queryExecution.executedPlan
+        .exists(_.isInstanceOf[BroadcastIntervalJoinExec]), "merge hint ignored")
+      assert(merged.count() == 2)
+      // a broadcast hint on the dim side is an explicit request for the
+      // broadcast shape: substitution happens even when the stats estimate
+      // exceeds autoBroadcastJoinThreshold
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val unhinted = a.join(b, cond)
+        assert(!unhinted.queryExecution.executedPlan
+          .exists(_.isInstanceOf[BroadcastIntervalJoinExec]), "threshold ignored")
+        val hinted = a.join(broadcast(b), cond)
+        assert(hinted.queryExecution.executedPlan
+          .exists(_.isInstanceOf[BroadcastIntervalJoinExec]), "broadcast hint ignored")
+        assert(hinted.count() == 2)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("execution-time collect cap fails fast instead of OOMing the driver") {
+    val a = Seq((1L, 5.0)).toDF("id", "v")
+    val b = (0 until 100).map(i => (i.toLong, i * 1.0, i * 1.0 + 1.0)).toDF("iid", "lo", "hi")
+    withStrategy {
+      spark.conf.set("spark.graft.intervalJoin.maxBroadcastRows", "10")
+      try {
+        val joined = a.join(b, $"v" >= $"lo" && $"v" < $"hi")
+        assert(joined.queryExecution.executedPlan
+          .exists(_.isInstanceOf[BroadcastIntervalJoinExec]))
+        val e = intercept[Exception](joined.count())
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+        assert(msgs(e).exists(_.contains("cannot broadcast")), e.toString)
+      } finally spark.conf.unset("spark.graft.intervalJoin.maxBroadcastRows")
+    }
+  }
+
   test("bails out to default planning for non-band shapes") {
     val a = Seq((1L, 5.0)).toDF("id", "v")
     val b = Seq((1L, 0.0, 10.0)).toDF("id2", "lo", "hi")
