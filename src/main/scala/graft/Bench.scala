@@ -83,6 +83,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -110,8 +111,17 @@ object Bench {
     def runOnce(): Seq[(String, Double, Boolean)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
       // operators may cache intermediates (geo dims etc.); clear between
       // queries so each measurement is its own cold plan and caches don't
-      // accumulate across the 75-query run
+      // accumulate across the 134-query run
       spark.catalog.clearCache()
+      // localCheckpoint blocks (pagerank/triangles/tiling) are MEMORY_AND_
+      // DISK and are only reclaimed by the ContextCleaner on a GC — across
+      // a 134-query session they pile up and later queries run under
+      // block-manager pressure (the round-6 q_tfidf/q_speed "regressions"
+      // with untouched code). Drop them eagerly: the finished query's RDDs
+      // are never recomputed, so unpersisting a local checkpoint is safe
+      // here.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
