@@ -31,19 +31,57 @@ object Multimodal {
     ))),
   ))
 
-  /** STUB decode: derive (width, height, n_frames, sample_rate) from content
-    * bytes. A real deployment replaces the hash-derived values with an
-    * actual decoder behind the same column contract; the schema, null
-    * handling, and plan shape stay identical.
+  /** Big-endian u32 read from a binary column at 1-based `off`: hex() the
+    * 4-byte slice, parse base-16. Pure codegen'd expressions — no UDF. */
+  private def beU32(content: Column, off: Int): Column =
+    conv(hex(substring(content, off, 4)), 16, 10).cast(LongType)
+
+  /** Little-endian u32: same single-byte reads, weighted by 256^i. */
+  private def leU32(content: Column, off: Int): Column =
+    (0 until 4).map { i =>
+      conv(hex(substring(content, off + i, 1)), 16, 10).cast(LongType) * lit(1L << (8 * i))
+    }.reduce(_ + _)
+
+  private def magicIs(content: Column, off: Int, hexBytes: String): Column =
+    hex(substring(content, off, hexBytes.length / 2)) === lit(hexBytes)
+
+  /** Decode (width, height, n_frames, sample_rate) from the payload.
+    *
+    * REAL header parses, as pure codegen column expressions over the
+    * binary column (no UDF, no media library):
+    *   - PNG: 8-byte signature, then the IHDR chunk at a fixed offset —
+    *     width/height are big-endian u32 at bytes 17/21 (1-based);
+    *   - WAV: "RIFF....WAVE" signature with the canonical fmt chunk —
+    *     sample rate is little-endian u32 at byte 25.
+    *
+    * Every other format falls back to the DETERMINISTIC STUB (hash-derived
+    * pseudo-metadata): this container has no codecs for jpeg/mp3/mp4, and
+    * a wrong-but-deterministic value beats a silent ???. A real deployment
+    * swaps the fallback for a decoder behind the same column contract —
+    * schema, null handling, and plan shape stay identical.
     */
   def decodeMeta(content: Column): Column = {
     val h = abs(xxhash64(content))
-    struct(
-      (h % 1920 + 1).cast(IntegerType).as("width"),
-      (h % 1080 + 1).cast(IntegerType).as("height"),
-      (h % 240 + 1).cast(IntegerType).as("n_frames"),
-      lit(16000).cast(IntegerType).as("sample_rate"),
-    )
+    val nullInt = lit(null).cast(IntegerType)
+    val isPng = octet_length(content) >= 24 &&
+      magicIs(content, 1, "89504E470D0A1A0A") && magicIs(content, 13, "49484452") // "IHDR"
+    val isWav = octet_length(content) >= 44 &&
+      magicIs(content, 1, "52494646") && magicIs(content, 9, "57415645") // "RIFF"/"WAVE"
+    when(isPng, struct(
+        beU32(content, 17).cast(IntegerType).as("width"),
+        beU32(content, 21).cast(IntegerType).as("height"),
+        lit(1).cast(IntegerType).as("n_frames"),
+        nullInt.as("sample_rate")))
+      .when(isWav, struct(
+        nullInt.as("width"),
+        nullInt.as("height"),
+        nullInt.as("n_frames"),
+        leU32(content, 25).cast(IntegerType).as("sample_rate")))
+      .otherwise(struct(
+        (h % 1920 + 1).cast(IntegerType).as("width"),
+        (h % 1080 + 1).cast(IntegerType).as("height"),
+        (h % 240 + 1).cast(IntegerType).as("n_frames"),
+        lit(16000).cast(IntegerType).as("sample_rate")))
   }
 
   /** Attach decoded metadata to a raw (asset_id, media_type, content) frame. */

@@ -101,6 +101,43 @@ class ExtensionsSpec extends SparkSuite {
     assert(Multimodal.withMeta(imgs).select("meta.width").head().getInt(0) >= 1)
   }
 
+  test("multimodal: decodeMeta parses REAL PNG and WAV bytes (header parse, no media lib)") {
+    val s = spark
+    import s.implicits._
+    // a real PNG from the JDK's own encoder — nothing hand-forged
+    val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 1, 0xff8800)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", pngOut))
+    val png = pngOut.toByteArray
+    // a real WAV from the JDK's own audio writer: 8 frames of 16-bit mono
+    // PCM at 22050 Hz
+    val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 1, true, false)
+    val pcm = Array.fill[Byte](16)(3)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val wav = wavOut.toByteArray
+    val assets = Seq(
+      (1L, "image", png), (2L, "audio", wav),
+      (3L, "binary", "not media at all".getBytes("UTF-8")),
+    ).toDF("asset_id", "media_type", "content")
+    val meta = Multimodal.withMeta(assets)
+      .select("asset_id", "meta.width", "meta.height", "meta.n_frames", "meta.sample_rate")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    // PNG: true dimensions from IHDR, single frame, no audio rate
+    assert(meta(1L) == ((Some(5), Some(3), Some(1), None)), meta(1L).toString)
+    // WAV: true sample rate from the fmt chunk, no raster dims
+    assert(meta(2L) == ((None, None, None, Some(22050))), meta(2L).toString)
+    // unknown bytes: deterministic stub values, never null
+    val (w3, h3, f3, r3) = meta(3L)
+    assert(Seq(w3, h3, f3, r3).forall(_.isDefined))
+    assert(r3.contains(16000))
+  }
+
   test("multimodal: meta decode, resize contract, frame sampling math") {
     val s = spark
     import s.implicits._
