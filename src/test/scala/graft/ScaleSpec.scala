@@ -201,6 +201,24 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("shared-pass multi-metric ntiles equal per-metric SQL ntile") {
+    import org.apache.spark.sql.expressions.Window
+    // ties on both metrics, n = 13 (odd mod), plus the n < buckets shape
+    for (n <- Seq(3, 13, 40)) {
+      val df = (0 until n).map(i => (i.toLong, (i * 3 % 7).toLong, (i * 5 % 4).toDouble))
+        .toDF("id", "ma", "mb")
+      val got = Scale.distributedNtiles(df, "id", Seq(("sa", "ma"), ("sb", "mb")), 5,
+        rankBuckets = 4)
+      val exp = df
+        .withColumn("ea", ntile(5).over(Window.orderBy($"ma".desc, $"id".asc)).cast("long"))
+        .withColumn("eb", ntile(5).over(Window.orderBy($"mb".desc, $"id".asc)).cast("long"))
+      val j = got.join(exp, Seq("id", "ma", "mb"))
+      assert(j.count() == n)
+      assert(j.filter($"sa" =!= $"ea" || $"sb" =!= $"eb").count() == 0,
+        s"n=$n: " + j.orderBy("id").collect().mkString("\n"))
+    }
+  }
+
   test("chunked prefix sums equal the serial per-key window row-for-row") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
