@@ -255,7 +255,8 @@ object Scale {
   /** Several exact ntiles over the SAME frame in one shared pass — the
     * multi-metric scoring shape (RFM, lead scoring, feature quantiling).
     * Each spec is (outputColumn, metricColumn), ranked descending with
-    * `tieCol` ascending as the tie-break. Instead of one rank pipeline per
+    * `tieCol` — a UNIQUE row key (an entity id) — ascending as the
+    * tie-break, making each ranking a total order. Instead of one rank pipeline per
     * metric (m pipelines × quantile/aggregate/window/join jobs), the
     * metrics UNPIVOT into (tie, metric, value) rows — m·n narrow rows
     * through ONE bucket window, ONE offsets aggregate, ONE broadcast
@@ -315,10 +316,13 @@ object Scale {
                       |     ELSE __m + (__rn - __m * (__k + 1) + __k - 1) div __k
                       |END""".stripMargin)
     val scoresWide = rn.withColumn("__t", tile)
-      .groupBy(col("__tie").as(tieCol))
+      .groupBy(col("__tie"))
       .agg(specs.map { case (out, _) => max(when(col("__sc") === out, col("__t"))).as(out) }.head,
         specs.tail.map { case (out, _) => max(when(col("__sc") === out, col("__t"))).as(out) }: _*)
-    df.join(scoresWide, tieCol)
+    // null-safe join back: a null tie key is a legal row (it ranked like
+    // any other; nulls-last within its bucket) and a plain equi-join
+    // would silently drop it
+    df.join(scoresWide, df(tieCol) <=> scoresWide("__tie")).drop("__tie")
   }
 
   val queries: Seq[GraftQuery] = Seq(

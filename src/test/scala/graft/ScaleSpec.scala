@@ -219,6 +219,21 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("multi-metric ntiles: null metric values rank nulls-last like SQL ntile") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, Some(5.0)), (2L, None), (3L, Some(9.0)), (4L, None),
+      (5L, Some(1.0)), (6L, Some(9.0)), (7L, Some(2.0)),
+    ).toDF("id", "v")
+    val got = Scale.distributedNtiles(df, "id", Seq(("s", "v")), 3, rankBuckets = 4)
+    val exp = df.withColumn("e",
+      ntile(3).over(Window.orderBy($"v".desc, $"id".asc)).cast("long"))
+    val j = got.join(exp, Seq("id"))
+    assert(j.count() == 7)
+    assert(j.filter($"s" =!= $"e").count() == 0,
+      j.orderBy("id").collect().mkString("\n"))
+  }
+
   test("chunked prefix sums equal the serial per-key window row-for-row") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
