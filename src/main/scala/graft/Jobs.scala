@@ -25,6 +25,7 @@ object FraudBatchJob {
     val Array(txCsv, memberCsv, scoreCsv, outPath) = args
     val b = SparkSession.builder().appName("graft-fraud-batch")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     // spark-submit provides spark.master; default to local[*] for direct runs
     val spark = (if (sys.props.contains("spark.master")) b else b.master("local[*]")).getOrCreate()
     val lookup = FraudBatch.lookupPipeline(
@@ -50,6 +51,7 @@ object FraudStreamJob {
     val Array(broker, topic, _, zipCsv, lookupPath, masterPath, checkpoint) = args
     val b = SparkSession.builder().appName("graft-fraud-stream")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     val spark = (if (sys.props.contains("spark.master")) b else b.master("local[*]")).getOrCreate()
     import spark.implicits._
     val cfg = FraudConfig()

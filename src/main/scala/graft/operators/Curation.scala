@@ -247,7 +247,78 @@ object Curation {
           .as("mean_v"))
   }
 
+  /** Corpus-wide segment-level dedup — the CCNet/MassiveText "line dedup"
+    * pass that strips repeated boilerplate across documents. Each document
+    * splits into consecutive `segTokens`-token segments (on a real
+    * newline-delimited corpus the splitter is the line break; the
+    * synthetic corpus has no newlines, so fixed token windows stand in —
+    * the operator is the same), each DISTINCT segment keeps only its
+    * first corpus occurrence, and the survivors reassemble in document
+    * order. First-occurrence selection is a min(struct(id, pos)) ARG-MIN
+    * AGGREGATE — map-side combinable, so a boilerplate segment repeated
+    * a billion times collapses in the combiners instead of funneling
+    * through one window task.
+    * Output: (id, clean_text, n_segments, n_kept, kept_frac).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String, segTokens: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val nSeg = ceil(size(ws).cast("double") / segTokens).cast(LongType)
+    val seg = df.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0L), nSeg - 1),
+        i => concat_ws(" ", slice(ws, (i * segTokens + 1).cast("int"), lit(segTokens))))))
+    val keeper = seg.groupBy(col("col").as("seg"))
+      .agg(min(struct(col("id"), col("pos"))).as("k"))
+      .select(col("seg"), col("k.id").as("kid"), col("k.pos").as("kpos"))
+    val kept = seg.join(keeper,
+      seg("col") === keeper("seg") && seg("id") === keeper("kid") &&
+        seg("pos") === keeper("kpos"))
+    val docs = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("col")))),
+          x => x.getField("col"))).as("clean_text"))
+    df.select(col(idCol).as("id"), nSeg.as("n_segments"))
+      .join(docs, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (floor(coalesce(col("n_kept"), lit(0L)).cast("double")
+          / col("n_segments").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("kept_frac"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+
+    // Corpus-wide first-occurrence segment dedup with reassembly.
+    GraftQuery(
+      "q_line_dedup",
+      (s, dir) => lineDedup(Tables(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id"),
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |seg AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ') AS seg
+             |  FROM base, unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+             |),
+             |keep AS (
+             |  SELECT doc_id, pos, seg,
+             |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rk
+             |  FROM seg
+             |),
+             |docs AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |    string_agg(seg, ' ' ORDER BY pos) AS clean_text
+             |  FROM keep WHERE rk = 1 GROUP BY doc_id
+             |)
+             |SELECT b.doc_id, coalesce(d.clean_text, '') AS clean_text,
+             |  CAST(ceil(len(b.ws) / 8.0) AS BIGINT) AS n_segments,
+             |  CAST(coalesce(d.n_kept, 0) AS BIGINT) AS n_kept,
+             |  floor(CAST(coalesce(d.n_kept, 0) AS DOUBLE)
+             |    / ceil(len(b.ws) / 8.0) * 1e6 + 0.5) / 1e6 AS kept_frac
+             |FROM base b LEFT JOIN docs d USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+    ),
 
     // Overlapping 40-token chunks advancing by 30 (10-token overlap).
     GraftQuery(
