@@ -218,6 +218,35 @@ class CurationSpec extends SparkSuite {
     assert(out(4) == ((4L, 5L, 0L, 0.0)))
   }
 
+  test("lineDedup property: equals a serial reference on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val segTokens = 3
+    // tiny vocabulary maximizes cross-document segment collisions
+    val word = Gen.oneOf("a", "b", "c")
+    val doc = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, doc))
+    def reference(docs: Seq[(Long, String)]): Map[Long, (String, Long, Long)] = {
+      val segsOf = docs.map { case (id, t) =>
+        id -> t.split(" ", -1).grouped(segTokens).map(_.mkString(" ")).toVector
+      }
+      val seen = collection.mutable.Set[String]()
+      segsOf.map { case (id, segs) =>
+        val kept = segs.filter(g => seen.add(g)) // first occurrence wins, in (id, pos) order
+        id -> ((kept.mkString(" "), segs.length.toLong, kept.length.toLong))
+      }.toMap
+    }
+    val prop = Prop.forAll(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Curation.lineDedup(docs.toDF("doc_id", "text"), "doc_id", "text", segTokens)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      got == reference(docs)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dupSpans: partition-invariant and rejects n < 2") {
     val s = spark
     import s.implicits._
