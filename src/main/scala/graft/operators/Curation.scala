@@ -288,7 +288,83 @@ object Curation {
           .as("kept_frac"))
   }
 
+  /** Pretraining mixture weighting: sampling share per source
+    * ∝ n_source^alpha (the temperature-flattened mixture every
+    * multi-source pretraining corpus uses — alpha < 1 upweights small
+    * sources), then a DETERMINISTIC per-document keep decision via the
+    * doc's own 48-bit hash against the source's sampling-probability
+    * threshold — reproducible across engines, partitionings, and reruns,
+    * the same property [[Sketches.hash48]] gives the weighted sampler.
+    * Per-source stats ride a broadcast (source cardinality is tiny by
+    * construction); the per-doc decision is map-side. Float discipline:
+    * pow() is quantized immediately (libm divergence guard), every later
+    * step is either integer math or a single exact-rounded IEEE op in a
+    * fixed order, and the threshold scale 2^48 is a power of two (exact),
+    * so both engines compute bit-identical thresholds.
+    * Output: (id, source, n_source, share, sampled).
+    */
+  def sourceMixture(df: DataFrame, idCol: String, srcCol: String,
+      alpha: Double, targetDocs: Long): DataFrame = {
+    val n = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_source"))
+    val w = n.withColumn("__w",
+      floor(pow(col("n_source").cast("double"), lit(alpha)) * lit(1e4) + lit(0.5))
+        .cast(LongType))
+    val tot = w.agg(sum("__w").as("__tw"))
+    val shares = w.crossJoin(broadcast(tot))
+      .withColumn("share",
+        floor(col("__w").cast("double") / col("__tw").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+      .withColumn("__p",
+        least(lit(1.0), col("share") * lit(targetDocs.toDouble) / col("n_source").cast("double")))
+      .withColumn("__thr", floor(col("__p") * lit(281474976710656.0)).cast(LongType))
+      .select(col(srcCol), col("n_source"), col("share"), col("__thr"))
+    df.select(col(idCol), col(srcCol))
+      .join(broadcast(shares), srcCol)
+      .select(col(idCol), col(srcCol), col("n_source"), col("share"),
+        (Sketches.hash48(col(idCol)) < col("__thr")).as("sampled"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+
+    // α-tempered source mixture with deterministic doc sampling. The
+    // fixture's 20 sources are uniform (the mixture would be flat), so
+    // docs group into a SKEWED 60/30/10 tier split first — α = 0.7 then
+    // visibly upweights the small tier (its share exceeds its mass
+    // fraction) and the sub-1 sampling probabilities exercise the
+    // hash-threshold keep/drop branch, not just the p = 1 cap.
+    GraftQuery(
+      "q_source_mixture",
+      (s, dir) => {
+        val tiered = Tables(s, dir, "documents").withColumn("tier",
+          when(col("doc_id") % 10 < 6, "big")
+            .when(col("doc_id") % 10 < 9, "mid").otherwise("small"))
+        sourceMixture(tiered, "doc_id", "tier", alpha = 0.7, targetDocs = 200)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 10 < 6 THEN 'big'
+              |         WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS tier
+              |  FROM documents),
+              |n AS (SELECT tier, count(*) AS n_source FROM d GROUP BY tier),
+              |w AS (
+              |  SELECT tier, n_source,
+              |    CAST(floor(pow(CAST(n_source AS DOUBLE), 0.7) * 1e4 + 0.5) AS BIGINT) AS w
+              |  FROM n),
+              |t AS (SELECT sum(w) AS tw FROM w),
+              |s AS (
+              |  SELECT tier, n_source,
+              |    floor(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share
+              |  FROM w CROSS JOIN t),
+              |thr AS (
+              |  SELECT tier, n_source, share,
+              |    CAST(floor(least(1.0, share * 200.0 / CAST(n_source AS DOUBLE))
+              |      * 281474976710656.0) AS BIGINT) AS thr
+              |  FROM s)
+              |SELECT d.doc_id, d.tier, n_source, share,
+              |  ${Sketches.hash48Sql("d.doc_id")} < thr AS sampled
+              |FROM d JOIN thr USING (tier)
+              |ORDER BY d.doc_id""".stripMargin),
+    ),
 
     // Corpus-wide first-occurrence segment dedup with reassembly.
     GraftQuery(
