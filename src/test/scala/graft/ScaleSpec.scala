@@ -73,6 +73,37 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(day"), plan.take(500))
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the partitioned fact scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/events"
+    val e = Tables(spark, sf("sf0.001"), "events")
+      .withColumn("day", to_date($"ts"))
+    Scale.writePartitioned(e, out, Seq("day"))
+    val fact = spark.read.parquet(out)
+    // an INDEPENDENT parquet dim tagging the 3 earliest days "keep": the
+    // day restriction reaches the fact only through the join, so static
+    // pruning can't see it, and the dim-side `tag = 'keep'` filter is the
+    // selective predicate Spark's DPP heuristic requires before it
+    // injects the dim's day set into the fact scan at runtime
+    val keep3 = fact.select($"day").distinct().orderBy($"day").limit(3)
+      .collect().map(_.getDate(0).toString).toSet
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString + "/days"
+    fact.select($"day").distinct()
+      .withColumn("tag", when($"day".cast("string").isin(keep3.toSeq: _*), "keep")
+        .otherwise("skip"))
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"tag" === "keep")
+    val joined = fact.join(dim, Seq("day"))
+    val n = joined.count()
+    assert(n > 0 && n < fact.count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "expected a dynamic partition pruning filter on the fact scan:\n" + plan.take(1200))
+    // pruning must be result-invisible: same count as the join planned
+    // without a broadcast to reuse (merge hint -> no DPP-over-broadcast)
+    val expected = fact.join(dim.hint("merge"), Seq("day")).count()
+    assert(n == expected)
+  }
+
   test("chunked prefix sums property: any chunk width equals the serial window") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.apache.spark.sql.expressions.Window
