@@ -833,18 +833,21 @@ object Analytics {
     // naive form is an O(n²) NOT EXISTS self-join; the scalable form used
     // here is a telescoped running min — collapse to one row per distinct
     // price (data-sized agg, one shuffle), then the strictly-higher-price
-    // running min of size. The cross-price window runs over the DISTINCT
-    // PRICE aggregate, bounded by the value domain, not the table — the
-    // same small-frame discipline as the bucket spines elsewhere. A part
-    // survives iff no strictly-higher price saw size ≤ its own and no
-    // equal-price row beats it strictly.
+    // running min of size via [[Scale.bucketedPrefixMin]]: prices bucket
+    // by value, the exclusive min runs inside each bucket in parallel,
+    // and cross-bucket state is a bucket-count-bounded broadcast — no
+    // unpartitioned window over the distinct-price frame (value-domain-
+    // bounded at this sf, but distinct prices at corpus scale are not
+    // small; the serial-window twin stays in the DuckDB oracle, so the
+    // hash gate proves scalable ≡ serial). A part survives iff no
+    // strictly-higher price saw size ≤ its own and no equal-price row
+    // beats it strictly.
     GraftQuery(
       "q_skyline",
       (s, dir) => {
         val g = Tables(s, dir, "part")
           .groupBy(col("p_retailprice").as("price")).agg(min("p_size").as("msz"))
-        val w = Window.orderBy(col("price").desc).rowsBetween(Window.unboundedPreceding, -1)
-        val r = g.withColumn("mh", min("msz").over(w))
+        val r = Scale.bucketedPrefixMin(g, "price", descending = true, "msz", "mh")
         Tables(s, dir, "part")
           .join(r, col("p_retailprice") === col("price"))
           .filter(!coalesce(col("mh") <= col("p_size"), lit(false)) &&

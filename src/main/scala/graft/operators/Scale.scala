@@ -225,6 +225,68 @@ object Scale {
       .drop("__bkt", "__off")
   }
 
+  /** Distributed EXCLUSIVE running min over a global order — the scale
+    * path for `min(value).over(Window.orderBy(ord).rowsBetween(
+    * unboundedPreceding, -1))` when the ordered frame is too large for
+    * one task (the q_skyline cross-price scan: distinct prices are
+    * value-domain-bounded at test scale but can be billions at corpus
+    * scale). Same two-phase shape as [[globalRowNumber]]:
+    *
+    *   1. rows bucket by VALUE of the order column (approxQuantile cuts
+    *      baked in as literals — a pure function of the row, stable
+    *      across AQE re-planning and plan duplication); equal order
+    *      values always share a bucket;
+    *   2. the exclusive running min WITHIN each bucket — partitioned
+    *      window, parallelism = buckets;
+    *   3. per-bucket mins (one row per bucket) get an exclusive running
+    *      min over the bucket axis — the only unpartitioned window, over
+    *      a bucket-count-bounded frame — and broadcast back;
+    *   4. result = least(bucket offset, in-bucket exclusive min), null
+    *      only when BOTH are null (Spark's least skips nulls), i.e.
+    *      exactly the serial window's "no preceding row yet" semantics.
+    *
+    * CAVEAT (matches the serial window only under this condition): `ord`
+    * here is the single numeric column `orderCol` itself, so rows with
+    * EQUAL order values see the same exclusive prefix as each other only
+    * if the caller's frame has one row per distinct value (aggregate
+    * first, as q_skyline does) — the serial window with a non-unique
+    * order is underdetermined anyway.
+    */
+  def bucketedPrefixMin(df: DataFrame, orderCol: String, descending: Boolean,
+      valueCol: String, out: String, buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = df.columns.filter(c => c == "__bkt" || c == "__bmin" || c == "__boff")
+    require(reserved.isEmpty,
+      s"bucketedPrefixMin reserves __bkt/__bmin/__boff; input has: ${reserved.mkString(", ")}")
+    val b = if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // b == 1 degenerates to the serial window (no cuts); approxQuantile
+    // rejects an empty probability list, so skip the pass entirely
+    val cuts = if (b <= 1) Seq.empty[Double]
+      else df.stat.approxQuantile(orderCol,
+        (1 until b).map(_.toDouble / b).toArray, 0.001).toSeq.distinct.sorted
+    val v = col(orderCol).cast("double")
+    val passed = cuts.map { c =>
+      val cmp = if (descending) lit(c) > v else lit(c) < v
+      when(cmp, 1).otherwise(0)
+    }.foldLeft(lit(0))(_ + _)
+    // null order values sort last under desc / first under asc (Spark
+    // default) — pin them to the matching end bucket
+    val bkt = if (descending) when(v.isNull, lit(cuts.length)).otherwise(passed)
+      else when(v.isNull, lit(0)).otherwise(passed)
+    val d = df.withColumn("__bkt", bkt)
+    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
+    val wIn = Window.partitionBy("__bkt").orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wB = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = d.groupBy("__bkt").agg(min(valueCol).as("__bmin"))
+      .withColumn("__boff", min("__bmin").over(wB))
+      .select("__bkt", "__boff")
+    d.join(broadcast(offs), Seq("__bkt"))
+      .withColumn(out, least(col("__boff"), min(valueCol).over(wIn)))
+      .drop("__bkt", "__boff")
+  }
+
   /** Distributed ntile over a total order: exact SQL `ntile(buckets)`
     * semantics (first n mod buckets buckets get the extra row) computed
     * from [[globalRowNumber]] + a broadcast total count — no

@@ -265,6 +265,37 @@ class ScaleSpec extends SparkSuite {
       j.orderBy("id").collect().mkString("\n"))
   }
 
+  test("bucketed prefix min equals the serial exclusive window, any bucket count") {
+    import org.apache.spark.sql.expressions.Window
+    // one row per distinct order value (the documented contract), value
+    // column with NULLs, non-monotone values so the running min actually
+    // telescopes; try asc + desc and bucket counts from degenerate to
+    // more-buckets-than-rows
+    val df = Seq(
+      (10.0, Some(7)), (9.5, None), (8.0, Some(3)), (7.25, Some(9)),
+      (6.0, None), (5.5, Some(2)), (4.0, Some(8)), (3.0, Some(1)),
+      (2.5, None), (1.0, Some(4)),
+    ).toDF("price", "msz")
+    for (desc <- Seq(true, false); b <- Seq(1, 2, 3, 7, 50)) {
+      val got = Scale.bucketedPrefixMin(df, "price", desc, "msz", "mh", buckets = b)
+      val ord = if (desc) $"price".desc else $"price".asc
+      val exp = df.withColumn("e",
+        min($"msz").over(Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, -1)))
+        .drop("msz") // null msz would make a null-unsafe join key
+      val j = got.join(exp, Seq("price"))
+      assert(j.count() == 10, s"desc=$desc b=$b")
+      assert(j.filter(!($"mh" <=> $"e")).count() == 0,
+        s"desc=$desc b=$b: " + j.orderBy("price").collect().mkString("\n"))
+    }
+  }
+
+  test("bucketed prefix min fails fast on reserved helper column names") {
+    val df = Seq((1.0, 2)).toDF("price", "__bkt")
+    val e = intercept[IllegalArgumentException](
+      Scale.bucketedPrefixMin(df, "price", descending = true, "price", "out"))
+    assert(e.getMessage.contains("__bkt"))
+  }
+
   test("chunked prefix sums equal the serial per-key window row-for-row") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
