@@ -289,6 +289,33 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("bucketed prefix min property: random values and nulls equal the serial window") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.expressions.Window
+    // distinct order values (the documented contract), values drawn from a
+    // narrow range so the running min plateaus and restarts, ~1/4 null —
+    // the adversarial cases for the least()-based null semantics
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      desc <- Gen.oneOf(true, false)
+      b <- Gen.oneOf(1, 3, 8)
+      vals <- Gen.listOfN(n, Gen.option(Gen.choose(0, 9)))
+    } yield (desc, b, vals)
+    val prop = Prop.forAll(gen) { case (desc, b, vals) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toDouble, v) }
+        .toDF("price", "msz")
+      val got = Scale.bucketedPrefixMin(df, "price", desc, "msz", "mh", buckets = b)
+      val ord = if (desc) $"price".desc else $"price".asc
+      val exp = df.withColumn("e",
+        min($"msz").over(Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, -1)))
+        .drop("msz")
+      val j = got.join(exp, Seq("price"))
+      j.count() == vals.length && j.filter(!($"mh" <=> $"e")).count() == 0
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bucketed prefix min fails fast on reserved helper column names") {
     val df = Seq((1.0, 2)).toDF("price", "__bkt")
     val e = intercept[IllegalArgumentException](
