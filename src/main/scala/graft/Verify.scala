@@ -23,6 +23,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // same hygiene as Bench: operators may persist intermediates (q_rfm's
+      // entity aggregate, geo dims); drop them between queries so caches
+      // don't accumulate block-manager pressure across the 137-query run
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1063,17 +1063,21 @@ object Analytics {
     GraftQuery(
       "q_rfm",
       (s, dir) => {
-        // cached: distributedNtiles drives two actions over m (the cutoff
-        // quantile job + the ranking job) — without the cache each one
-        // re-runs the orders scan + aggregate. The entity aggregate is the
-        // query's working set (customer-bounded, partitioned); Bench/
-        // Verify clear the cache between queries.
+        // persisted: distributedNtiles drives two actions over m (the
+        // cutoff quantile job + the ranking job) — without persistence each
+        // one re-runs the orders scan + aggregate. MEMORY_AND_DISK is the
+        // 100 TB contract: the entity aggregate is customer-bounded but
+        // still entity-sized, and an evicted MEMORY_ONLY block would
+        // silently recompute the whole scan+aggregate mid-rank — spilling
+        // the partition to local disk is the bounded-cost path. Bench and
+        // Verify clearCache() between queries; callers that reuse the
+        // session should unpersist after the final action over the result.
         val m = Tables(s, dir, "orders").groupBy("o_custkey").agg(
           max(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
             .cast(LongType).as("last_day"),
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast(DecimalType(30, 6))).cast(DoubleType).as("spend"))
-          .cache()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // all three quintile scores in ONE shared rank pass
         // (Scale.distributedNtiles): the metrics unpivot to narrow rows
         // through a single bucket window + offsets broadcast, then pivot

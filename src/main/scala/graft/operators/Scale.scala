@@ -202,8 +202,12 @@ object Scale {
     // literals; relativeError trades bucket balance, never correctness.
     // Callers ranking several columns of the same frame pass precomputed
     // cuts (one multi-column approxQuantile job instead of one per rank).
-    val cuts = givenCuts.getOrElse(df.stat.approxQuantile(bucketCol,
-      (1 until b).map(_.toDouble / b).toArray, 0.001).toSeq).distinct.sorted
+    // b == 1 (single-partition session) degenerates to the serial window:
+    // no cuts — approxQuantile rejects an empty probability list.
+    val cuts = givenCuts.getOrElse(
+      if (b <= 1) Seq.empty[Double]
+      else df.stat.approxQuantile(bucketCol,
+        (1 until b).map(_.toDouble / b).toArray, 0.001).toSeq).distinct.sorted
     val v = col(bucketCol).cast("double")
     // bucket = how many cuts the value has passed ALONG THE SORT DIRECTION;
     // equal values always share a bucket, so bucket order refines the sort
@@ -298,6 +302,9 @@ object Scale {
       descending: Boolean, buckets: Int, out: String,
       givenCuts: Option[Seq[Double]] = None): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    val reservedN = df.columns.filter(Set("__rn", "__n", "__k", "__m"))
+    require(reservedN.isEmpty,
+      s"distributedNtile reserves __rn/__n/__k/__m; input has: ${reservedN.mkString(", ")}")
     val rn = globalRowNumber(df, ord, bucketCol, descending, "__rn", givenCuts = givenCuts)
     val tot = df.agg(count(lit(1)).as("__n"))
     // bucket sizes: k = n div B (+1 for the first m = n mod B buckets);
@@ -341,9 +348,15 @@ object Scale {
       s"distributedNtiles reserves __-prefixed names; input has: ${reserved.mkString(", ")}")
     val b = if (rankBuckets > 0) rankBuckets
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val probs = (1 until b).map(_.toDouble / b).toArray
-    val cutArr = df.stat.approxQuantile(specs.map(_._2).toArray, probs, 0.001)
-    val cuts = specs.map(_._1).zip(cutArr.map(_.toSeq.distinct.sorted)).toMap
+    // b == 1 (single-partition session): no cuts, one bucket per metric —
+    // approxQuantile rejects an empty probability list, so skip the job
+    val cuts: Map[String, Seq[Double]] =
+      if (b <= 1) specs.map(_._1 -> Seq.empty[Double]).toMap
+      else {
+        val probs = (1 until b).map(_.toDouble / b).toArray
+        val cutArr = df.stat.approxQuantile(specs.map(_._2).toArray, probs, 0.001)
+        specs.map(_._1).zip(cutArr.map(_.toSeq.distinct.sorted)).toMap
+      }
     val unpiv = df.select(col(tieCol).as("__tie"), explode(array(specs.map {
       case (out, metric) =>
         struct(lit(out).as("__sc"), col(metric).cast("double").as("__v"))

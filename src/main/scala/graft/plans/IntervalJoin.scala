@@ -149,8 +149,12 @@ case class BroadcastIntervalJoinExec(
     // Execution-time broadcast enforcement, mirroring Spark's own
     // BroadcastExchange limits (512m rows / 8 GB): the planner gated on a
     // STATS ESTIMATE, which a filter/join upstream can underestimate
-    // arbitrarily — without this cap a mis-estimated right side would OOM
-    // the driver with no diagnosable error.
+    // arbitrarily. RESIDUAL RISK: the caps are checked only AFTER
+    // executeCollect() has materialized the right side on the driver —
+    // the same window Spark's own BroadcastExchange has — so a grossly
+    // mis-estimated side can still OOM during the collect itself; the
+    // caps convert the survivable over-budget case into a diagnosable
+    // error with a named escape hatch, they are not a hard memory bound.
     val rightRows = right.executeCollect()
     val maxRows = SQLConf.get.getConfString(
       "spark.graft.intervalJoin.maxBroadcastRows", "512000000").toLong

@@ -250,6 +250,29 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("global rank and ntiles degenerate cleanly at buckets = 1 (single-partition session)") {
+    import org.apache.spark.sql.expressions.Window
+    // b == 1 means an EMPTY approxQuantile probability list — the guard
+    // must skip the quantile job (it rejects empty probabilities) and
+    // fall back to the serial one-bucket shape with identical answers
+    val df = (0 until 17).map(i => (i.toLong, (i * 3 % 7).toLong)).toDF("id", "m")
+    val ord = Seq($"m".desc, $"id".asc)
+    val rn = Scale.globalRowNumber(df, ord, "m", descending = true, "rn", buckets = 1)
+    val eRn = df.withColumn("e", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+    assert(rn.join(eRn, Seq("id", "m")).filter($"rn" =!= $"e").count() == 0)
+    val nt = Scale.distributedNtile(df, ord, "m", descending = true, 5, "t", None)
+    val eNt = df.withColumn("e", ntile(5).over(Window.orderBy(ord: _*)).cast("long"))
+    assert(nt.join(eNt, Seq("id", "m")).filter($"t" =!= $"e").count() == 0)
+    val nts = Scale.distributedNtiles(df, "id", Seq(("s", "m")), 5, rankBuckets = 1)
+    assert(nts.join(eNt, Seq("id", "m")).filter($"s" =!= $"e").count() == 0)
+  }
+
+  test("distributed ntile fails fast on reserved helper column names") {
+    val df = Seq((1L, 2L)).toDF("id", "__n")
+    assertThrows[IllegalArgumentException](
+      Scale.distributedNtile(df, Seq($"id".asc), "id", descending = false, 2, "t"))
+  }
+
   test("multi-metric ntiles: null metric values rank nulls-last like SQL ntile") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq(
