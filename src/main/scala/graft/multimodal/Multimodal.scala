@@ -45,17 +45,70 @@ object Multimodal {
   private def magicIs(content: Column, off: Int, hexBytes: String): Column =
     hex(substring(content, off, hexBytes.length / 2)) === lit(hexBytes)
 
+  /** u8 / big-endian u16 at a DATA-DEPENDENT 1-based offset (Column, not
+    * Int): `substr(Column, Column)` + hex/conv — still pure expressions. */
+  private def u8At(content: Column, off: Column): Column =
+    conv(hex(content.substr(off, lit(1))), 16, 10).cast(IntegerType)
+
+  private def beU16At(content: Column, off: Column): Column =
+    conv(hex(content.substr(off, lit(2))), 16, 10).cast(IntegerType)
+
+  /** 1-based offset of the JPEG SOF0/SOF2 marker (0xFFC0 / 0xFFC2), or
+    * null if not found within [[MaxJpegSegments]] segments.
+    *
+    * JPEG segments are length-prefixed, so the frame header sits at a
+    * data-dependent offset — a fixed-offset read can't find it. The walk
+    * is a bounded fold over the segment chain via the `aggregate`
+    * higher-order function: state = (cursor, found-offset); each step
+    * either records the SOF offset or advances cursor by the segment's
+    * big-endian length field (which counts itself but not the marker).
+    * A per-element lambda keeps the expression tree LINEAR in the step
+    * count — the naive unrolled `when`-chain duplicates the cursor
+    * subtree per step and blows up exponentially. Out-of-bounds and
+    * non-0xFF garbage collapse the state to null, which routes the row
+    * to the stub fallback rather than decoding garbage.
+    */
+  val MaxJpegSegments = 32
+
+  private def jpegSofOffset(content: Column): Column = {
+    val nullOff = lit(null).cast(LongType)
+    val scan = aggregate(
+      sequence(lit(1), lit(MaxJpegSegments)),
+      struct(lit(3L).as("off"), nullOff.as("sof")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val sof = acc.getField("sof")
+        // SOF payload is ≥ 8 bytes past the marker (len, precision, h, w)
+        val inBounds = off.isNotNull && off + lit(9L) <= octet_length(content)
+        val mark = beU16At(content, off)
+        val isSof = inBounds && (mark === 0xFFC0 || mark === 0xFFC2)
+        val isMarker = inBounds && u8At(content, off) === 0xFF
+        val segLen = beU16At(content, off + lit(2L)).cast(LongType)
+        when(sof.isNotNull, acc).otherwise(struct(
+          when(isSof || !isMarker, nullOff)
+            .otherwise(off + lit(2L) + segLen).as("off"),
+          when(isSof, off).otherwise(nullOff).as("sof")))
+      })
+    scan.getField("sof")
+  }
+
   /** Decode (width, height, n_frames, sample_rate) from the payload.
     *
-    * REAL header parses, as pure codegen column expressions over the
-    * binary column (no UDF, no media library):
+    * REAL header parses, as pure column expressions over the binary
+    * column (no UDF, no media library):
     *   - PNG: 8-byte signature, then the IHDR chunk at a fixed offset —
     *     width/height are big-endian u32 at bytes 17/21 (1-based);
-    *   - WAV: "RIFF....WAVE" signature with the canonical fmt chunk —
-    *     sample rate is little-endian u32 at byte 25.
+    *   - WAV: "RIFF....WAVE" signature with the CANONICAL fmt chunk at
+    *     byte 13 — sample rate is little-endian u32 at byte 25. A
+    *     non-canonical RIFF (LIST/INFO chunk before fmt) deliberately
+    *     falls through to the stub rather than decoding garbage;
+    *   - JPEG: FFD8FF signature, then a bounded walk of the
+    *     length-prefixed segment chain to the SOF0/SOF2 frame header
+    *     ([[jpegSofOffset]]) — height/width are big-endian u16 at +5/+7
+    *     past the marker.
     *
     * Every other format falls back to the DETERMINISTIC STUB (hash-derived
-    * pseudo-metadata): this container has no codecs for jpeg/mp3/mp4, and
+    * pseudo-metadata): this container has no codecs for mp3/mp4, and
     * a wrong-but-deterministic value beats a silent ???. A real deployment
     * swaps the fallback for a decoder behind the same column contract —
     * schema, null handling, and plan shape stay identical.
@@ -66,7 +119,10 @@ object Multimodal {
     val isPng = octet_length(content) >= 24 &&
       magicIs(content, 1, "89504E470D0A1A0A") && magicIs(content, 13, "49484452") // "IHDR"
     val isWav = octet_length(content) >= 44 &&
-      magicIs(content, 1, "52494646") && magicIs(content, 9, "57415645") // "RIFF"/"WAVE"
+      magicIs(content, 1, "52494646") && magicIs(content, 9, "57415645") && // "RIFF"/"WAVE"
+      magicIs(content, 13, "666D7420") // "fmt " — guards byte-25 sample-rate read
+    val isJpeg = octet_length(content) >= 4 && magicIs(content, 1, "FFD8FF")
+    val sof = jpegSofOffset(content)
     when(isPng, struct(
         beU32(content, 17).cast(IntegerType).as("width"),
         beU32(content, 21).cast(IntegerType).as("height"),
@@ -77,6 +133,11 @@ object Multimodal {
         nullInt.as("height"),
         nullInt.as("n_frames"),
         leU32(content, 25).cast(IntegerType).as("sample_rate")))
+      .when(isJpeg && sof.isNotNull, struct(
+        beU16At(content, sof + lit(7L)).as("width"),
+        beU16At(content, sof + lit(5L)).as("height"),
+        lit(1).cast(IntegerType).as("n_frames"),
+        nullInt.as("sample_rate")))
       .otherwise(struct(
         (h % 1920 + 1).cast(IntegerType).as("width"),
         (h % 1080 + 1).cast(IntegerType).as("height"),

@@ -138,6 +138,46 @@ class ExtensionsSpec extends SparkSuite {
     assert(r3.contains(16000))
   }
 
+  test("multimodal: decodeMeta parses REAL JPEG bytes via the SOF segment walk") {
+    val s = spark
+    import s.implicits._
+    // a real baseline JPEG from the JDK's own encoder: APP0 + quant +
+    // huffman segments precede SOF0, so the walk must actually walk
+    val img = new java.awt.image.BufferedImage(37, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(10, 10, 0x3366cc)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val jpg = out.toByteArray
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8) // sanity: SOI
+    // hand-forged PROGRESSIVE jpeg: SOI, APP0 (2-byte body), SOF2 with
+    // height 513 / width 1027 — covers the 0xFFC2 branch and >255 dims
+    def be16(v: Int) = Seq((v >> 8).toByte, (v & 0xff).toByte)
+    val sof2 = (Seq(0xff, 0xd8).map(_.toByte) ++
+      Seq(0xff, 0xe0).map(_.toByte) ++ be16(4) ++ Seq(0x4a, 0x46).map(_.toByte) ++
+      Seq(0xff, 0xc2).map(_.toByte) ++ be16(11) ++ Seq(8.toByte) ++
+      be16(513) ++ be16(1027) ++ Seq(1, 0x11, 0).map(_.toByte)).toArray
+    // truncated garbage with a JPEG signature: the walk must give up
+    // (null SOF) and fall to the stub, not throw or decode junk
+    val trunc = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)
+    // non-canonical WAV (LIST chunk where fmt belongs): stub, not a
+    // garbage byte-25 sample-rate read
+    val badWav = ("RIFF".getBytes ++ Array.fill[Byte](4)(0x10) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ Array.fill[Byte](40)(0x42)).toArray
+    val assets = Seq((1L, "image", jpg), (2L, "image", sof2),
+      (3L, "image", trunc), (4L, "audio", badWav))
+      .toDF("asset_id", "media_type", "content")
+    val meta = Multimodal.withMeta(assets)
+      .select("asset_id", "meta.width", "meta.height", "meta.sample_rate")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(meta(1L)._1.contains(37) && meta(1L)._2.contains(23), meta(1L).toString)
+    assert(meta(2L)._1.contains(1027) && meta(2L)._2.contains(513), meta(2L).toString)
+    // stub fallbacks: bounded fake dims, and the WAV one must NOT carry a
+    // decoded sample rate of garbage — the stub pins 16000
+    assert(meta(3L)._3.contains(16000), meta(3L).toString)
+    assert(meta(4L)._3.contains(16000), meta(4L).toString)
+  }
+
   test("multimodal: meta decode, resize contract, frame sampling math") {
     val s = spark
     import s.implicits._
