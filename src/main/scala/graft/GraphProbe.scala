@@ -49,6 +49,41 @@ object GraphProbe {
       graft.operators.Graph.triangles(e).agg(sum("n_tri")).head())
     time("full_q_triangles")(
       SparkEntry.queries("q_triangles")(spark, sfDir).count())
+
+    // ---- skew phase: one hot part in 1/mod of orders -----------------
+    // Every lineitem of every mod-th order is remapped to part 99999999:
+    // the hub part's customer set is ~1/mod of customers, so the plain
+    // self-join emits its d²/2 pairs inside ONE task. Measured: the
+    // plain build (hotDegree = MaxValue forces every part down the cold
+    // path) vs the adaptive salted build (Graph.copurchaseEdges
+    // defaults), same fixture; equal edge counts asserted.
+    for (mod <- Seq(100, 10)) {
+      def cpSkew() = {
+        val li = Tables(spark, sfDir, "lineitem")
+          .withColumn("l_partkey",
+            when(col("l_orderkey") % mod === 0, lit(99999999L))
+              .otherwise(col("l_partkey")))
+        Tables(spark, sfDir, "orders")
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+      }
+      val skew = cpSkew()
+      val hubDeg = skew.groupBy("p").agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc).head()
+      println(s"[graphprobe] skew fixture 1/$mod: hottest part ${hubDeg.get(0)} degree ${hubDeg.get(1)}")
+      time(s"skew_1_${mod}_edge_build_plain")(
+        graft.operators.Graph.copurchaseEdges(skew, 4, hotDegree = Int.MaxValue).count())
+      time(s"skew_1_${mod}_edge_build_salted")(
+        graft.operators.Graph.copurchaseEdges(skew, 4, hubPath = "salted").count())
+      time(s"skew_1_${mod}_edge_build_prefilter")(
+        graft.operators.Graph.copurchaseEdges(skew, 4, hubPath = "prefilter").count())
+      val nPlain = graft.operators.Graph.copurchaseEdges(skew, 4, hotDegree = Int.MaxValue).count()
+      val nSalted = graft.operators.Graph.copurchaseEdges(skew, 4, hubPath = "salted").count()
+      val nPre = graft.operators.Graph.copurchaseEdges(skew, 4, hubPath = "prefilter").count()
+      println(s"[graphprobe] skew 1/$mod edges: plain=$nPlain salted=$nSalted prefilter=$nPre " +
+        (if (nPlain == nSalted && nPlain == nPre) "EQUAL" else "MISMATCH"))
+    }
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics the Pregel-by-joins way: PageRank as repeated
@@ -124,6 +125,128 @@ object Graph {
       .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Co-purchase pair edges from a bipartite (entity, item) incidence
+    * frame: (src, dst) for every entity pair sharing ≥ `minShared`
+    * distinct items — the edge build feeding [[triangles]] in
+    * q_triangles, factored out so its skew handling is testable.
+    *
+    * The skew point is the self-join on the item key: an item held by d
+    * entities emits d(d−1)/2 pairs INSIDE ONE TASK, because both legs of
+    * the equi-join hash the hub item to the same partition — AQE's skew
+    * split can rebalance map-side input sizes, but not the quadratic
+    * OUTPUT of one join key. One count aggregate flags each incidence row
+    * with its item's degree (the join back is on the same key the
+    * self-join needs, so the exchange is reused, and the hot set is just
+    * a filter — no driver-held hot list); cold items (d ≤ hotDegree) take
+    * the plain self-join, hot items route by `hubPath`:
+    *
+    *   - `"prefilter"` (the `"auto"` choice when minShared ≥ 2): hub
+    *     pairs are never enumerated at all. A pair can qualify only if
+    *     coldShared ≥ minShared − min(|hotSet(x)|, |hotSet(y)|) — those
+    *     candidates come from the (fan-out-bounded) cold self-join plus a
+    *     per-entity hot-set-size join — or on hot items alone, in which
+    *     case prefix filtering applies: under a global item order, a pair
+    *     sharing ≥ m hot items shares its SMALLEST common hot item within
+    *     both entities' (|hotSet| − m + 1)-prefixes (if it sat outside
+    *     x's prefix, the ≥ m−1 larger shared items could not fit in x's
+    *     m−1-item suffix). Joining prefixes is the hub-safe candidate
+    *     generator: an entity holding fewer than m hot items has an EMPTY
+    *     prefix, so a hub whose holders are hot-poor contributes nothing
+    *     (the 1/10 skew probe: 44M hub pairs → 0 candidates). Exact hot
+    *     overlap is then counted for the candidate set only, and
+    *     coldShared + hotShared ≥ minShared filters exactly.
+    *   - `"salted"` (the `"auto"` choice when minShared == 1, where every
+    *     hub pair IS an edge and the quadratic output is the answer):
+    *     [[SkewLayout.saltedEquiJoin]] — the left leg salts by entity id,
+    *     the right replicates `salts` ways, so the hub's d²/2 pairs
+    *     spread over `salts` tasks instead of one (replicating only HOT
+    *     rows; cold mass never pays). Spreads the quadratic output; only
+    *     the prefilter path eliminates it.
+    *
+    * Pair counts aggregate across the cold and hot streams before the
+    * minShared floor, so a pair sharing hot AND cold items counts once
+    * per item; results are identical to the plain build for any
+    * (hotDegree, salts, hubPath) — pinned by SkewGraphSpec (fixed +
+    * randomized fixtures) and the q_triangles oracle.
+    *
+    * `cp` must be (c, p) DISTINCT and materialized (the degree pass and
+    * every join leg read it; q_triangles localCheckpoints it).
+    */
+  def copurchaseEdges(cp: DataFrame, minShared: Long, hotDegree: Int = 512,
+      salts: Int = 16, hubPath: String = "auto"): DataFrame = {
+    require(Seq("auto", "salted", "prefilter").contains(hubPath),
+      s"hubPath must be auto|salted|prefilter, got $hubPath")
+    val flagged = cp.join(cp.groupBy("p").agg(count(lit(1)).as("__d")), Seq("p"))
+    val cold = flagged.filter(col("__d") <= hotDegree).select("c", "p")
+    val hot = flagged.filter(col("__d") > hotDegree).select("c", "p")
+    val path =
+      if (hubPath == "auto") { if (minShared >= 2) "prefilter" else "salted" }
+      else hubPath
+    if (path == "prefilter") prefilterEdges(cold, hot, minShared)
+    else {
+      val coldPairs = cold.as("x").join(cold.as("y"),
+          col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+        .select(col("x.c").as("src"), col("y.c").as("dst"))
+      val hotPairs = SkewLayout.saltedEquiJoin(
+          hot.select(col("c").as("xc"), col("p")), "p",
+          hot.select(col("c").as("yc"), col("p").as("yp")), "yp",
+          salts, saltBy = "xc")
+        .filter(col("xc") < col("yc"))
+        .select(col("xc").as("src"), col("yc").as("dst"))
+      coldPairs.unionByName(hotPairs)
+        .groupBy("src", "dst").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+        .select("src", "dst")
+    }
+  }
+
+  /** The minShared-aware hub path of [[copurchaseEdges]]: candidates from
+    * the cold self-join (fan-out ≤ hotDegree per item by construction)
+    * and the hot prefix join (fan-out ≤ entities-with-≥minShared-hot-items
+    * per item), then exact verification — hub pairs are pruned, not
+    * spread. The hot subtree (degree agg + filter) appears in several
+    * legs; the byte-identical exchange is planned once and reused
+    * (ReuseExchange), so the degree shuffle is paid once.
+    */
+  private def prefilterEdges(cold: DataFrame, hot: DataFrame,
+      minShared: Long): DataFrame = {
+    val coldPairs = cold.as("x").join(cold.as("y"),
+        col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+      .groupBy(col("x.c").as("src"), col("y.c").as("dst"))
+      .agg(count(lit(1)).as("__cold"))
+    val nh = hot.groupBy("c").agg(count(lit(1)).as("__nh"))
+    // candidates that must use cold overlap: hotShared can contribute at
+    // most min(|hotSet(src)|, |hotSet(dst)|) to the floor
+    val candA = coldPairs
+      .join(nh.select(col("c").as("src"), col("__nh").as("__nhx")), Seq("src"), "left")
+      .join(nh.select(col("c").as("dst"), col("__nh").as("__nhy")), Seq("dst"), "left")
+      .filter(col("__cold") +
+        least(coalesce(col("__nhx"), lit(0L)), coalesce(col("__nhy"), lit(0L))) >= minShared)
+      .select("src", "dst", "__cold")
+    // candidates reachable on hot items alone (possibly zero cold
+    // overlap): prefix join — each entity keeps its (|hotSet|−m+1)
+    // smallest hot items (per-entity window, bounded by its hot-set size)
+    val prefix = hot
+      .withColumn("__r", row_number().over(Window.partitionBy("c").orderBy("p")))
+      .join(nh, Seq("c"))
+      .filter(col("__r") <= col("__nh") - minShared + 1)
+      .select("c", "p")
+    val candB = prefix.as("x").join(prefix.as("y"),
+        col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+      .select(col("x.c").as("src"), col("y.c").as("dst")).distinct()
+      .join(coldPairs, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), coalesce(col("__cold"), lit(0L)).as("__cold"))
+    // the same (src, dst) carries the same __cold from either stream
+    val cand = candA.unionByName(candB).dropDuplicates("src", "dst")
+    val hotShared = cand.select("src", "dst")
+      .join(hot.select(col("c").as("src"), col("p")), Seq("src"))
+      .join(hot.select(col("c").as("dst"), col("p")), Seq("dst", "p"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("__hot"))
+    cand.join(hotShared, Seq("src", "dst"), "left")
+      .filter(col("__cold") + coalesce(col("__hot"), lit(0L)) >= minShared)
+      .select("src", "dst")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // PageRank over the customer→supplier purchase graph (5 rounds):
@@ -155,26 +278,22 @@ object Graph {
     // Triangle counts over the customer co-purchase graph (edge = two
     // customers sharing ≥4 distinct parts; the HAVING floor keeps the
     // projection from densifying into a near-clique). The per-part
-    // customer fan-out in the edge build is the skew point — at corpus
-    // scale a popular part would get the salted-join treatment
-    // ([[SkewLayout.saltedEquiJoin]]); the triangle operator itself is
-    // already degree-bounded.
+    // customer fan-out in the edge build is the skew point —
+    // [[copurchaseEdges]] prunes hub parts through the minShared
+    // prefilter adaptively (degree flag + split, no driver state); the
+    // triangle operator itself is already degree-bounded.
     GraftQuery(
       "q_triangles",
       (s, dir) => {
-        // both self-join legs read cp — materialize it once (the distinct
-        // already paid a shuffle; replaying the orders⋈lineitem build per
-        // leg doubles the expensive part of the plan)
+        // every edge-build leg (degree pass + both self-join legs) reads
+        // cp — materialize it once (the distinct already paid a shuffle;
+        // replaying the orders⋈lineitem build per leg doubles the
+        // expensive part of the plan)
         val cp = Tables(s, dir, "orders")
           .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
           .localCheckpoint(false)
-        val edges = cp.as("x").join(cp.as("y"),
-            col("x.p") === col("y.p") && col("x.c") < col("y.c"))
-          .groupBy(col("x.c").as("src"), col("y.c").as("dst"))
-          .agg(count(lit(1)).as("shared")).filter(col("shared") >= 4)
-          .select("src", "dst")
-        triangles(edges).orderBy("node")
+        triangles(copurchaseEdges(cp, minShared = 4)).orderBy("node")
       },
       Some("""WITH cp AS (
              |  SELECT DISTINCT o_custkey AS c, l_partkey AS p

@@ -24,6 +24,22 @@ object SkewLayout {
     * `salts` tasks instead of one. Cost: dim shuffle volume × salts, which
     * is the standard salting trade (use on skewed FACTS joining modest
     * dims). Output: fact columns + dim columns, salt dropped.
+    *
+    * The dim side carries a SHUFFLE_HASH hint: salting works ONLY through
+    * (key, salt) hash partitioning, and a small dim would otherwise tempt
+    * the planner into a broadcast join — which has no key partitioning at
+    * all, so the hot key's rows stay wherever the fact side left them
+    * (often ONE upstream partition) and the salt buys nothing. Measured on
+    * the q_triangles skew probe (hub degree 9385): broadcast-planned
+    * salting ran 1.2× SLOWER than unsalted; shuffle-planned salting
+    * spreads the hub's join output evenly (the straggler-elimination win
+    * on a real cluster) but is end-to-end NEUTRAL on that probe — the
+    * quadratic output still gets generated and aggregated, which is the
+    * dominant cost wherever it lands (PLANS.md round-8 table; the
+    * minShared prefilter in Graph.copurchaseEdges is what eliminates the
+    * output, 30×). Building the per-partition hash map on the replicated
+    * dim is right: each (key, salt) partition holds the dim's matching
+    * keys once, the fact side streams.
     */
   def saltedEquiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, salts: Int, saltBy: String): DataFrame = {
@@ -33,7 +49,7 @@ object SkewLayout {
     val sf = fact.withColumn("__salt",
       pmod(xxhash64(col(saltBy)), lit(salts.toLong)).cast("int"))
     val sd = dim.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
+      explode(sequence(lit(0), lit(salts - 1)))).hint("shuffle_hash")
     sf.join(sd, sf(factKey) === sd(dimKey) && sf("__salt") === sd("__salt"))
       .drop("__salt")
   }

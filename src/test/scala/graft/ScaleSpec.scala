@@ -36,6 +36,55 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("AQE OptimizeSkewedJoin splits the hot partition of a skewed sort-merge join") {
+    // one key holds ~95% of the fact rows; with the skew thresholds
+    // lowered to fixture scale, AQE must re-plan the sort-merge join
+    // with the hot partition SPLIT (isSkewJoin=true in the final
+    // adaptive plan) — the runtime half of the skew story, complementing
+    // the explicit salting operators (which cover aggregations and
+    // first-stage joins AQE can't see)
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // fixture-scale thresholds: the hot partition (~2 MB of rows) must
+      // read as "skewed" against the 64 KB advisory target
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // pad must be row-dependent (a constant folds out of the join and
+      // compresses to nothing in the shuffle — the hot partition's
+      // COMPRESSED bytes are what the skew reader measures)
+      val fact = spark.range(0, 60000).selectExpr(
+        "CASE WHEN id % 20 < 19 THEN 7L ELSE id % 13 END AS k",
+        "concat(md5(cast(id AS string)), md5(cast(id + 1 AS string))) AS pad")
+      val dim = spark.range(0, 13).selectExpr("id AS k", "id * 2 AS v")
+        // a >8-partition shuffle side so the join stays sort-merge
+        .repartition(4)
+      val joined = fact.join(dim, "k")
+      // execute THIS frame (count() builds its own QueryExecution whose
+      // adaptive plan would be left at isFinalPlan=false here)
+      val n = joined.collect().length
+      assert(n == 60000) // key 7 matches dim row 7; every cold key < 13 matches
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the SMJ, got:\n$plan")
+      assert(plan.contains("AQEShuffleRead skewed"),
+        s"expected the hot side read as skewed splits, got:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     // 90% of rows share one hot key — the salting target
     val big = spark.range(10000)

@@ -35,6 +35,110 @@ class SkewGraphSpec extends SparkSuite {
     assert(SkewLayout.saltedEquiJoin(fact, "fk", dim, "dk", 5, "row_id").count() == 4)
   }
 
+  test("copurchaseEdges: salted hub routing is result-identical to the plain build") {
+    val s = spark
+    import s.implicits._
+    // hub item 1 held by 40 entities (degree 40 > hotDegree 8 → salted
+    // path); items 100+k held by 4 overlapping entities each (cold path);
+    // entity pairs share hot AND cold items, so the union-then-count must
+    // aggregate across both streams for minShared to be right
+    val cp = ((1 to 40).map(c => (c.toLong, 1L)) ++
+      (0 until 10).flatMap(k => (1 to 4).map(c => ((c + k).toLong, 100L + k)))
+      ).distinct.toDF("c", "p").cache()
+    val plain = Graph.copurchaseEdges(cp, 2, hotDegree = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.nonEmpty)
+    for ((hd, sl) <- Seq((8, 1), (8, 5), (1, 3))) {
+      val salted = Graph.copurchaseEdges(cp, 2, hotDegree = hd, salts = sl)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(salted == plain, s"hotDegree=$hd salts=$sl")
+    }
+    // a pair sharing one hot + one cold item crosses streams: with
+    // minShared=2 it must appear (counted once per item, summed)
+    val both = Graph.copurchaseEdges(cp, 2, hotDegree = 8, salts = 3, hubPath = "salted")
+      .filter($"src" === 1L && $"dst" === 2L).count()
+    assert(both == 1L)
+  }
+
+  test("copurchaseEdges: prefilter hub routing is result-identical to the plain build") {
+    val s = spark
+    import s.implicits._
+    // same mixed fixture as the salted test: hub item 1 (degree 40),
+    // overlapping cold items — pairs qualify via hot+cold combinations,
+    // so candA (cold pairs topped up by hot counts) carries the result
+    val cp = ((1 to 40).map(c => (c.toLong, 1L)) ++
+      (0 until 10).flatMap(k => (1 to 4).map(c => ((c + k).toLong, 100L + k)))
+      ).distinct.toDF("c", "p").cache()
+    val plain = Graph.copurchaseEdges(cp, 2, hotDegree = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.nonEmpty)
+    for (hd <- Seq(8, 1)) {
+      val pre = Graph.copurchaseEdges(cp, 2, hotDegree = hd, hubPath = "prefilter")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pre == plain, s"hotDegree=$hd")
+    }
+  }
+
+  test("copurchaseEdges: prefilter finds pairs that share ONLY hot items (prefix join)") {
+    val s = spark
+    import s.implicits._
+    // hot items 1 and 2 both held by entities 1..20 (degree 20 > 8);
+    // entities 21..40 hold only item 1 (hot-poor: |hotSet| = 1 < m = 2 →
+    // empty prefix, candB contributes nothing for them); no cold items
+    // touch entities 1..20, so every (i, j) ⊆ 1..20 pair qualifies via
+    // candB alone with zero cold overlap
+    val cp = ((1 to 20).flatMap(c => Seq((c.toLong, 1L), (c.toLong, 2L))) ++
+      (21 to 40).map(c => (c.toLong, 1L)) ++
+      (41 to 44).map(c => (c.toLong, 500L)) // one cold item elsewhere
+      ).toDF("c", "p").cache()
+    val plain = Graph.copurchaseEdges(cp, 2, hotDegree = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pre = Graph.copurchaseEdges(cp, 2, hotDegree = 8, hubPath = "prefilter")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == (for (i <- 1L to 20L; j <- (i + 1) to 20L) yield (i, j)).toSet)
+    assert(pre == plain)
+  }
+
+  test("copurchaseEdges: randomized plain/salted/prefilter equivalence sweep") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random incidence with a built-in hub (item 1
+    // picks up every 3rd entity) and a mid/cold tail
+    val cp = (1 to 600).flatMap { i =>
+      val c = (i % 97).toLong
+      val base = ((i * 31) % 41).toLong + 10L
+      Seq((c, base)) ++ (if (i % 3 == 0) Seq((c, 1L)) else Nil) ++
+        (if (i % 7 == 0) Seq((c, 2L)) else Nil)
+    }.distinct.toDF("c", "p").cache()
+    for (m <- Seq(1L, 2L, 4L)) {
+      val plain = Graph.copurchaseEdges(cp, m, hotDegree = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(plain.nonEmpty, s"m=$m fixture must produce edges")
+      for (hd <- Seq(5, 20)) {
+        val salted = Graph.copurchaseEdges(cp, m, hotDegree = hd, salts = 3, hubPath = "salted")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(salted == plain, s"salted m=$m hotDegree=$hd")
+        if (m >= 2) {
+          val pre = Graph.copurchaseEdges(cp, m, hotDegree = hd, hubPath = "prefilter")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(pre == plain, s"prefilter m=$m hotDegree=$hd")
+        }
+      }
+      // auto picks a hub path by minShared; either way the result is pinned
+      val auto = Graph.copurchaseEdges(cp, m, hotDegree = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(auto == plain, s"auto m=$m")
+    }
+  }
+
+  test("copurchaseEdges: rejects an unknown hubPath") {
+    val s = spark
+    import s.implicits._
+    val cp = Seq((1L, 2L)).toDF("c", "p")
+    intercept[IllegalArgumentException](
+      Graph.copurchaseEdges(cp, 2, hubPath = "bogus"))
+  }
+
   test("zOrderKey: exact bit interleave on known values") {
     val s = spark
     import s.implicits._
