@@ -146,6 +146,15 @@ object Bench {
       someFailed
     }
     val jsonLine = renderJson(results, sfDir, failures, flaky)
+    // Full per-query dump (no MaxLine cap / "other" merging) for scaling
+    // analysis — the stdout line stays driver-compatible, the file carries
+    // every query's time for tools/scaling.py.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      val qs = results.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        s"""{"failures":$failures,"flaky":$flaky,"queries":$qs,"sf":"${sfLabel(sfDir)}"}""")
+    }
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(jsonLine)

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Scaling-probe data generator: writes a k× blow-up of the sf0.1 fact
   * tables (events / lineitem / orders, ids shifted per copy so keys stay
-  * consistent and unique) with the dimension tables copied as-is. Used to
-  * measure how the bench grows with data volume (BENCH.md) — the driver's
-  * fixtures stop at sf0.1.
+  * consistent and unique) plus a k× part dimension (partkeys shift with
+  * their lineitems, keeping per-part density constant — see the comment
+  * at the lineitem write); the other dims are copied as-is. Used to
+  * measure how the bench grows with data volume (BENCH.md) — the
+  * driver's fixtures stop at sf0.1.
   *
   * With the `corpus` flag, documents/embeddings scale too (per-copy
   * perturbation — see below): the worst-case dup-mass probe, separate from
@@ -45,10 +47,18 @@ object MakeScaled {
 
     copies("events", Seq("event_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
-    copies("lineitem", Seq("l_orderkey"))
+    // l_partkey shifts WITH the copy (and the part dim scales to match,
+    // below): real data grows its item space alongside its fact volume.
+    // Leaving partkeys fixed would grow every part's degree k×, turning
+    // the pair-mass queries (q_triangles, q_cooccur) quadratic in k by
+    // FIXTURE construction — a density artifact that would drown the
+    // engine's own scaling signal.
+    copies("lineitem", Seq("l_orderkey", "l_partkey"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
     copies("orders", Seq("o_orderkey"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+    copies("part", Seq("p_partkey"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
     if (corpus) {
       // per-copy PERTURBATION, not verbatim replication: k−1 exact twins of
       // every doc is a degenerate corpus; a suffix token / dimension nudge
@@ -78,7 +88,7 @@ object MakeScaled {
         Tables(spark, src, t).write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
       }
     }
-    Seq("region", "nation", "customer", "supplier", "part")
+    Seq("region", "nation", "customer", "supplier")
       .foreach { t =>
         Tables(spark, src, t).write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
       }
