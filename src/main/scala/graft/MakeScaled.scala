@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   * pair-LISTING output quadratic in k by contract, swamping the engine
   * signal (BENCH.md round-4 notes).
   *
-  * Usage: runMain graft.MakeScaled <outDir> <factor> [srcDir] [corpus]
+  * With `cleancorpus`, copies are made deliberately DISSIMILAR instead
+  * (disjoint token spaces, decorrelated embeddings): dup mass stays the
+  * base corpus's (replicated k×, so linear), which isolates the ENGINE's
+  * scaling on the dedup/similarity suite from the output-mass growth the
+  * near-twin mode measures. The two modes are the two axes of the
+  * round-8 scaling table (PLANS.md).
+  *
+  * Usage: runMain graft.MakeScaled <outDir> <factor> [srcDir] [corpus|cleancorpus]
   */
 object MakeScaled {
   def main(args: Array[String]): Unit = {
@@ -27,7 +34,9 @@ object MakeScaled {
     // literally named "corpus" must not flip the mode
     val rest = args.drop(2)
     val corpus = rest.contains("corpus")
-    val src = rest.filterNot(_ == "corpus").headOption.getOrElse("/root/testdata/sf0.1")
+    val cleanCorpus = rest.contains("cleancorpus")
+    val src = rest.filterNot(f => f == "corpus" || f == "cleancorpus")
+      .headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -81,6 +90,33 @@ object MakeScaled {
           .withColumn("embedding",
             transform(col("embedding"), (x, idx) =>
               when(idx === 0, x + lit(i.toFloat * 0.003f)).otherwise(x)))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    } else if (cleanCorpus) {
+      // copies must NOT read as near-dups of the base: suffix every token
+      // with the copy index (disjoint token spaces → zero n-gram/minhash
+      // overlap across copies) so the dup structure is the base corpus's,
+      // replicated — dup mass grows k× (linear), not k². Copy 0 verbatim.
+      val docs = Tables(spark, src, "documents")
+      (0 until k).map { i =>
+        if (i == 0) docs
+        else docs.withColumn("doc_id", col("doc_id") + lit(i * shift))
+          .withColumn("text",
+            array_join(transform(split(col("text"), " "), t => concat(t, lit(s"_$i"))), " "))
+          .withColumn("n_chars", length(array_join(
+            transform(split(col("text"), " "), t => concat(t, lit(s"_$i"))), " ")))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+      // decorrelated embeddings per copy: a deterministic nonlinear rewrite
+      // of every component (bounded, no NaNs) — cosine to the base vector
+      // is ~random, so threshold near-dup pairs don't span copies
+      val embs = Tables(spark, src, "embeddings")
+      (0 until k).map { i =>
+        if (i == 0) embs
+        else embs.withColumn("vec_id", col("vec_id") + lit(i * shift))
+          .withColumn("embedding",
+            transform(col("embedding"), (x, idx) =>
+              sin(x * lit((i + 1) * 7.3) + idx.cast("double")).cast("float")))
       }.reduce(_ unionByName _)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
     } else {

@@ -407,22 +407,74 @@ object Dedup {
 
   /** Levenshtein fuzzy-match pairs, blocked on (block, length bucket) —
     * similar-length candidates only (distance >= length delta regardless);
-    * prefix cap bounds the O(len²) DP per pair.
+    * prefix cap bounds the O(len²) DP per pair. With `maxDist` set, only
+    * pairs within that distance are returned and each candidate runs the
+    * banded early-exit DP instead of the full one (~100× cheaper per
+    * rejected candidate — see the match below); without it, every pair's
+    * full distance is the contract, which is inherently quadratic work
+    * per block (PLANS.md round-8 scaling table).
     * Output: (doc_a, doc_b, dist).
+    *
+    * Pair generation is tile-replicated like [[blockedAllPairs]] but kept
+    * DECLARATIVE so `levenshtein` stays a codegen'd expression: each doc
+    * lands in tile pmod(xxhash64(id), t) of its (block, length-bucket)
+    * group (t = ⌈n/maxTile⌉), the left leg replicates to cells
+    * (myTile, hi ≥ myTile), the right to (lo ≤ myTile, myTile), and the
+    * equi-join on (block, bucket, lo, hi) emits every unordered pair
+    * exactly once (diagonal cells de-duped by id order). The join key
+    * space is blocks × t(t+1)/2 cells instead of bare blocks — a corpus
+    * whose few (source, length) blocks each hold thousands of docs
+    * spreads its DP work across the cluster instead of handing each
+    * block's full pair set to one task (the 32× scaling probe measured
+    * 257 s → single-task-bound before this; see PLANS.md round-8).
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      prefixLen: Int = 60, lenBucket: Int = 50): DataFrame = {
+      prefixLen: Int = 60, lenBucket: Int = 50, maxTileRows: Long = MaxTileRows,
+      maxDist: Option[Int] = None): DataFrame = {
     val d = df.select(col(idCol).cast("long").as("__id"), col(blockCol).cast("string").as("__blk"),
       expr(s"length($textCol) div $lenBucket").as("__lenb"),
       substring(col(textCol), 1, prefixLen).as("__head"))
-    // The O(len²) DP per pair dominates; spread the probe side so the join's
-    // pair generation (and the levenshtein work above it) parallelizes
-    // instead of inheriting the scan's partition count.
-    d.repartition(kernelParallelism(df)).as("a").join(d.as("b"),
-        col("a.__blk") === col("b.__blk") && col("a.__lenb") === col("b.__lenb") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
-        levenshtein(col("a.__head"), col("b.__head")).as("dist"))
+    val sized = d
+      .join(d.groupBy("__blk", "__lenb").agg(count(lit(1)).as("__n")), Seq("__blk", "__lenb"))
+      .withColumn("__t",
+        expr(s"CAST(least(4096, (__n + ${maxTileRows - 1}) div $maxTileRows) AS INT)"))
+      .withColumn("__my", pmod(xxhash64(col("__id")), col("__t")).cast("int"))
+    val left = sized
+      .withColumn("__hi", explode(sequence(col("__my"), col("__t") - 1)))
+      .select(col("__blk"), col("__lenb"), col("__my").as("__lo"), col("__hi"),
+        col("__my").as("__ta"), col("__id"), col("__head"))
+    val right = sized
+      .withColumn("__lo", explode(sequence(lit(0), col("__my"))))
+      .select(col("__blk").as("__blkb"), col("__lenb").as("__lenbb"),
+        col("__lo").as("__lob"), col("__my").as("__hib"),
+        col("__my").as("__tb"), col("__id").as("__idb"), col("__head").as("__headb"))
+    // off-diagonal cells see each pair once (the lower-tile doc comes from
+    // the left leg); diagonal cells see both orderings — the id-order
+    // conjunct INSIDE the join condition keeps one before the pair row is
+    // emitted (as a post-join filter it would let diagonals enumerate 2×)
+    val joined = left.join(right,
+      col("__blk") === col("__blkb") && col("__lenb") === col("__lenbb") &&
+        col("__lo") === col("__lob") && col("__hi") === col("__hib") &&
+        (col("__ta") =!= col("__tb") || col("__id") < col("__idb")))
+    maxDist match {
+      case Some(d) =>
+        // Thresholded mode — the production near-dup shape. The 3-arg
+        // levenshtein runs the BANDED DP (2d+1 diagonal band, early exit
+        // the moment the band's minimum exceeds d, -1 above threshold):
+        // rejecting a non-near pair costs ~(d+1)·(2d+1) cells instead of
+        // len², so the per-candidate constant drops ~100× at d ≈ 4 and the
+        // quadratic candidate scan stops being the suite's wall (the
+        // unthresholded ranking below has no such out — every pair's full
+        // DP is its contract).
+        joined.select(least(col("__id"), col("__idb")).as("doc_a"),
+            greatest(col("__id"), col("__idb")).as("doc_b"),
+            levenshtein(col("__head"), col("__headb"), d).as("dist"))
+          .filter(col("dist") >= 0)
+      case None =>
+        joined.select(least(col("__id"), col("__idb")).as("doc_a"),
+          greatest(col("__id"), col("__idb")).as("doc_b"),
+          levenshtein(col("__head"), col("__headb")).as("dist"))
+    }
   }
 
   /** Near-dup clustering: connected components over the SimHash near-dup
@@ -677,6 +729,28 @@ object Dedup {
              |FROM d a JOIN d b
              |  ON a.source = b.source AND a.lenb = b.lenb AND a.doc_id < b.doc_id
              |ORDER BY dist, doc_a, doc_b LIMIT 100""".stripMargin),
+    ),
+
+    // The thresholded twin of q_edit_distance — the shape a production
+    // near-dup pass actually runs: only pairs within maxDist come back,
+    // and every candidate runs the banded early-exit DP, so the
+    // per-candidate constant is ~100× below the full ranking's (which
+    // stays above as the waived-quadratic contract — PLANS.md round-8).
+    GraftQuery(
+      "q_edit_threshold",
+      (s, dir) => editDistancePairs(Tables(s, dir, "documents"), "doc_id", "text", "source",
+          maxDist = Some(8))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, length(text) // 50 AS lenb,
+             |    substr(text, 1, 60) AS head
+             |  FROM documents)
+             |SELECT doc_a, doc_b, dist FROM (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    levenshtein(a.head, b.head) AS dist
+             |  FROM d a JOIN d b
+             |    ON a.source = b.source AND a.lenb = b.lenb AND a.doc_id < b.doc_id)
+             |WHERE dist <= 8 ORDER BY doc_a, doc_b""".stripMargin),
     ),
 
     GraftQuery(

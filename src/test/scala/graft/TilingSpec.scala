@@ -30,6 +30,13 @@ class TilingSpec extends SparkSuite {
     assert(canon(tiled) == canon(whole))
   }
 
+  test("edit-distance pairs: 4-row tiles == single tile (declarative tiling)") {
+    val tiled = Dedup.editDistancePairs(docs, "doc_id", "text", "source", maxTileRows = 4L)
+    val whole = Dedup.editDistancePairs(docs, "doc_id", "text", "source", maxTileRows = Long.MaxValue / 2)
+    assert(canon(tiled) == canon(whole))
+    assert(tiled.count() > 0)
+  }
+
   test("brute-force top-k: 16-row tiles == single tile (ranks included)") {
     val tiled = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 5, maxTileRows = 16L)
     val whole = Similarity.bruteForceTopK(embs, "vec_id", "embedding", 5, maxTileRows = Long.MaxValue / 2)
