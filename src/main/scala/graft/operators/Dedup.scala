@@ -452,10 +452,21 @@ object Dedup {
     // the left leg); diagonal cells see both orderings — the id-order
     // conjunct INSIDE the join condition keeps one before the pair row is
     // emitted (as a post-join filter it would let diagonals enumerate 2×)
-    val joined = left.join(right,
-      col("__blk") === col("__blkb") && col("__lenb") === col("__lenbb") &&
-        col("__lo") === col("__lob") && col("__hi") === col("__hib") &&
-        (col("__ta") =!= col("__tb") || col("__id") < col("__idb")))
+    // EXPLICIT key repartition at kernel parallelism on both legs (same
+    // count + same keys ⇒ the join's clustered-distribution requirement is
+    // met with no further exchange): the legs are a few hundred BYTES per
+    // row, so AQE's byte-based coalescing would fuse them into one or two
+    // partitions and serialize the O(pairs) DP work the join FANS OUT —
+    // per-pair cost is invisible to a size-based re-planner. A
+    // user-specified repartition is exempt from coalescing, which is
+    // exactly the contract needed here (measured: 0.35 → 2.65 s at sf0.1
+    // without this, single-task DP).
+    val p = kernelParallelism(df)
+    val joined = left.repartition(p, col("__blk"), col("__lenb"), col("__lo"), col("__hi"))
+      .join(right.repartition(p, col("__blkb"), col("__lenbb"), col("__lob"), col("__hib")),
+        col("__blk") === col("__blkb") && col("__lenb") === col("__lenbb") &&
+          col("__lo") === col("__lob") && col("__hi") === col("__hib") &&
+          (col("__ta") =!= col("__tb") || col("__id") < col("__idb")))
     maxDist match {
       case Some(d) =>
         // Thresholded mode — the production near-dup shape. The 3-arg
