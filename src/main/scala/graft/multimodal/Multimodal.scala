@@ -70,6 +70,41 @@ object Multimodal {
     */
   val MaxJpegSegments = 32
 
+  /** Big-endian u32 at a data-dependent 1-based offset. */
+  private def beU32At(content: Column, off: Column): Column =
+    conv(hex(content.substr(off, lit(4))), 16, 10).cast(LongType)
+
+  /** 1-based offset of the first ISO-BMFF box whose 4CC is `fourccHex`,
+    * scanning the sibling chain from `start` while boxes stay inside
+    * `endIncl` — or null. Same bounded-fold shape as [[jpegSofOffset]]:
+    * each MP4 box is [u32 size]["4cc "], siblings are size-chained, and
+    * the walk gives up (null ⇒ stub fallback) on a size < 8 (64-bit or
+    * to-end sizes are not worth decoding header-only), an out-of-bounds
+    * box, or [[MaxBoxes]] steps. Nested walks compose by starting at
+    * `found + 8` bounded by the found box's own end.
+    */
+  val MaxBoxes = 16
+
+  private def boxOffset(content: Column, start: Column, endIncl: Column,
+      fourccHex: String): Column = {
+    val nullOff = lit(null).cast(LongType)
+    val scan = aggregate(
+      sequence(lit(1), lit(MaxBoxes)),
+      struct(start.cast(LongType).as("off"), nullOff.as("hit")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val hit = acc.getField("hit")
+        val size = beU32At(content, off)
+        val sane = off.isNotNull && off + lit(7L) <= endIncl &&
+          size >= 8L && off + size - lit(1L) <= endIncl
+        val isHit = sane && hex(content.substr(off + lit(4L), lit(4))) === lit(fourccHex)
+        when(hit.isNotNull, acc).otherwise(struct(
+          when(isHit || !sane, nullOff).otherwise(off + size).as("off"),
+          when(isHit, off).otherwise(nullOff).as("hit")))
+      })
+    scan.getField("hit")
+  }
+
   private def jpegSofOffset(content: Column): Column = {
     val nullOff = lit(null).cast(LongType)
     val scan = aggregate(
@@ -105,11 +140,21 @@ object Multimodal {
     *   - JPEG: FFD8FF signature, then a bounded walk of the
     *     length-prefixed segment chain to the SOF0/SOF2 frame header
     *     ([[jpegSofOffset]]) — height/width are big-endian u16 at +5/+7
-    *     past the marker.
+    *     past the marker;
+    *   - MP3: the first MPEG audio frame header (after an ID3v2 tag if
+    *     one leads, skipped via its syncsafe size) — sample rate from the
+    *     version bits × rate-index table. A reserved version/layer/index
+    *     pattern falls to the stub;
+    *   - MP4 (ISO BMFF): "ftyp" leading box, then nested bounded box
+    *     walks moov → trak → tkhd ([[boxOffset]]) — track width/height
+    *     are 16.16 fixed-point u32s at the tkhd tail (v0 and v1 layouts
+    *     both handled). Audio-only tracks (zero dims) fall to the stub.
     *
-    * Every other format falls back to the DETERMINISTIC STUB (hash-derived
-    * pseudo-metadata): this container has no codecs for mp3/mp4, and
-    * a wrong-but-deterministic value beats a silent ???. A real deployment
+    * Remaining stub surface: payload decode only (pixels/samples need
+    * codecs this container doesn't have); every metadata field the four
+    * container formats carry is now a real parse. The DETERMINISTIC STUB
+    * (hash-derived pseudo-metadata) still backs unknown/corrupt bytes: a
+    * wrong-but-deterministic value beats a silent ???. A real deployment
     * swaps the fallback for a decoder behind the same column contract —
     * schema, null handling, and plan shape stay identical.
     */
@@ -123,6 +168,40 @@ object Multimodal {
       magicIs(content, 13, "666D7420") // "fmt " — guards byte-25 sample-rate read
     val isJpeg = octet_length(content) >= 4 && magicIs(content, 1, "FFD8FF")
     val sof = jpegSofOffset(content)
+    // MP3: optional ID3v2 prefix ("ID3" + syncsafe u28 size at bytes
+    // 7-10), then the 4-byte frame header: FF Ex sync, version bits 4-3
+    // of byte 2, sample-rate index bits 3-2 of byte 3
+    val hasId3 = octet_length(content) >= 14 && magicIs(content, 1, "494433")
+    val id3Size = Seq(21, 14, 7, 0).zipWithIndex.map { case (sh, i) =>
+      u8At(content, lit((7 + i).toLong)).cast(LongType) * lit(1L << sh)
+    }.reduce(_ + _)
+    val mpOff = when(hasId3, lit(11L) + id3Size).otherwise(lit(1L))
+    val mb1 = u8At(content, mpOff)
+    val mb2 = u8At(content, mpOff + lit(1L))
+    val mb3 = u8At(content, mpOff + lit(2L))
+    val mpVer = shiftright(mb2, 3).bitwiseAND(lit(3))   // 3=MPEG1 2=MPEG2 0=MPEG2.5
+    val mpLayer = shiftright(mb2, 1).bitwiseAND(lit(3)) // 0 = reserved
+    val srIdx = shiftright(mb3, 2).bitwiseAND(lit(3))   // 3 = reserved
+    val isMp3 = octet_length(content) >= 4 &&
+      mpOff + lit(3L) <= octet_length(content) &&
+      mb1 === 0xFF && mb2.bitwiseAND(lit(0xE0)) === 0xE0 &&
+      mpVer =!= 1 && mpLayer =!= 0 && srIdx =!= 3
+    val mp3Rate =
+      when(mpVer === 3, when(srIdx === 0, 44100).when(srIdx === 1, 48000).otherwise(32000))
+        .when(mpVer === 2, when(srIdx === 0, 22050).when(srIdx === 1, 24000).otherwise(16000))
+        .otherwise(when(srIdx === 0, 11025).when(srIdx === 1, 12000).otherwise(8000))
+    // MP4: nested box walks; tkhd v0 puts the 16.16 width/height 76/80
+    // bytes into the payload, v1's 64-bit times push them 12 further
+    val isMp4 = octet_length(content) >= 16 && magicIs(content, 5, "66747970") // "ftyp"
+    val moov = boxOffset(content, lit(1L), octet_length(content).cast(LongType), "6D6F6F76")
+    val trak = boxOffset(content, moov + lit(8L),
+      moov + beU32At(content, moov) - lit(1L), "7472616B")
+    val tkhd = boxOffset(content, trak + lit(8L),
+      trak + beU32At(content, trak) - lit(1L), "746B6864")
+    val dimOff = when(u8At(content, tkhd + lit(8L)) === 1, tkhd + lit(96L))
+      .otherwise(tkhd + lit(84L))
+    val mp4W = shiftright(beU32At(content, dimOff), 16).cast(IntegerType)
+    val mp4H = shiftright(beU32At(content, dimOff + lit(4L)), 16).cast(IntegerType)
     when(isPng, struct(
         beU32(content, 17).cast(IntegerType).as("width"),
         beU32(content, 21).cast(IntegerType).as("height"),
@@ -137,6 +216,16 @@ object Multimodal {
         beU16At(content, sof + lit(7L)).as("width"),
         beU16At(content, sof + lit(5L)).as("height"),
         lit(1).cast(IntegerType).as("n_frames"),
+        nullInt.as("sample_rate")))
+      .when(isMp3, struct(
+        nullInt.as("width"),
+        nullInt.as("height"),
+        nullInt.as("n_frames"),
+        mp3Rate.cast(IntegerType).as("sample_rate")))
+      .when(isMp4 && tkhd.isNotNull && mp4W > 0 && mp4H > 0, struct(
+        mp4W.as("width"),
+        mp4H.as("height"),
+        nullInt.as("n_frames"),
         nullInt.as("sample_rate")))
       .otherwise(struct(
         (h % 1920 + 1).cast(IntegerType).as("width"),

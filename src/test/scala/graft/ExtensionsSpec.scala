@@ -178,6 +178,47 @@ class ExtensionsSpec extends SparkSuite {
     assert(meta(4L)._3.contains(16000), meta(4L).toString)
   }
 
+  test("multimodal: decodeMeta parses MP3 frame headers and MP4 tkhd boxes") {
+    val s = spark
+    import s.implicits._
+    // MPEG1 Layer III 44.1 kHz frame header (FF FB 90 00) + dummy payload
+    val mp3 = (Seq(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++ Array.fill[Byte](16)(0)).toArray
+    // same frame behind an ID3v2 tag whose syncsafe size is 130 (0x01 0x02)
+    val id3 = ("ID3".getBytes ++ Seq(3, 0, 0).map(_.toByte) ++
+      Seq(0, 0, 1, 2).map(_.toByte) ++ Array.fill[Byte](130)(0x55) ++
+      Seq(0xff, 0xf3, 0x64, 0x00).map(_.toByte)).toArray // MPEG2, rate idx 1 = 24 kHz
+    // reserved sample-rate index (bits 3-2 of byte 3 = 11) must stub out
+    val badMp3 = (Seq(0xff, 0xfb, 0x9c, 0x00).map(_.toByte) ++ Array.fill[Byte](8)(0)).toArray
+    // minimal ISO BMFF: ftyp box, then moov{ mvhd-sized filler, trak{ tkhd v0 } }
+    def be32(v: Long) = Seq((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(fourcc: String, payload: Seq[Byte]): Seq[Byte] =
+      be32(8L + payload.length) ++ fourcc.getBytes.toSeq ++ payload
+    // tkhd v0: version+flags, ctime, mtime, trackid, res, duration (24B),
+    // res(8) layer(2) alt(2) vol(2) res(2), matrix(36), then 16.16 w/h
+    val tkhd = box("tkhd", Seq.fill[Byte](24)(0) ++ Seq.fill[Byte](16)(0) ++
+      Seq.fill[Byte](36)(0) ++ be32(640L << 16) ++ be32(360L << 16))
+    // a leading non-trak sibling forces the moov walk to actually walk
+    val mvhdFiller = box("mvhd", Seq.fill[Byte](20)(0))
+    val mp4 = (box("ftyp", "isom0000".getBytes.toSeq) ++
+      box("moov", mvhdFiller ++ box("trak", tkhd))).toArray
+    // audio-only mp4: tkhd with zero dims must fall to the stub
+    val tkhd0 = box("tkhd", Seq.fill[Byte](76)(0) ++ be32(0L) ++ be32(0L))
+    val m4a = (box("ftyp", "M4A 0000".getBytes.toSeq) ++
+      box("moov", box("trak", tkhd0))).toArray
+    val assets = Seq((1L, "audio", mp3), (2L, "audio", id3), (3L, "audio", badMp3),
+      (4L, "video", mp4), (5L, "audio", m4a))
+      .toDF("asset_id", "media_type", "content")
+    val meta = Multimodal.withMeta(assets)
+      .select("asset_id", "meta.width", "meta.height", "meta.sample_rate")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(meta(1L)._3.contains(44100), meta(1L).toString)
+    assert(meta(2L)._3.contains(24000), meta(2L).toString) // ID3 skipped, MPEG2 table
+    assert(meta(3L)._3.contains(16000), meta(3L).toString) // reserved index -> stub
+    assert(meta(4L)._1.contains(640) && meta(4L)._2.contains(360), meta(4L).toString)
+    assert(meta(5L)._3.contains(16000), meta(5L).toString) // zero-dim tkhd -> stub
+  }
+
   test("multimodal: meta decode, resize contract, frame sampling math") {
     val s = spark
     import s.implicits._
