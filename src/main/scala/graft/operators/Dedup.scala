@@ -48,6 +48,56 @@ object Dedup {
     */
   private[graft] val MaxTileRows = 1024L
 
+  /** Declarative tile-replicated self-pair join: every unordered row pair
+    * sharing `keys` appears EXACTLY once in the output, with the right
+    * side's `idCol` and `payload` columns suffixed `__b`. Each row lands
+    * in tile pmod(xxhash64(id), t) of its key group (t = ⌈n/maxTile⌉);
+    * the left leg replicates to cells (myTile, hi ≥ myTile), the right to
+    * (lo ≤ myTile, myTile), and the equi-join on (keys, lo, hi) plus the
+    * diagonal id-order conjunct enumerates each pair once. Two properties
+    * the plain `a JOIN a ON keys AND a.id < b.id` form lacks at scale:
+    *
+    *   - a degenerate key group of g rows spreads its g²/2 pairs over
+    *     t(t+1)/2 cells instead of the one task that owns the key;
+    *   - both legs carry an EXPLICIT key repartition at kernel
+    *     parallelism — the legs are tiny (ids + payload), so AQE's
+    *     byte-based coalescing would fuse them into 1-2 partitions and
+    *     serialize the O(pairs) work the join fans out; a user-specified
+    *     repartition is exempt (measured on q_edit_distance: 0.35 →
+    *     2.65 s at sf0.1 without this).
+    *
+    * Pair ORDER is cell-dependent: normalize ids with least/greatest (and
+    * order-dependent payload with `when(id < id__b, x).otherwise(x__b)`)
+    * downstream. TilingSpec pins tiled ≡ single-tile for every consumer.
+    */
+  private def tiledSelfPairs(d: DataFrame, keys: Seq[String], idCol: String,
+      payload: Seq[String], maxTileRows: Long): DataFrame = {
+    val sized = d
+      .join(d.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n")), keys)
+      .withColumn("__t",
+        expr(s"CAST(least(4096, (__n + ${maxTileRows - 1}) div $maxTileRows) AS INT)"))
+      .withColumn("__my", pmod(xxhash64(col(idCol)), col("__t")).cast("int"))
+    val left = sized
+      .withColumn("__hi", explode(sequence(col("__my"), col("__t") - 1)))
+      .select(keys.map(col) ++
+        Seq(col("__my").as("__lo"), col("__hi"), col("__my").as("__ta")) ++
+        (idCol +: payload).map(col): _*)
+    val right = sized
+      .withColumn("__lo", explode(sequence(lit(0), col("__my"))))
+      .select(keys.map(k => col(k).as(s"${k}__b")) ++
+        Seq(col("__lo").as("__lob"), col("__my").as("__hib"), col("__my").as("__tb")) ++
+        (idCol +: payload).map(c => col(c).as(s"${c}__b")): _*)
+    val p = kernelParallelism(d)
+    val cond = keys.map(k => col(k) === col(s"${k}__b")).reduce(_ && _) &&
+      col("__lo") === col("__lob") && col("__hi") === col("__hib") &&
+      (col("__ta") =!= col("__tb") || col(idCol) < col(s"${idCol}__b"))
+    left.repartition(p, keys.map(col) ++ Seq(col("__lo"), col("__hi")): _*)
+      .join(right.repartition(p,
+        keys.map(k => col(s"${k}__b")) ++ Seq(col("__lob"), col("__hib")): _*), cond)
+      .drop("__lo", "__hi", "__lob", "__hib", "__ta", "__tb")
+      .drop(keys.map(k => s"${k}__b"): _*)
+  }
+
   /** Pairwise Jaccard kernel over one co-located group: intern tokens into a
     * dense integer id space, pack each doc's set into Long bitmap words, and
     * intersect with AND + popcount — ~8 word ops per pair instead of ~|set|
@@ -320,11 +370,43 @@ object Dedup {
           .filter(col("__bn") <= cap).drop("__bn")
       case None => banded
     }
-    val cands = pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.__blk") === col("b.__blk") && col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") && col("a.__id") < col("b.__id"))
-      .select(col("a.__blk").as("__blk"), col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+    // Candidate self-join, tile-replicated per band bucket (the
+    // editDistancePairs discipline): a degenerate band value shared by g
+    // docs must emit C(g,2) candidates — that mass is the contract — but
+    // WITHOUT tiling all of them land the single task that owns the band
+    // key (the 32× near-twin probe has 3,840-doc buckets → 7.4M pairs on
+    // one task), and the tiny join inputs invite AQE's byte-based
+    // coalescing to serialize the fan-out on top. Tiles split each
+    // bucket's pair grid into bounded cells; the explicit key-repartition
+    // on both legs pins kernel parallelism (AQE exempts user
+    // repartitions).
+    val sized2 = pruned
+      .join(pruned.groupBy("__blk", "band_idx", "band_key").agg(count(lit(1)).as("__n")),
+        Seq("__blk", "band_idx", "band_key"))
+      .withColumn("__t",
+        expr(s"CAST(least(4096, (__n + ${MaxTileRows - 1}) div $MaxTileRows) AS INT)"))
+      .withColumn("__my", pmod(xxhash64(col("__id")), col("__t")).cast("int"))
+    val cleft = sized2
+      .withColumn("__hi", explode(sequence(col("__my"), col("__t") - 1)))
+      .select(col("__blk"), col("band_idx"), col("band_key"),
+        col("__my").as("__lo"), col("__hi"), col("__my").as("__ta"), col("__id"))
+    val cright = sized2
+      .withColumn("__lo", explode(sequence(lit(0), col("__my"))))
+      .select(col("__blk").as("__blkb"), col("band_idx").as("__idxb"),
+        col("band_key").as("__keyb"), col("__lo").as("__lob"),
+        col("__my").as("__hib"), col("__my").as("__tb"), col("__id").as("__idb"))
+    val p = kernelParallelism(df)
+    val cands = cleft
+      .repartition(p, col("__blk"), col("band_idx"), col("band_key"), col("__lo"), col("__hi"))
+      .join(cright.repartition(p,
+          col("__blkb"), col("__idxb"), col("__keyb"), col("__lob"), col("__hib")),
+        col("__blk") === col("__blkb") && col("band_idx") === col("__idxb") &&
+          col("band_key") === col("__keyb") && col("__lo") === col("__lob") &&
+          col("__hi") === col("__hib") &&
+          (col("__ta") =!= col("__tb") || col("__id") < col("__idb")))
+      .select(col("__blk"),
+        least(col("__id"), col("__idb")).as("doc_a"),
+        greatest(col("__id"), col("__idb")).as("doc_b"))
       .distinct()
     // Zero-intersection candidates are dropped by the kernel (not
     // near-dups, and the 0/0 guard).
