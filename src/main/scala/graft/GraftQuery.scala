@@ -13,22 +13,30 @@ final case class GraftQuery(
 )
 
 object Tables {
-  /** Load one of the driver-provided parquet tables from a scale-factor dir.
+  /** Load one of the driver-provided parquet tables from a scale-factor dir,
+    * normalized so every query sees one timestamp flavor regardless of how a
+    * given round's fixtures were written:
     *
-    * `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and convert to a microsecond timestamp with
-    * integer arithmetic (`div`, not `/` — a double round-trip of an ~1.7e18
-    * nanos value loses precision above 2^53).
+    *   - TIMESTAMP(NANOS) (which Spark's parquet reader rejects) is read as
+    *     long and converted to a microsecond timestamp with integer
+    *     arithmetic (`div`, not `/` — a double round-trip of an ~1.7e18
+    *     nanos value loses precision above 2^53);
+    *   - TIMESTAMP_NTZ (isAdjustedToUTC=false, what pyarrow writes for a
+    *     tz-naive `timestamp[us]`) is cast to session-tz TIMESTAMP. The
+    *     session zone is pinned UTC everywhere, so the wall-clock values
+    *     are unchanged — but the NTZ type itself would reject the
+    *     epoch-seconds casts (`cast(ts AS double)`) the queries and the
+    *     DuckDB oracle both rely on.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      // nanos-long only for the original driver fixtures; derived/scaled
-      // copies already carry a proper timestamp column
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else raw
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (name == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val ntz = raw.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+    val fixed = ntz.foldLeft(raw)((df, c) => df.withColumn(c, col(c).cast(TimestampType)))
+    if (name == "events" && raw.schema("ts").dataType == LongType)
+      fixed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else fixed
   }
 }

@@ -338,7 +338,7 @@ object Dedup {
     * goal is dedup rather than pair enumeration). Default None = exact.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      maxBandBucket: Option[Int] = None): DataFrame = {
+      maxBandBucket: Option[Int] = None, maxTileRows: Long = MaxTileRows): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     // Signatures via the native map-side MinHashSig expression (no token
@@ -370,43 +370,18 @@ object Dedup {
           .filter(col("__bn") <= cap).drop("__bn")
       case None => banded
     }
-    // Candidate self-join, tile-replicated per band bucket (the
-    // editDistancePairs discipline): a degenerate band value shared by g
-    // docs must emit C(g,2) candidates — that mass is the contract — but
-    // WITHOUT tiling all of them land the single task that owns the band
-    // key (the 32× near-twin probe has 3,840-doc buckets → 7.4M pairs on
-    // one task), and the tiny join inputs invite AQE's byte-based
-    // coalescing to serialize the fan-out on top. Tiles split each
-    // bucket's pair grid into bounded cells; the explicit key-repartition
-    // on both legs pins kernel parallelism (AQE exempts user
-    // repartitions).
-    val sized2 = pruned
-      .join(pruned.groupBy("__blk", "band_idx", "band_key").agg(count(lit(1)).as("__n")),
-        Seq("__blk", "band_idx", "band_key"))
-      .withColumn("__t",
-        expr(s"CAST(least(4096, (__n + ${MaxTileRows - 1}) div $MaxTileRows) AS INT)"))
-      .withColumn("__my", pmod(xxhash64(col("__id")), col("__t")).cast("int"))
-    val cleft = sized2
-      .withColumn("__hi", explode(sequence(col("__my"), col("__t") - 1)))
-      .select(col("__blk"), col("band_idx"), col("band_key"),
-        col("__my").as("__lo"), col("__hi"), col("__my").as("__ta"), col("__id"))
-    val cright = sized2
-      .withColumn("__lo", explode(sequence(lit(0), col("__my"))))
-      .select(col("__blk").as("__blkb"), col("band_idx").as("__idxb"),
-        col("band_key").as("__keyb"), col("__lo").as("__lob"),
-        col("__my").as("__hib"), col("__my").as("__tb"), col("__id").as("__idb"))
-    val p = kernelParallelism(df)
-    val cands = cleft
-      .repartition(p, col("__blk"), col("band_idx"), col("band_key"), col("__lo"), col("__hi"))
-      .join(cright.repartition(p,
-          col("__blkb"), col("__idxb"), col("__keyb"), col("__lob"), col("__hib")),
-        col("__blk") === col("__blkb") && col("band_idx") === col("__idxb") &&
-          col("band_key") === col("__keyb") && col("__lo") === col("__lob") &&
-          col("__hi") === col("__hib") &&
-          (col("__ta") =!= col("__tb") || col("__id") < col("__idb")))
+    // Candidate self-join, tile-replicated per band bucket (see
+    // [[tiledSelfPairs]]): a degenerate band value shared by g docs must
+    // emit C(g,2) candidates — that mass is the contract — but WITHOUT
+    // tiling all of them land the single task that owns the band key (the
+    // 32× near-twin probe has 3,840-doc buckets → 7.4M pairs on one
+    // task), and the tiny join inputs invite AQE's byte-based coalescing
+    // to serialize the fan-out on top.
+    val cands = tiledSelfPairs(pruned, Seq("__blk", "band_idx", "band_key"),
+        "__id", Seq.empty, maxTileRows)
       .select(col("__blk"),
-        least(col("__id"), col("__idb")).as("doc_a"),
-        greatest(col("__id"), col("__idb")).as("doc_b"))
+        least(col("__id"), col("__id__b")).as("doc_a"),
+        greatest(col("__id"), col("__id__b")).as("doc_b"))
       .distinct()
     // Zero-intersection candidates are dropped by the kernel (not
     // near-dups, and the 0/0 guard).
@@ -497,18 +472,14 @@ object Dedup {
     * per block (PLANS.md round-8 scaling table).
     * Output: (doc_a, doc_b, dist).
     *
-    * Pair generation is tile-replicated like [[blockedAllPairs]] but kept
-    * DECLARATIVE so `levenshtein` stays a codegen'd expression: each doc
-    * lands in tile pmod(xxhash64(id), t) of its (block, length-bucket)
-    * group (t = ⌈n/maxTile⌉), the left leg replicates to cells
-    * (myTile, hi ≥ myTile), the right to (lo ≤ myTile, myTile), and the
-    * equi-join on (block, bucket, lo, hi) emits every unordered pair
-    * exactly once (diagonal cells de-duped by id order). The join key
-    * space is blocks × t(t+1)/2 cells instead of bare blocks — a corpus
-    * whose few (source, length) blocks each hold thousands of docs
-    * spreads its DP work across the cluster instead of handing each
-    * block's full pair set to one task (the 32× scaling probe measured
-    * 257 s → single-task-bound before this; see PLANS.md round-8).
+    * Pair generation is [[tiledSelfPairs]] on (block, length-bucket) —
+    * declarative tiling, so `levenshtein` stays a codegen'd expression.
+    * The join key space is blocks × t(t+1)/2 cells instead of bare
+    * blocks — a corpus whose few (source, length) blocks each hold
+    * thousands of docs spreads its DP work across the cluster instead of
+    * handing each block's full pair set to one task (the 32× scaling
+    * probe measured 257 s → single-task-bound before this; see PLANS.md
+    * round-8).
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
       prefixLen: Int = 60, lenBucket: Int = 50, maxTileRows: Long = MaxTileRows,
@@ -516,39 +487,7 @@ object Dedup {
     val d = df.select(col(idCol).cast("long").as("__id"), col(blockCol).cast("string").as("__blk"),
       expr(s"length($textCol) div $lenBucket").as("__lenb"),
       substring(col(textCol), 1, prefixLen).as("__head"))
-    val sized = d
-      .join(d.groupBy("__blk", "__lenb").agg(count(lit(1)).as("__n")), Seq("__blk", "__lenb"))
-      .withColumn("__t",
-        expr(s"CAST(least(4096, (__n + ${maxTileRows - 1}) div $maxTileRows) AS INT)"))
-      .withColumn("__my", pmod(xxhash64(col("__id")), col("__t")).cast("int"))
-    val left = sized
-      .withColumn("__hi", explode(sequence(col("__my"), col("__t") - 1)))
-      .select(col("__blk"), col("__lenb"), col("__my").as("__lo"), col("__hi"),
-        col("__my").as("__ta"), col("__id"), col("__head"))
-    val right = sized
-      .withColumn("__lo", explode(sequence(lit(0), col("__my"))))
-      .select(col("__blk").as("__blkb"), col("__lenb").as("__lenbb"),
-        col("__lo").as("__lob"), col("__my").as("__hib"),
-        col("__my").as("__tb"), col("__id").as("__idb"), col("__head").as("__headb"))
-    // off-diagonal cells see each pair once (the lower-tile doc comes from
-    // the left leg); diagonal cells see both orderings — the id-order
-    // conjunct INSIDE the join condition keeps one before the pair row is
-    // emitted (as a post-join filter it would let diagonals enumerate 2×)
-    // EXPLICIT key repartition at kernel parallelism on both legs (same
-    // count + same keys ⇒ the join's clustered-distribution requirement is
-    // met with no further exchange): the legs are a few hundred BYTES per
-    // row, so AQE's byte-based coalescing would fuse them into one or two
-    // partitions and serialize the O(pairs) DP work the join FANS OUT —
-    // per-pair cost is invisible to a size-based re-planner. A
-    // user-specified repartition is exempt from coalescing, which is
-    // exactly the contract needed here (measured: 0.35 → 2.65 s at sf0.1
-    // without this, single-task DP).
-    val p = kernelParallelism(df)
-    val joined = left.repartition(p, col("__blk"), col("__lenb"), col("__lo"), col("__hi"))
-      .join(right.repartition(p, col("__blkb"), col("__lenbb"), col("__lob"), col("__hib")),
-        col("__blk") === col("__blkb") && col("__lenb") === col("__lenbb") &&
-          col("__lo") === col("__lob") && col("__hi") === col("__hib") &&
-          (col("__ta") =!= col("__tb") || col("__id") < col("__idb")))
+    val joined = tiledSelfPairs(d, Seq("__blk", "__lenb"), "__id", Seq("__head"), maxTileRows)
     maxDist match {
       case Some(d) =>
         // Thresholded mode — the production near-dup shape. The 3-arg
@@ -559,14 +498,14 @@ object Dedup {
         // quadratic candidate scan stops being the suite's wall (the
         // unthresholded ranking below has no such out — every pair's full
         // DP is its contract).
-        joined.select(least(col("__id"), col("__idb")).as("doc_a"),
-            greatest(col("__id"), col("__idb")).as("doc_b"),
-            levenshtein(col("__head"), col("__headb"), d).as("dist"))
+        joined.select(least(col("__id"), col("__id__b")).as("doc_a"),
+            greatest(col("__id"), col("__id__b")).as("doc_b"),
+            levenshtein(col("__head"), col("__head__b"), d).as("dist"))
           .filter(col("dist") >= 0)
       case None =>
-        joined.select(least(col("__id"), col("__idb")).as("doc_a"),
-          greatest(col("__id"), col("__idb")).as("doc_b"),
-          levenshtein(col("__head"), col("__headb")).as("dist"))
+        joined.select(least(col("__id"), col("__id__b")).as("doc_a"),
+          greatest(col("__id"), col("__id__b")).as("doc_b"),
+          levenshtein(col("__head"), col("__head__b")).as("dist"))
     }
   }
 

@@ -30,6 +30,13 @@ class TilingSpec extends SparkSuite {
     assert(canon(tiled) == canon(whole))
   }
 
+  test("minhash LSH pairs: 4-row candidate tiles == single tile") {
+    val tiled = Dedup.minHashPairs(docs, "doc_id", "text", "source", maxTileRows = 4L)
+    val whole = Dedup.minHashPairs(docs, "doc_id", "text", "source", maxTileRows = Long.MaxValue / 2)
+    assert(canon(tiled) == canon(whole))
+    assert(tiled.count() > 0)
+  }
+
   test("edit-distance pairs: 4-row tiles == single tile (declarative tiling)") {
     val tiled = Dedup.editDistancePairs(docs, "doc_id", "text", "source", maxTileRows = 4L)
     val whole = Dedup.editDistancePairs(docs, "doc_id", "text", "source", maxTileRows = Long.MaxValue / 2)
