@@ -359,10 +359,13 @@ object Dedup {
       .repartition(kernelParallelism(df))
     val banded = spread.select(col("__id"), col("__blk"),
         expr("minhash_sig(array_distinct(split(__txt, ' ')))").as("sig"))
-      .select(col("__id"), col("__blk"), posexplode(array(
-        concat((0 until 4).map(i => col("sig").getItem(i)): _*),
-        concat((4 until 8).map(i => col("sig").getItem(i)): _*),
-      )).as(Seq("band_idx", "band_key")))
+      .select(col("__id"), col("__blk"),
+        concat((0 until 4).map(i => col("sig").getItem(i)): _*).as("__b0"),
+        concat((4 until 8).map(i => col("sig").getItem(i)): _*).as("__b1"))
+      // __k0 (the band-0 key) rides along so the uncapped path below can
+      // drop both-band double-hits with a filter instead of a distinct
+      .select(col("__id"), col("__blk"), col("__b0").as("__k0"),
+        posexplode(array(col("__b0"), col("__b1"))).as(Seq("band_idx", "band_key")))
     val pruned = maxBandBucket match {
       case Some(cap) =>
         val w = Window.partitionBy("__blk", "band_idx", "band_key")
@@ -377,12 +380,27 @@ object Dedup {
     // 32× near-twin probe has 3,840-doc buckets → 7.4M pairs on one
     // task), and the tiny join inputs invite AQE's byte-based coalescing
     // to serialize the fan-out on top.
-    val cands = tiledSelfPairs(pruned, Seq("__blk", "band_idx", "band_key"),
-        "__id", Seq.empty, maxTileRows)
-      .select(col("__blk"),
-        least(col("__id"), col("__id__b")).as("doc_a"),
-        greatest(col("__id"), col("__id__b")).as("doc_b"))
-      .distinct()
+    val paired = tiledSelfPairs(pruned, Seq("__blk", "band_idx", "band_key"),
+        "__id", Seq("__k0"), maxTileRows)
+    // A pair can surface at most once PER BAND (one banded row per doc per
+    // band, and the tiled join routes each key-group pair to exactly one
+    // cell), so the only duplicate shape is a both-band double-hit — and a
+    // band-1 collision whose band-0 keys also match IS that double-hit.
+    // The carried __k0 turns the dedup into a codegen'd filter; the
+    // candidate mass (quadratic in dup-group size) never pays a
+    // distinct's full shuffle+sort. With a bucket cap the equivalence
+    // breaks — pruning can drop a pair's band-0 rows while keeping its
+    // band-1 collision — so capped mode keeps the positional distinct.
+    val base = paired.select(col("__blk"),
+      least(col("__id"), col("__id__b")).as("doc_a"),
+      greatest(col("__id"), col("__id__b")).as("doc_b"),
+      col("band_idx"), col("__k0"), col("__k0__b"))
+    val cands = maxBandBucket match {
+      case None => base
+        .filter(col("band_idx") === 0 || col("__k0") =!= col("__k0__b"))
+        .select("__blk", "doc_a", "doc_b")
+      case Some(_) => base.select("__blk", "doc_a", "doc_b").distinct()
+    }
     // Zero-intersection candidates are dropped by the kernel (not
     // near-dups, and the 0/0 guard).
     val docSets = spread.select(col("__blk"), col("__id"),
