@@ -423,28 +423,35 @@ object Dedup {
     */
   private def simHashPairsBlocked(df: DataFrame, idCol: String, textCol: String, blockCol: String,
       maxHamming: Int): DataFrame = {
-    // Signature via the native codegen'd SimHash16 expression: one static
-    // call per document, entirely map-side — no token explode, no 16-vote
-    // aggregation shuffle (the oracle keeps the equivalent declarative
-    // string form; signatures are bit-identical, see EdgeCaseSpec property).
-    graft.functions.SimHash16.register(df.sparkSession)
-    // Spread the raw rows BEFORE the signature projection (see
-    // [[minHashPairs]]: the projection otherwise pipelines into the
-    // single-task scan stage), which also spreads the O(pairs) row
-    // generation above the join; the build side broadcasts, so no
-    // co-partitioning is lost.
-    val sigs = df.select(col(idCol).cast("long").as("__id"),
-        col(blockCol).cast("string").as("__blk"),
-        col(textCol).as("__txt"))
-      .repartition(kernelParallelism(df))
-      .select(col("__id"), col("__blk"),
-        expr("simhash16(array_distinct(split(__txt, ' ')))").as("simhash"))
+    val sigs = simHashSigs(df, idCol, textCol, blockCol)
     sigs.as("a").join(sigs.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
       .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a.__blk").as("__blk"), col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
         col("a.simhash").as("sim_a"), col("hamming"))
+  }
+
+  /** Per-doc SimHash signatures (__blk, __id, simhash), shared by the pair
+    * listing and the clustering path. Signature via the native codegen'd
+    * SimHash16 expression: one static call per document, entirely map-side
+    * — no token explode, no 16-vote aggregation shuffle (the oracle keeps
+    * the equivalent declarative string form; signatures are bit-identical,
+    * see EdgeCaseSpec property). Spread the raw rows BEFORE the signature
+    * projection (see [[minHashPairs]]: the projection otherwise pipelines
+    * into the single-task scan stage), which also spreads the O(pairs) row
+    * generation above the downstream join; broadcast build sides lose no
+    * co-partitioning.
+    */
+  private def simHashSigs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String): DataFrame = {
+    graft.functions.SimHash16.register(df.sparkSession)
+    df.select(col(idCol).cast("long").as("__id"),
+        col(blockCol).cast("string").as("__blk"),
+        col(textCol).as("__txt"))
+      .repartition(kernelParallelism(df))
+      .select(col("__id"), col("__blk"),
+        expr("simhash16(array_distinct(split(__txt, ' ')))").as("simhash"))
   }
 
   /** Word-bigram Jaccard pairs within a block: one shuffle on the block key
@@ -545,12 +552,31 @@ object Dedup {
       maxHamming: Int): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    // SimHash pairs are intra-block by construction, so components cannot
+    // Collapse identical signatures BEFORE pairing: hamming depends only
+    // on the signatures, so every member of one (block, simhash) group is
+    // a mutual hamming-0 near-dup, and every cross-group pair carries
+    // exactly its representatives' hamming. Components over {member→rep}
+    // ∪ {rep-rep | hamming ≤ h} therefore equal components over the full
+    // C(g,2) pair set — but the edge mass is linear in docs plus
+    // quadratic only in DISTINCT signatures. A dup-heavy corpus (the 32×
+    // near-twin probe: 160k docs, whole twin groups sharing a signature)
+    // stops shuffling the quadratic pair mass that the pair-LISTING
+    // contract (q_dedup_simhash) must still emit.
+    val sigs = simHashSigs(df, idCol, textCol, blockCol)
+    val reps = sigs.groupBy("__blk", "simhash").agg(min("__id").as("__rep"))
+    val memberEdges = sigs.join(reps, Seq("__blk", "simhash"))
+      .filter(col("__id") =!= col("__rep"))
+      .select(col("__blk"), col("__rep").as("doc_a"), col("__id").as("doc_b"))
+    val repEdges = tiledSelfPairs(
+        reps.select(col("__blk"), col("__rep").as("__id"), col("simhash")),
+        Seq("__blk"), "__id", Seq("simhash"), MaxTileRows)
+      .filter(bit_count(col("simhash").bitwiseXOR(col("simhash__b"))) <= maxHamming)
+      .select(col("__blk"), col("__id").as("doc_a"), col("__id__b").as("doc_b"))
+    // SimHash edges are intra-block by construction, so components cannot
     // span blocks: union-find runs as ONE co-located kernel per block (one
-    // shuffle of the pair set), no iteration. For pair sets that do span
-    // blocks, use the general iterative [[clusterPairs]].
-    val comp = simHashPairsBlocked(df, idCol, textCol, blockCol, maxHamming)
-      .select(col("__blk"), col("doc_a"), col("doc_b"))
+    // shuffle of the reduced edge set), no iteration. For pair sets that
+    // do span blocks, use the general iterative [[clusterPairs]].
+    val comp = memberEdges.union(repEdges)
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
