@@ -205,6 +205,23 @@ class EdgeCaseSpec extends SparkSuite {
     assert(capped == Set((10L, 11L)))
   }
 
+  test("nearDupClusters: signature collapse equals clustering the full pair listing") {
+    // the rep-collapse shortcut (union-find over {member→rep} ∪ {rep-rep})
+    // must label EXACTLY like min-label propagation over every hamming-≤h
+    // pair — including chains that cross signature groups (A~B, B~C, A≁C)
+    val corpus = Tables(spark, sf("sf0.001"), "documents")
+    val full = Dedup.clusterPairs(
+        corpus.select(col("doc_id")),
+        Dedup.simHashPairs(corpus, "doc_id", "text", "source", 3))
+      .select("doc_id", "canonical_id", "cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val collapsed = Dedup.nearDupClusters(corpus, "doc_id", "text", "source", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(collapsed == full)
+    // no vacuous pass: the fixture must actually contain a multi-doc cluster
+    assert(full.exists(_._3 > 1))
+  }
+
   test("dedupKeep: exactly one survivor per cluster, and it's the best-quality member") {
     val s = spark
     import s.implicits._
