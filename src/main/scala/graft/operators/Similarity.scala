@@ -322,6 +322,62 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with a coarse quantizer,
+    * then inside each cluster drop every vector whose cosine to a
+    * LOWER-id cluster-mate reaches `threshold` — the greedy one-pass
+    * policy (no transitive closure: a row survives iff no kept-or-dropped
+    * predecessor is within the ball, exactly the paper's index-ordered
+    * scan). Output: one row per input vector — (vec_id, cluster, kept ∈
+    * {0,1}) — so both the assignment and the policy are pinned.
+    *
+    * Scale shape: the coarse centroids are the k lowest-id vectors (the
+    * deterministic init [[Ml.lloyd]] also uses; a production pipeline
+    * would refine them with Lloyd rounds — the policy below is agnostic
+    * to where the centroids came from). k rows collect to the driver
+    * (bounded, the Geo-dimension class), assignment is a map-side
+    * argmin over centroid literals — no shuffle touches the corpus — and
+    * the pairwise scan runs only WITHIN clusters through the tiled
+    * scaffold, so the quadratic term is Σ n_c²/T² per task instead of
+    * n²: the whole point of SemDeDup over brute-force near-dup at 100 TB.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double, maxTileRows: Long = MaxTileRows): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = df.select(col(idCol).cast("long").as("__id"), quantized(vecCol).as("q"))
+    val cents: Array[(Long, Array[Long])] = e.orderBy("__id").limit(k).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    // same alias-loss workaround as Ml.lloyd: struct fields re-typed by cast
+    val best = array_min(array(cents.map { case (cid, cq) =>
+      struct(
+        aggregate(zip_with(col("q"), array(cq.map(lit).toIndexedSeq: _*),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x),
+        lit(cid))
+    }.toIndexedSeq: _*)).cast("struct<d2:bigint,cid:bigint>")
+    // one materialization feeds the pair scan AND the final keep join
+    val prepared = e
+      .select(best.getField("cid").as("__bucket"), col("__id"),
+        dot(col("q"), col("q")).as("nrm"), col("q"))
+      .localCheckpoint(false)
+    val pairs = tiledPairScan(prepared, (qid, qn, qv, corpus) => {
+      corpus.iterator
+        .filter { case (nid, _, nv) => nid > qid && nv.length == qv.length }
+        .flatMap { case (nid, nn, nv) =>
+          var dot = 0L
+          var j = 0
+          while (j < qv.length) { dot += qv(j) * nv(j); j += 1 }
+          val cos = dot.toDouble / (math.sqrt(qn.toDouble) * math.sqrt(nn.toDouble))
+          if (cos >= threshold) Some((qid, nid, cos)) else None
+        }
+    }, maxTileRows)
+    val dropped = pairs.select(col("neighbor_id").as("__id")).distinct()
+    prepared.select("__id", "__bucket")
+      .join(dropped.withColumn("__dup", lit(1)), Seq("__id"), "left")
+      .select(col("__id").as("vec_id"), col("__bucket").as("cluster"),
+        when(col("__dup").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   // ---- verify queries ------------------------------------------------------
 
   // DuckDB list_dot_product returns double — exact here because every term
@@ -440,6 +496,41 @@ object Similarity {
               |FROM normed a JOIN normed b ON a.vec_id < b.vec_id
               |WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.4
               |ORDER BY vec_a, vec_b""".stripMargin),
+    ),
+
+    // SemDeDup: 8 coarse clusters (k lowest-id init, one assignment pass —
+    // the q_kmeans_step discipline), greedy drop-vs-lower-id at cosine
+    // >= 0.4 WITHIN clusters only. The oracle replays the upper-triangular
+    // max-similarity scan the paper's reference implementation uses.
+    GraftQuery(
+      "q_semantic_dedup",
+      (s, dir) => semanticDedup(Tables(s, dir, "embeddings"), "vec_id", "embedding", 8, 0.4),
+      Some(s"""WITH prep AS (
+              |  SELECT vec_id, $quantizedSql AS q FROM embeddings
+              |),
+              |cents AS (SELECT vec_id AS cid, q AS cq FROM prep ORDER BY vec_id LIMIT 8),
+              |asg AS (
+              |  SELECT p.vec_id, c.cid,
+              |    CAST(list_dot_product(p.q, p.q) - 2 * list_dot_product(p.q, c.cq)
+              |      + list_dot_product(c.cq, c.cq) AS BIGINT) AS d2
+              |  FROM prep p CROSS JOIN cents c),
+              |cl AS (
+              |  SELECT vec_id, cid AS cluster FROM (
+              |    SELECT vec_id, cid,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              |    FROM asg) WHERE rn = 1),
+              |normed AS (
+              |  SELECT p.vec_id, cl.cluster, p.q, list_dot_product(p.q, p.q) AS nrm
+              |  FROM prep p JOIN cl ON p.vec_id = cl.vec_id),
+              |dropped AS (
+              |  SELECT DISTINCT b.vec_id
+              |  FROM normed a JOIN normed b
+              |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              |  WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.4)
+              |SELECT n.vec_id, n.cluster,
+              |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+              |FROM normed n LEFT JOIN dropped d ON n.vec_id = d.vec_id
+              |ORDER BY n.vec_id""".stripMargin),
     ),
   )
 }

@@ -64,6 +64,27 @@ class TilingSpec extends SparkSuite {
     assert(tiled.count() > 0)
   }
 
+  test("semantic dedup: 16-row tiles == single tile, and the greedy policy holds") {
+    val tiled = Similarity.semanticDedup(embs, "vec_id", "embedding", 8, 0.4, maxTileRows = 16L)
+    val whole = Similarity.semanticDedup(embs, "vec_id", "embedding", 8, 0.4, maxTileRows = Long.MaxValue / 2)
+    assert(canon(tiled) == canon(whole))
+    // one output row per input vector, and both outcomes occur at this τ
+    assert(whole.count() == embs.count())
+    val kept = whole.filter("kept = 1").count()
+    assert(kept > 0 && kept < embs.count())
+    // policy: a vec is dropped iff SOME lower-id cluster-mate is within the
+    // ball — check against an independently computed pair list
+    val rows = whole.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    val closePred = Similarity
+      .nearDupPairs(embs, "vec_id", "embedding", 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => byId(a) == byId(b) }
+      .map(_._2).toSet
+    rows.foreach { case (id, _, k) => assert((k == 0L) == closePred.contains(id)) }
+  }
+
   test("materialize=persist strategy is result-identical to localCheckpoint") {
     // the dynamic-allocation escape hatch (full lineage kept, caller
     // unpersists) must be a pure execution-strategy change
