@@ -322,6 +322,120 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---- product quantization (ADC) ----------------------------------------
+
+  private val PqSubs = 8    // subspaces; PqSubs * PqSubDim == Dim
+  private val PqSubDim = 8
+  private val PqCodes = 16  // codewords per subspace
+
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): the corpus is ENCODED once — each
+    * 64-dim quantized vector becomes [[PqSubs]] sub-codes, the index of
+    * its nearest codeword per 8-dim subspace — and queries rank neighbors
+    * by asymmetric distance (ADC): Σ over subspaces of the exact integer
+    * d² between the query's subvector and the neighbor's codeword. The
+    * memory story is the point at 100 TB: a corpus row in the scan is 8
+    * longs of codes instead of 64 of coordinates (8 BYTES in a production
+    * uint8 layout), so the per-task tile and the shuffle both shrink 8×,
+    * and the per-pair kernel cost drops from a 64-term dot product to 8
+    * table lookups against a per-query LUT built once per tile cell.
+    *
+    * Codebooks are deterministic: the subvectors of the [[PqCodes]]
+    * lowest-id vectors, code = rank by vec id (the [[Ml.lloyd]] init
+    * discipline — production would refine them with per-subspace Lloyd
+    * rounds; encode/ADC below don't care where the codebook came from).
+    * Codebooks live on the driver (PqCodes·Dim longs — bounded), encode
+    * is map-side, and the pair scan rides the tiled scaffold: no shuffle
+    * ever carries a full vector except the query side. Vectors whose
+    * length ≠ Dim are excluded (PQ is fixed-dimension by construction).
+    * Ties: nearest codeword and neighbor rank both break to the lowest
+    * index, everywhere in exact integer math. Output: (query_id,
+    * neighbor_id, rank, adc).
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxTileRows: Long = MaxTileRows): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val e = df.select(col(idCol).cast("long").as("__id"), quantized(vecCol).as("q"))
+      .filter(size(col("q")) === Dim)
+    // codebook[sub][code][j]: subvectors of the PqCodes lowest-id vectors
+    val cb: Array[Array[Array[Long]]] = {
+      val base = e.orderBy("__id").limit(PqCodes).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+        .sortBy(_._1).map(_._2)
+      Array.tabulate(PqSubs)(sub =>
+        base.map(_.slice(sub * PqSubDim, (sub + 1) * PqSubDim)))
+    }
+    val nCodes = if (cb.isEmpty) 0 else cb(0).length
+    // map-side encode: corpus rows shrink to PqSubs codes
+    val enc = e.as[(Long, Array[Long])].map { case (id, q) =>
+      val codes = new Array[Long](PqSubs)
+      var sub = 0
+      while (sub < PqSubs) {
+        var bestC = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < nCodes) {
+          var d = 0L
+          var j = 0
+          while (j < PqSubDim) {
+            val t = q(sub * PqSubDim + j) - cb(sub)(c)(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; bestC = c }
+          c += 1
+        }
+        codes(sub) = bestC.toLong
+        sub += 1
+      }
+      (0L, id, 0L, codes)
+    }.toDF("__bucket", "__id", "nrm", "q")
+    val qPrep = e.select(lit(0L).as("__bucket"), col("__id"),
+      lit(0L).as("nrm"), col("q"))
+    val partials = tiledPairScan2(qPrep, enc, (qid, _, qv, corpus) => {
+      // per-query LUT: d²(query subvector, codeword) for every (sub, code)
+      val lut = Array.tabulate(PqSubs, nCodes) { (sub, c) =>
+        var d = 0L
+        var j = 0
+        while (j < PqSubDim) {
+          val t = qv(sub * PqSubDim + j) - cb(sub)(c)(j); d += t * t; j += 1
+        }
+        d
+      }
+      // per-tile top-k smallest (adc, neighbor_id); adc < 2^53 so the
+      // Double channel of the scaffold carries it exactly
+      val top = new Array[(Long, Long)](k)
+      var filled = 0
+      var i = 0
+      while (i < corpus.length) {
+        val (nid, _, codes) = corpus(i)
+        if (nid != qid && codes.length == PqSubs) {
+          var adc = 0L
+          var sub = 0
+          while (sub < PqSubs) { adc += lut(sub)(codes(sub).toInt); sub += 1 }
+          var pos = filled
+          while (pos > 0 && {
+            val (pid, padc) = top(pos - 1)
+            padc > adc || (padc == adc && pid > nid)
+          }) pos -= 1
+          if (pos < k) {
+            var m = math.min(filled, k - 1)
+            while (m > pos) { top(m) = top(m - 1); m -= 1 }
+            top(pos) = (nid, adc)
+            if (filled < k) filled += 1
+          }
+        }
+        i += 1
+      }
+      Iterator.range(0, filled).map(r => (qid, top(r)._1, top(r)._2.toDouble))
+    }, maxTileRows)
+    val win = Window.partitionBy("query_id").orderBy(col("cos"), col("neighbor_id"))
+    partials.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos").cast("long").as("adc"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embeddings with a coarse quantizer,
     * then inside each cluster drop every vector whose cosine to a
@@ -531,6 +645,53 @@ object Similarity {
               |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
               |FROM normed n LEFT JOIN dropped d ON n.vec_id = d.vec_id
               |ORDER BY n.vec_id""".stripMargin),
+    ),
+
+    // Product-quantization ADC top-3: 8 subspaces × 16 init codewords.
+    // The oracle replays codebook build, encode (min (d2, code) per
+    // subspace) and the ADC sum in exact integer arithmetic via list
+    // slices — every d2 term uses |a|² − 2a·b + |b|², all < 2^53.
+    GraftQuery(
+      "q_ann_pq",
+      (s, dir) => pqTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding", 3),
+      Some(s"""WITH prep AS (
+              |  SELECT vec_id, $quantizedSql AS q FROM embeddings
+              |  WHERE len(embedding) = 64
+              |),
+              |cents AS (
+              |  SELECT q, row_number() OVER (ORDER BY vec_id) - 1 AS code
+              |  FROM (SELECT vec_id, q FROM prep ORDER BY vec_id LIMIT 16)),
+              |subs AS (SELECT s FROM generate_series(0, 7) AS t(s)),
+              |cb AS (
+              |  SELECT su.s AS sub, c.code, c.q[su.s*8+1 : su.s*8+8] AS cq
+              |  FROM cents c CROSS JOIN subs su),
+              |slices AS (
+              |  SELECT p.vec_id, su.s AS sub, p.q[su.s*8+1 : su.s*8+8] AS sq
+              |  FROM prep p CROSS JOIN subs su),
+              |enc AS (
+              |  SELECT vec_id, sub, code FROM (
+              |    SELECT sl.vec_id, sl.sub, cb.code,
+              |      row_number() OVER (PARTITION BY sl.vec_id, sl.sub ORDER BY
+              |        CAST(list_dot_product(sl.sq, sl.sq)
+              |          - 2 * list_dot_product(sl.sq, cb.cq)
+              |          + list_dot_product(cb.cq, cb.cq) AS BIGINT), cb.code) AS rn
+              |    FROM slices sl JOIN cb ON sl.sub = cb.sub) WHERE rn = 1),
+              |adc AS (
+              |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |    CAST(sum(list_dot_product(q.sq, q.sq)
+              |      - 2 * list_dot_product(q.sq, cb.cq)
+              |      + list_dot_product(cb.cq, cb.cq)) AS BIGINT) AS adc
+              |  FROM slices q
+              |  JOIN enc e ON q.sub = e.sub AND q.vec_id <> e.vec_id
+              |  JOIN cb ON cb.sub = e.sub AND cb.code = e.code
+              |  GROUP BY 1, 2),
+              |ranked AS (
+              |  SELECT query_id, neighbor_id, adc,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+              |  FROM adc)
+              |SELECT query_id, neighbor_id, rank, adc
+              |FROM ranked WHERE rank <= 3
+              |ORDER BY query_id, rank""".stripMargin),
     ),
   )
 }

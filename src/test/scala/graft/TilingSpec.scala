@@ -64,6 +64,21 @@ class TilingSpec extends SparkSuite {
     assert(tiled.count() > 0)
   }
 
+  test("PQ ADC top-k: 16-row tiles == single tile, full result surface") {
+    val tiled = Similarity.pqTopK(embs, "vec_id", "embedding", 3, maxTileRows = 16L)
+    val whole = Similarity.pqTopK(embs, "vec_id", "embedding", 3, maxTileRows = Long.MaxValue / 2)
+    assert(canon(tiled) == canon(whole))
+    // every length-64 vector gets its full k neighbors (n >> k here)
+    assert(whole.count() == embs.count() * 3)
+    // ADC is nonnegative and ranks ascend with it per query
+    val byQ = whole.collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getLong(3)).toSeq == sorted.map(_.getLong(3)).sorted.toSeq)
+      assert(sorted.head.getLong(3) >= 0L)
+    }
+  }
+
   test("semantic dedup: 16-row tiles == single tile, and the greedy policy holds") {
     val tiled = Similarity.semanticDedup(embs, "vec_id", "embedding", 8, 0.4, maxTileRows = 16L)
     val whole = Similarity.semanticDedup(embs, "vec_id", "embedding", 8, 0.4, maxTileRows = Long.MaxValue / 2)
