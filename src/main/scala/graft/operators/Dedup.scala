@@ -472,6 +472,61 @@ object Dedup {
       .withColumnRenamed("score", "jaccard")
   }
 
+  /** Corpus-wide shingle-set Jaccard join via PREFIX FILTERING (Chaudhuri
+    * et al. 2006 / Bayardo et al. 2007 "Scaling Up All Pairs" / PPJoin):
+    * all unordered doc pairs whose n-gram-set Jaccard >= tau, with NO
+    * blocking key — the candidate bound comes from the threshold itself.
+    * Tokens get a global rarest-first total order (document frequency asc,
+    * token asc); each doc emits only its first |x| − ⌈τ·|x|⌉ + 1 tokens in
+    * that order (the PREFIX), and the theorem is that any pair with
+    * J >= τ must collide on some token inside BOTH prefixes — so the
+    * candidate join runs on prefix tokens only, plus the size filter
+    * τ·|a| ≤ |b| ≤ |a|/τ. Prefix tokens are by construction each doc's
+    * RAREST tokens, so the equi-join's per-key fan-out is small where a
+    * bare token join would explode on stopwords: this is what makes an
+    * UNBLOCKED set-similarity join tractable at corpus scale. Candidates
+    * verify against the full sets (array_intersect — codegen'd, no second
+    * explode). Exchanges: token-df aggregate (vocab-sized), one keyed
+    * window per doc, the prefix equi-join, a pair distinct, two
+    * array-carrying joins for verify — every one on a data-bounded key.
+    * Output: (doc_a, doc_b, jaccard), jaccard filtered raw then rounded
+    * at 1e-6 for cross-engine print parity.
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, n: Int = 2): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val shingles =
+      if (n == 1) split(col(textCol), " ") else Curation.gramsOf(col(textCol), n)
+    val sets = df.select(col(idCol).cast("long").as("__id"),
+      array_distinct(shingles).as("ts"))
+    val toks = sets.select(col("__id"), explode(col("ts")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("__id")
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("idx", row_number().over(w.orderBy("df", "tok")))
+      .withColumn("sz", count(lit(1)).over(w))
+    val prefix = ranked
+      .filter(col("idx") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select("tok", "__id", "sz")
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.__id") < col("b.__id") &&
+          col("b.sz") >= ceil(lit(tau) * col("a.sz")) &&
+          col("a.sz") >= ceil(lit(tau) * col("b.sz")))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("__id").as("doc_a"), col("ts").as("ta")), "doc_a")
+      .join(sets.select(col("__id").as("doc_b"), col("ts").as("tb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("ta")) + size(col("tb")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("jaccard") * lit(1e6) + lit(0.5)) / lit(1e6)).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Word-set containment pairs within a block: |∩| / min(|a|,|b|) — the
     * asymmetric-size near-dup detector (a short doc fully contained in a
     * longer one scores 1.0 here but low symmetric Jaccard). Same sub-tiled
@@ -854,6 +909,40 @@ object Dedup {
              |JOIN sizes sa ON sa.doc_id = i.doc_a
              |JOIN sizes sb ON sb.doc_id = i.doc_b
              |ORDER BY jaccard DESC, i.doc_a, i.doc_b LIMIT 100""".stripMargin),
+    ),
+
+    // Prefix-filter set-similarity join on BIGRAM shingles at τ = 0.5 — NO
+    // blocking key; the oracle is the quadratic definition (DuckDB can
+    // afford it at sf0.01), the Spark side must reach the same pairs
+    // through prefix filtering. Bigrams, not unigrams: this synthetic
+    // corpus shares most of its unigram vocabulary across docs (unigram
+    // J >= 0.9 holds for 7% of ALL pairs), while bigram-set Jaccard
+    // isolates the true near-dups.
+    GraftQuery(
+      "q_setsim_prefix",
+      (s, dir) => prefixFilterJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", 0.5),
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(gs) AS tok FROM (
+             |    SELECT doc_id,
+             |      list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gs
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+             |),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |),
+             |j AS (
+             |  SELECT doc_a, doc_b,
+             |    CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+             |  FROM inter i
+             |  JOIN sizes sa ON sa.doc_id = i.doc_a
+             |  JOIN sizes sb ON sb.doc_id = i.doc_b
+             |)
+             |SELECT doc_a, doc_b, floor(jaccard * 1e6 + 0.5) / 1e6 AS jaccard
+             |FROM j WHERE jaccard >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin),
     ),
   )
 }

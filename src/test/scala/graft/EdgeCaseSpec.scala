@@ -44,6 +44,45 @@ class EdgeCaseSpec extends SparkSuite {
     assert(ex.head.getLong(1) == 7L && !ex.head.getBoolean(2))
   }
 
+  test("prefixFilterJaccardPairs: equals the quadratic definition, all thresholds") {
+    // mix of exact dups, a near-dup, and unrelated docs — and a candidate
+    // the SIZE filter must reject (a strict subset shingle set)
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta", "a"),
+      (2L, "alpha beta gamma delta epsilon zeta", "b"),       // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon eta", "a"),        // near-dup of 1
+      (4L, "one two three four five six seven", "b"),
+      (5L, "alpha beta gamma", "a"),                          // subset of 1
+      (6L, "x", "a"),                                         // no bigrams at all
+    )
+    def brute(tau: Double): Set[(Long, Long)] = {
+      val s = spark
+      import s.implicits._
+      val sets = d.select(col("doc_id"),
+        array_distinct(expr(
+          "filter(zip_with(split(text,' '), slice(split(text,' '), 2, size(split(text,' '))), (a,b) -> concat(a,' ',b)), x -> x IS NOT NULL)"
+        )).as("ts"))
+      // distinct column names per side: a bare as("a")/as("b") self-join
+      // resolves both doc_ids to one side (trivially-false predicate)
+      sets.toDF("ida", "tsa").crossJoin(sets.toDF("idb", "tsb"))
+        .filter(col("ida") < col("idb") && size(col("tsa")) > 0 && size(col("tsb")) > 0)
+        .withColumn("i", size(array_intersect(col("tsa"), col("tsb"))))
+        .withColumn("j", col("i").cast("double") / (size(col("tsa")) + size(col("tsb")) - col("i")))
+        .filter(col("j") >= tau)
+        .select(col("ida"), col("idb"))
+        .as[(Long, Long)].collect().toSet
+    }
+    for (tau <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val got = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text", tau)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(tau), s"tau=$tau")
+    }
+    // the exact-dup pair survives at tau = 1.0
+    assert(Dedup.prefixFilterJaccardPairs(d, "doc_id", "text", 1.0).count() == 1)
+    // empty corpus: no pairs, no throw
+    assert(Dedup.prefixFilterJaccardPairs(docs(), "doc_id", "text", 0.5).count() == 0)
+  }
+
   test("clusterPairs: empty edge set leaves every node a singleton") {
     val s = spark
     import s.implicits._
