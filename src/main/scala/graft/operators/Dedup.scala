@@ -506,18 +506,59 @@ object Dedup {
     val ranked = toks.join(dfreq, "tok")
       .withColumn("idx", row_number().over(w.orderBy("df", "tok")))
       .withColumn("sz", count(lit(1)).over(w))
+    // Boundary math is epsilon-slacked: τ·sz in DOUBLE can land a hair
+    // ABOVE the exact rational (0.8·5 = 4.0000000000000002, ceil → 5!)
+    // and over-prune a pair that sits exactly on the threshold. The 1e-9
+    // slack can only ADMIT extra candidates — the exact-set verify
+    // rejects them — never drop a qualifying one.
+    def tauTimes(c: Column): Column = lit(tau) * c - lit(1e-9)
+    // both self-join legs read this frame — materialize the tokenize +
+    // df-join + window prep once (lazy localCheckpoint, the tiledPairScan
+    // discipline) instead of running it twice
     val prefix = ranked
-      .filter(col("idx") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
-      .select("tok", "__id", "sz")
+      .filter(col("idx") <= col("sz") - ceil(tauTimes(col("sz"))) + 1)
+      .select("tok", "__id", "idx", "sz")
+      .localCheckpoint(false)
+    // candidate join = prefix-token collision + size filter + the PPJoin
+    // POSITIONAL filter: a collision at (rarest-first) positions (ia, ib)
+    // bounds the overlap by 1 + min(sza−ia, szb−ib); a qualifying pair's
+    // FIRST shared token always passes (every shared token sits at or
+    // after it on both sides), so per-collision pruning stays complete
+    // while dropping most collisions of homogeneous corpora before the
+    // pair-distinct shuffle. Overlap bound: J ≥ τ ⇔ o(1+τ) ≥ τ(sa+sb).
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.__id") < col("b.__id") &&
-          col("b.sz") >= ceil(lit(tau) * col("a.sz")) &&
-          col("a.sz") >= ceil(lit(tau) * col("b.sz")))
+          col("b.sz").cast("double") >= tauTimes(col("a.sz")) &&
+          col("a.sz").cast("double") >= tauTimes(col("b.sz")) &&
+          (lit(1) + least(col("a.sz") - col("a.idx"), col("b.sz") - col("b.idx")))
+            .cast("double") * lit(1.0 + tau) >=
+            lit(tau) * (col("a.sz") + col("b.sz")) - lit(1e-9))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .distinct()
-    cands
-      .join(sets.select(col("__id").as("doc_a"), col("ts").as("ta")), "doc_a")
-      .join(sets.select(col("__id").as("doc_b"), col("ts").as("tb")), "doc_b")
+    // Two-pass verify. Pass 1 runs ONE intersect per candidate, over LONG
+    // hash arrays: the division-form jaccard filter would land on the join
+    // condition with `inter` appearing twice, so Catalyst evaluates the
+    // string-array intersect 2× per candidate (measured 6.7 s of an 8 s
+    // query at sf0.1); the product form J ≥ τ ⇔ inter·(1+τ) ≥ τ(|a|+|b|)
+    // names `inter` once, and xxhash64 arrays intersect ~5× faster than
+    // string arrays. Hash collisions only merge tokens — inter can only
+    // OVERcount and sizes only shrink — so with the 1e-9 admit-slack the
+    // pre-filter never drops a qualifying pair. Pass 2 rechecks the few
+    // survivors with the EXACT string sets in the oracle's own
+    // division-form arithmetic, behind a checkpoint barrier so the
+    // recheck can't be pushed back into the join condition.
+    val setsH = sets.withColumn("th",
+      array_distinct(transform(col("ts"), x => xxhash64(x))))
+    val pass1 = cands
+      .join(setsH.select(col("__id").as("doc_a"),
+        col("ts").as("ta"), col("th").as("tha")), "doc_a")
+      .join(setsH.select(col("__id").as("doc_b"),
+        col("ts").as("tb"), col("th").as("thb")), "doc_b")
+      .filter(size(array_intersect(col("tha"), col("thb"))).cast("double") *
+        lit(1.0 + tau) >= lit(tau) * (size(col("ta")) + size(col("tb"))) - lit(1e-9))
+      .select("doc_a", "doc_b", "ta", "tb")
+      .localCheckpoint(false)
+    pass1
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("ta")) + size(col("tb")) - col("inter")))
@@ -911,7 +952,7 @@ object Dedup {
              |ORDER BY jaccard DESC, i.doc_a, i.doc_b LIMIT 100""".stripMargin),
     ),
 
-    // Prefix-filter set-similarity join on BIGRAM shingles at τ = 0.5 — NO
+    // Prefix-filter set-similarity join on BIGRAM shingles at τ = 0.8 — NO
     // blocking key; the oracle is the quadratic definition (DuckDB can
     // afford it at sf0.01), the Spark side must reach the same pairs
     // through prefix filtering. Bigrams, not unigrams: this synthetic
@@ -920,7 +961,7 @@ object Dedup {
     // isolates the true near-dups.
     GraftQuery(
       "q_setsim_prefix",
-      (s, dir) => prefixFilterJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", 0.5),
+      (s, dir) => prefixFilterJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", 0.8),
       Some("""WITH w AS (
              |  SELECT doc_id, unnest(gs) AS tok FROM (
              |    SELECT doc_id,
@@ -941,7 +982,7 @@ object Dedup {
              |  JOIN sizes sb ON sb.doc_id = i.doc_b
              |)
              |SELECT doc_a, doc_b, floor(jaccard * 1e6 + 0.5) / 1e6 AS jaccard
-             |FROM j WHERE jaccard >= 0.5
+             |FROM j WHERE jaccard >= 0.8
              |ORDER BY doc_a, doc_b""".stripMargin),
     ),
   )
