@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Pins the hybrid-RRF fusion semantics and the DSIR importance-weight
+  * direction on hand-built corpora (the DuckDB oracle hash-checks the full
+  * pipelines end-to-end at sf0.01; these tests pin the properties a hash
+  * can't explain: fusion arithmetic, self-exclusion, weight signs,
+  * selection count, and plan shape).
+  */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "lang")
+
+  private def embDf(rows: (Long, Seq[Float])*) =
+    rows.toSeq.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
+
+  test("hybridRrf: RRF of a doc ranked on both legs beats single-leg docs") {
+    // doc 0 is the query. doc 1 is lexically identical AND embedding-close
+    // (top of both legs); doc 2 shares no tokens but is embedding-close;
+    // doc 3 is lexically close but embedding-far.
+    val docs = docsDf(
+      (0L, "alpha beta gamma", "en"),
+      (1L, "alpha beta gamma", "en"),
+      (2L, "delta epsilon zeta", "en"),
+      (3L, "alpha beta eta", "en"))
+    val emb = embDf(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.95f, 0.05f)), (3L, Seq(0f, 1f)))
+    val out = Retrieval.hybridRrf(docs, emb, col("doc_id") === 0, topPerLeg = 2, topOut = 3)
+      .collect()
+    assert(out.forall(_.getLong(0) == 0L), "only the query doc emits rows")
+    assert(!out.exists(_.getLong(2) == 0L), "self-match excluded")
+    // doc 1: lex rank 1 + dense rank 2 (doc 2's vector is nearer the query,
+    // so it takes dense rank 1 but never appears lexically); docs 2/3 are
+    // single-leg and fuse below it.
+    val byRank = out.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getDouble(3)))
+    assert(byRank.head._1 == 1L, s"both-legs doc must fuse to rank 1: ${byRank.toSeq}")
+    assert(byRank.head._2 > byRank(1)._2)
+    // exact integer RRF: floor(1e6/61) + floor(1e6/62), in micros
+    assert(math.abs(byRank.head._2 - (math.floor(1e6 / 61) + math.floor(1e6 / 62)) / 1e6) < 1e-9)
+  }
+
+  test("hybridRrf: corpus is never shuffled before dense scoring (broadcast query side)") {
+    val docs = docsDf((0L, "a b", "en"), (1L, "a c", "en"), (2L, "b c", "en"))
+    val emb = embDf((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)))
+    val plan = Retrieval.hybridRrf(docs, emb, col("doc_id") === 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"dense leg must broadcast the query side:\n$plan")
+  }
+
+  test("importanceWeights: target-like docs weigh higher; selection is exact-k") {
+    // Target (lang=en) docs use 'good'; others use 'bad'. A doc full of
+    // 'good' tokens must out-weigh a doc full of 'bad' tokens.
+    val docs = docsDf(
+      (0L, "good good good", "en"),
+      (1L, "good good bad", "en"),
+      (2L, "bad bad bad", "zh"),
+      (3L, "bad bad good", "zh"),
+      (4L, "good bad good", "en"))
+    val out = Retrieval.importanceWeights(docs, col("lang") === "en", keep = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
+    val w = out.map(t => t._1 -> t._2).toMap
+    assert(w(0L) > w(2L), s"all-target-token doc must out-weigh all-other: $w")
+    assert(w(0L) > w(1L) && w(1L) > w(2L))
+    assert(out.count(_._3) == 2, "exactly keep=2 selected")
+    // docs 1 and 4 tie (identical token bags); the id tie-break keeps doc 1.
+    assert(w(1L) == w(4L))
+    assert(out.filter(_._3).map(_._1).toSet == Set(0L, 1L),
+      s"highest-weight docs selected, ties broken by id: ${out.toSeq}")
+  }
+
+  test("importanceWeights: no unpartitioned window in the plan") {
+    val docs = docsDf((0L, "a b", "en"), (1L, "b c", "zh"))
+    val plan = Retrieval.importanceWeights(docs, col("lang") === "en", keep = 1)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition()"),
+      s"selection must be TakeOrdered + broadcast membership, not a global window:\n$plan")
+    val phys = Retrieval.importanceWeights(docs, col("lang") === "en", keep = 1)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$phys")
+  }
+}
