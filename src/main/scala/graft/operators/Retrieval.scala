@@ -58,9 +58,19 @@ object Retrieval {
     * `queryPred` (over the document frame) selects the query documents,
     * whose ids must align with `emb`'s `vec_id`; each query is scored
     * against every OTHER document (self-matches excluded from both legs).
+    *
+    * `maxDfFrac`: lexical candidate mass is Σ_w |queries∋w|·df(w) — the
+    * posting-list contract. On a corpus where common terms appear in most
+    * documents, those terms contribute near-zero idf but almost all of the
+    * candidate mass (the 32× twin-fixture probe: 82 s vs 13.5 s with
+    * per-copy vocabularies, RetrievalProbe). Setting `maxDfFrac=f` prunes
+    * query terms with df > f·n_docs BEFORE the posting fan-out — standard
+    * stop-word/static-pruning; scores then omit those terms' (tiny)
+    * contributions, so the default keeps exact BM25.
     */
   def hybridRrf(docs: DataFrame, emb: DataFrame, queryPred: Column,
-      topPerLeg: Int = 20, topOut: Int = 5): DataFrame = {
+      topPerLeg: Int = 20, topOut: Int = 5,
+      maxDfFrac: Option[Double] = None): DataFrame = {
     // The query-id set: small by construction (queries ≪ corpus), carried
     // as a broadcast side into both legs.
     val queryIds = docs.where(queryPred).select(col("doc_id").as("__qid"))
@@ -72,13 +82,22 @@ object Retrieval {
     val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val tf = toks.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
       .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val dfreqAll = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    // The df cap is applied to the TERM dictionary, so pruned terms never
+    // reach the posting fan-out below (pruning after the join would pay
+    // the full candidate mass first).
+    val dfreq = maxDfFrac match {
+      case Some(f) => dfreqAll.crossJoin(broadcast(stats))
+        .where(col("df") <= lit(f) * col("n_docs"))
+        .select("w", "df")
+      case None => dfreqAll
+    }
     val qTerms = tf.join(broadcast(queryIds), col("doc_id") === col("__qid"), "left_semi")
       .select(col("doc_id").as("query_id"), col("w")).distinct()
+      .join(broadcast(dfreq), "w")
     // Candidate mass = inverted-list join: one row per (query term, posting).
     val contrib = qTerms.join(tf, "w")
       .where(col("doc_id") =!= col("query_id"))
-      .join(broadcast(dfreq), "w")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
       .withColumn("idf",

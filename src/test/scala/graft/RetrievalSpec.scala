@@ -54,6 +54,30 @@ class RetrievalSpec extends SparkSuite {
       s"dense leg must broadcast the query side:\n$plan")
   }
 
+  test("hybridRrf: maxDfFrac prunes universal terms before the posting fan-out") {
+    // 'the' appears in every doc (df=4/4); doc 1 shares ONLY 'the' with the
+    // query, doc 2 shares the rare term. Uncapped, both doc 1 and doc 2
+    // appear on the lexical list; capped at 0.9, 'the' is pruned from the
+    // term dictionary and doc 1 loses its lexical rank entirely.
+    val docs = docsDf(
+      (0L, "the rare", "en"),
+      (1L, "the junk", "en"),
+      (2L, "rare junk the", "en"),
+      (3L, "the junk junk", "en"))
+    val emb = embDf(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.5f, 0.5f)), (3L, Seq(-1f, 0f)))
+    def lexRanks(cap: Option[Double]) =
+      Retrieval.hybridRrf(docs, emb, col("doc_id") === 0, topPerLeg = 10, topOut = 4,
+        maxDfFrac = cap)
+        .collect().map(r => r.getLong(2) -> !r.isNullAt(4)).toMap
+    val uncapped = lexRanks(None)
+    val capped = lexRanks(Some(0.9))
+    assert(uncapped(1L), "doc 1 reaches the lexical list via 'the' when uncapped")
+    assert(capped.get(1L).forall(!_), "df-capped: doc 1 has no lexical rank")
+    assert(capped(2L), "rare-term doc keeps its lexical rank under the cap")
+  }
+
   test("importanceWeights: target-like docs weigh higher; selection is exact-k") {
     // Target (lang=en) docs use 'good'; others use 'bad'. A doc full of
     // 'good' tokens must out-weigh a doc full of 'bad' tokens.
