@@ -42,6 +42,11 @@ object Multimodal {
       conv(hex(substring(content, off + i, 1)), 16, 10).cast(LongType) * lit(1L << (8 * i))
     }.reduce(_ + _)
 
+  /** Little-endian u16 at a fixed 1-based offset. */
+  private def leU16(content: Column, off: Int): Column =
+    conv(hex(substring(content, off, 1)), 16, 10).cast(LongType) +
+      conv(hex(substring(content, off + 1, 1)), 16, 10).cast(LongType) * lit(256L)
+
   private def magicIs(content: Column, off: Int, hexBytes: String): Column =
     hex(substring(content, off, hexBytes.length / 2)) === lit(hexBytes)
 
@@ -148,10 +153,14 @@ object Multimodal {
     *   - MP4 (ISO BMFF): "ftyp" leading box, then nested bounded box
     *     walks moov → trak → tkhd ([[boxOffset]]) — track width/height
     *     are 16.16 fixed-point u32s at the tkhd tail (v0 and v1 layouts
-    *     both handled). Audio-only tracks (zero dims) fall to the stub.
+    *     both handled). Audio-only tracks (zero dims) fall to the stub;
+    *   - GIF: "GIF87a"/"GIF89a" signature, logical-screen dims as LE u16
+    *     (frame count stays null — it needs a full data-stream walk);
+    *   - BMP: "BM" signature, INFOHEADER signed LE s32 dims (top-down
+    *     negative height → abs) or COREHEADER LE u16 dims.
     *
     * Remaining stub surface: payload decode only (pixels/samples need
-    * codecs this container doesn't have); every metadata field the four
+    * codecs this container doesn't have); every metadata field the six
     * container formats carry is now a real parse. The DETERMINISTIC STUB
     * (hash-derived pseudo-metadata) still backs unknown/corrupt bytes: a
     * wrong-but-deterministic value beats a silent ???. A real deployment
@@ -192,6 +201,23 @@ object Multimodal {
         .otherwise(when(srIdx === 0, 11025).when(srIdx === 1, 12000).otherwise(8000))
     // MP4: nested box walks; tkhd v0 puts the 16.16 width/height 76/80
     // bytes into the payload, v1's 64-bit times push them 12 further
+    // GIF: "GIF87a"/"GIF89a", logical-screen width/height as LE u16 at
+    // bytes 7/9. Frame COUNT would need a full data-stream walk (0x2C
+    // separators also occur inside pixel data), so n_frames stays null.
+    val isGif = octet_length(content) >= 13 && magicIs(content, 1, "474946") &&
+      (magicIs(content, 4, "383761") || magicIs(content, 4, "383961"))
+    // BMP: "BM", DIB header size at byte 15 selects the layout —
+    // BITMAPINFOHEADER+ (>= 40) carries signed LE s32 dims at 19/23
+    // (negative height = top-down scan order → abs), the ancient
+    // BITMAPCOREHEADER (= 12) unsigned LE u16 dims at 19/21.
+    val isBmp = octet_length(content) >= 26 && magicIs(content, 1, "424D")
+    val dibSize = leU32(content, 15)
+    def leS32(off: Int): Column = {
+      val raw = leU32(content, off)
+      when(raw >= lit(1L << 31), raw - lit(1L << 32)).otherwise(raw)
+    }
+    val bmpW = when(dibSize >= 40, leS32(19)).when(dibSize === 12, leU16(content, 19))
+    val bmpH = abs(when(dibSize >= 40, leS32(23)).when(dibSize === 12, leU16(content, 21)))
     val isMp4 = octet_length(content) >= 16 && magicIs(content, 5, "66747970") // "ftyp"
     val moov = boxOffset(content, lit(1L), octet_length(content).cast(LongType), "6D6F6F76")
     val trak = boxOffset(content, moov + lit(8L),
@@ -222,6 +248,16 @@ object Multimodal {
         nullInt.as("height"),
         nullInt.as("n_frames"),
         mp3Rate.cast(IntegerType).as("sample_rate")))
+      .when(isGif, struct(
+        leU16(content, 7).cast(IntegerType).as("width"),
+        leU16(content, 9).cast(IntegerType).as("height"),
+        nullInt.as("n_frames"),
+        nullInt.as("sample_rate")))
+      .when(isBmp && bmpW > 0 && bmpH > 0, struct(
+        bmpW.cast(IntegerType).as("width"),
+        bmpH.cast(IntegerType).as("height"),
+        lit(1).cast(IntegerType).as("n_frames"),
+        nullInt.as("sample_rate")))
       .when(isMp4 && tkhd.isNotNull && mp4W > 0 && mp4H > 0, struct(
         mp4W.as("width"),
         mp4H.as("height"),
@@ -254,7 +290,7 @@ object Multimodal {
     reader.load(dir)
       .select(
         xxhash64(col("path")).as("asset_id"),
-        when(ext.isin("jpg", "jpeg", "png", "gif"), "image")
+        when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
           .when(ext.isin("wav", "mp3", "flac"), "audio")
           .when(ext.isin("mp4", "avi", "mkv"), "video")
           .otherwise("binary").as("media_type"),

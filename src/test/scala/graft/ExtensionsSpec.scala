@@ -219,6 +219,35 @@ class ExtensionsSpec extends SparkSuite {
     assert(meta(5L)._3.contains(16000), meta(5L).toString) // zero-dim tkhd -> stub
   }
 
+  test("multimodal: decodeMeta parses REAL GIF and BMP bytes") {
+    val s = spark
+    import s.implicits._
+    // real GIF/BMP from the JDK's own encoders — nothing hand-forged
+    def enc(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no JDK $fmt writer")
+      out.toByteArray
+    }
+    val gif = enc("gif", 41, 17)
+    val bmp = enc("bmp", 29, 53)
+    // hand-forged top-down BMP (negative height) must abs() the dims
+    def le32(v: Long) = Seq(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val topDown = ("BM".getBytes.toSeq ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(7) ++ le32((-9L) & 0xFFFFFFFFL) ++
+      Seq.fill[Byte](20)(0)).toArray
+    val assets = Seq((1L, "image", gif), (2L, "image", bmp), (3L, "image", topDown))
+      .toDF("asset_id", "media_type", "content")
+    val meta = Multimodal.withMeta(assets)
+      .select("asset_id", "meta.width", "meta.height", "meta.n_frames")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(meta(1L) == ((Some(41), Some(17), None)), meta(1L).toString) // frame count null
+    assert(meta(2L)._1.contains(29) && meta(2L)._2.contains(53), meta(2L).toString)
+    assert(meta(3L)._1.contains(7) && meta(3L)._2.contains(9), meta(3L).toString)
+  }
+
   test("multimodal: meta decode, resize contract, frame sampling math") {
     val s = spark
     import s.implicits._
