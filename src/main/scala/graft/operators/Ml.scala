@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.ml.FraudScorer
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,6 +74,29 @@ object Ml {
     }
     e.select(col("id"), best(cents).getField("cid").as("cluster"),
       best(cents).getField("d2").as("d2"))
+  }
+
+  /** Tie-aware ROC-AUC (Mann–Whitney rank-sum) over a frame with an
+    * integer-quantized score column `sq` and a `positive` class predicate.
+    * Each positive beats every lower-scored negative and half-ties the
+    * negatives at its own score: AUC·2PN = Σ_s p_s·(2·N_below(s) + n_s),
+    * evaluated in exact integer arithmetic until the final division. The
+    * cumulative window runs over DISTINCT quantized scores (bounded by the
+    * quantization range, e.g. ≤ 10,001 for a 4-decimal probability), never
+    * over events.
+    */
+  def rocAuc(scored: org.apache.spark.sql.DataFrame, positive: Column): org.apache.spark.sql.DataFrame = {
+    val g = scored.groupBy("sq").agg(
+      sum(when(positive, 1L).otherwise(0L)).as("np"),
+      sum(when(positive, 0L).otherwise(1L)).as("nn"))
+    val wAsc = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("nb", coalesce(sum("nn").over(wAsc), lit(0L)))
+      .agg(
+        sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("nb") + col("nn"))).as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        (floor(col("num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("auc"))
   }
 
   val queries: Seq[GraftQuery] = Seq(
@@ -230,6 +254,77 @@ object Ml {
              |  FROM asg)
              |SELECT vec_id, cid AS cluster, d2 FROM r WHERE rn = 1
              |ORDER BY vec_id""".stripMargin),
+    ),
+
+    // Distributed tie-aware ROC-AUC (Mann–Whitney rank-sum) of the frozen
+    // logistic scorer against the 3-rule labels — the evaluation metric a
+    // model-serving pipeline computes at corpus scale. The per-event score
+    // is the ALREADY-QUANTIZED 4-decimal probability, so the grouped frame
+    // has ≤ 10,001 distinct scores: the cumulative-negatives window is
+    // k-BOUNDED (runs over score groups, never over events — house rule on
+    // unpartitioned windows), and everything until the final division is
+    // exact integer arithmetic:
+    //   AUC·2PN = Σ_s p_s · (2·N_below(s) + n_s)
+    // (each positive beats every lower-scored negative and half-ties the
+    // negatives at its own score).
+    GraftQuery(
+      "q_auc",
+      (s, dir) => {
+        val scoreF = coalesce(col("score"), lit(1000.0))
+        val aou = coalesce(when(col("ucl") =!= 0, col("value") / col("ucl")), lit(0.0))
+        val speedF = coalesce(col("speed_kms"), lit(0.0))
+        val m = FraudScorer.logisticMargin(scoreF, aou, speedF)
+        // logisticProb's integer numerator (prob·1e4) taken directly — the
+        // /1e4·1e4 round-trip through the displayed double would re-enter
+        // float territory for no reason
+        val sq = floor(lit(1.0) / (lit(1.0) + exp(-m)) * lit(1e4) + lit(0.5)).cast("long")
+        rocAuc(Relational.fraudEnriched(s, dir).select(sq.as("sq"), col("label")),
+          positive = col("label") === "FRAUD")
+      },
+      Some(s"""WITH located AS (${Relational.coordsSql}),
+              |seq AS (
+              |  SELECT event_id, user_id, value, lat, lon,
+              |    lag(lat) OVER w AS prev_lat, lag(lon) OVER w AS prev_lon,
+              |    epoch(ts) - lag(epoch(ts)) OVER w AS dt_s
+              |  FROM located
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              |),
+              |speeds AS (
+              |  SELECT *, CASE WHEN dt_s > 0
+              |    THEN ${Relational.greatCircleSql("prev_lat", "prev_lon", "lat", "lon")} / dt_s
+              |    END AS speed_kms
+              |  FROM seq
+              |),
+              |ucl AS (${Relational.uclSql}),
+              |feat AS (
+              |  SELECT s.event_id,
+              |    floor((-2.0 + -0.004 * coalesce(c.c_acctbal, 1000.0)
+              |      + 1.5 * coalesce(CASE WHEN u.ucl <> 0 THEN s.value / u.ucl END, 0.0)
+              |      + 4.0 * coalesce(s.speed_kms, 0.0)) * 1e6 + 0.5) / 1e6 AS m,
+              |    CASE WHEN (c.c_acctbal IS NOT NULL AND c.c_acctbal < 200)
+              |           OR (u.ucl IS NOT NULL AND s.value > u.ucl)
+              |           OR (s.speed_kms IS NOT NULL AND s.speed_kms > 0.25)
+              |      THEN 'FRAUD' ELSE 'GENUINE' END AS label
+              |  FROM speeds s
+              |  LEFT JOIN ucl u ON s.user_id = u.user_id
+              |  LEFT JOIN customer c ON s.user_id = c.c_custkey
+              |),
+              |g AS (
+              |  SELECT CAST(floor(1.0 / (1.0 + exp(-m)) * 1e4 + 0.5) AS BIGINT) AS sq,
+              |    sum(CASE WHEN label = 'FRAUD' THEN 1 ELSE 0 END) AS np,
+              |    sum(CASE WHEN label = 'GENUINE' THEN 1 ELSE 0 END) AS nn
+              |  FROM feat GROUP BY 1
+              |),
+              |cum AS (
+              |  SELECT sq, np, nn,
+              |    coalesce(sum(nn) OVER (ORDER BY sq
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+              |  FROM g
+              |)
+              |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+              |  floor(CAST(sum(np * (2 * nb + nn)) AS DOUBLE) /
+              |    (2.0 * sum(np) * sum(nn)) * 1e6 + 0.5) / 1e6 AS auc
+              |FROM cum""".stripMargin),
     ),
   )
 }

@@ -100,16 +100,12 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .select(col("w"), col("df"), col("idf"))
     // The df cap is applied to the TERM dictionary, so pruned terms never
     // reach the posting fan-out (pruning after the join would pay the full
     // candidate mass first).
-    val dfreq = maxDfFrac match {
-      case Some(f) => dfreqAll.crossJoin(broadcast(stats))
-        .where(col("df") <= lit(f) * col("n_docs"))
-        .select("w", "df", "idf")
-      case None => dfreqAll
-    }
+    val dfreq = maxDfFrac
+      .fold(dfreqAll)(f => dfreqAll.where(col("df") <= lit(f) * col("n_docs")))
+      .select("w", "df", "idf")
     val qTerms = tf.join(broadcast(queryIds), col("doc_id") === col("__qid"), "left_semi")
       .select(col("doc_id").as("query_id"), col("w")).distinct()
       .join(broadcast(dfreq), "w")

@@ -105,4 +105,22 @@ class MLSpec extends SparkSuite {
     // identical points all land in ONE cluster (tie breaks to lower cid)
     assert(got.values.toSet.size == 1)
   }
+
+  test("rocAuc: hand-computed tie-aware Mann-Whitney value, perfect and inverted extremes") {
+    val s = spark
+    import s.implicits._
+    def auc(rows: Seq[(Long, String)]): (Long, Long, Double) = {
+      val r = operators.Ml.rocAuc(rows.toDF("sq", "label"),
+        positive = col("label") === "P").head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    // scores 9,8,8,1 / labels P,P,N,N: pairs (9>8)=1,(9>1)=1,(8=8)=0.5,(8>1)=1
+    // -> 3.5/4 = 0.875, with a genuine tie straddling the classes
+    assert(auc(Seq((9L, "P"), (8L, "P"), (8L, "N"), (1L, "N"))) == ((2L, 2L, 0.875)))
+    // perfect separation -> 1.0; inverted -> 0.0
+    assert(auc(Seq((9L, "P"), (8L, "P"), (2L, "N"), (1L, "N")))._3 == 1.0)
+    assert(auc(Seq((1L, "P"), (2L, "N")))._3 == 0.0)
+    // all-tied scores -> 0.5 exactly
+    assert(auc(Seq((5L, "P"), (5L, "P"), (5L, "N")))._3 == 0.5)
+  }
 }
