@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.ml.FraudScorer
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,6 +75,57 @@ object Ml {
     e.select(col("id"), best(cents).getField("cid").as("cluster"),
       best(cents).getField("d2").as("d2"))
   }
+
+  /** The evaluation frame every metric query shares: each event reduced to
+    * its integer-quantized frozen-scorer probability (`sq` = prob·1e4 —
+    * logisticProb's numerator taken directly; the /1e4·1e4 round-trip
+    * through the displayed double would re-enter float territory) and its
+    * 3-rule `label`.
+    */
+  private def scoredEvents(s: SparkSession, dir: String): DataFrame = {
+    val scoreF = coalesce(col("score"), lit(1000.0))
+    val aou = coalesce(when(col("ucl") =!= 0, col("value") / col("ucl")), lit(0.0))
+    val speedF = coalesce(col("speed_kms"), lit(0.0))
+    val m = FraudScorer.logisticMargin(scoreF, aou, speedF)
+    val sq = floor(lit(1.0) / (lit(1.0) + exp(-m)) * lit(1e4) + lit(0.5)).cast("long")
+    Relational.fraudEnriched(s, dir).select(sq.as("sq"), col("label"))
+  }
+
+  /** WITH-clause fragment replaying [[scoredEvents]] in DuckDB; terminal
+    * CTE is `scored(sq, label)`. */
+  private val scoredSql: String =
+    s"""located AS (${Relational.coordsSql}),
+       |seq AS (
+       |  SELECT event_id, user_id, value, lat, lon,
+       |    lag(lat) OVER w AS prev_lat, lag(lon) OVER w AS prev_lon,
+       |    epoch(ts) - lag(epoch(ts)) OVER w AS dt_s
+       |  FROM located
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |),
+       |speeds AS (
+       |  SELECT *, CASE WHEN dt_s > 0
+       |    THEN ${Relational.greatCircleSql("prev_lat", "prev_lon", "lat", "lon")} / dt_s
+       |    END AS speed_kms
+       |  FROM seq
+       |),
+       |ucl AS (${Relational.uclSql}),
+       |feat AS (
+       |  SELECT s.event_id,
+       |    floor((-2.0 + -0.004 * coalesce(c.c_acctbal, 1000.0)
+       |      + 1.5 * coalesce(CASE WHEN u.ucl <> 0 THEN s.value / u.ucl END, 0.0)
+       |      + 4.0 * coalesce(s.speed_kms, 0.0)) * 1e6 + 0.5) / 1e6 AS m,
+       |    CASE WHEN (c.c_acctbal IS NOT NULL AND c.c_acctbal < 200)
+       |           OR (u.ucl IS NOT NULL AND s.value > u.ucl)
+       |           OR (s.speed_kms IS NOT NULL AND s.speed_kms > 0.25)
+       |      THEN 'FRAUD' ELSE 'GENUINE' END AS label
+       |  FROM speeds s
+       |  LEFT JOIN ucl u ON s.user_id = u.user_id
+       |  LEFT JOIN customer c ON s.user_id = c.c_custkey
+       |),
+       |scored AS (
+       |  SELECT CAST(floor(1.0 / (1.0 + exp(-m)) * 1e4 + 0.5) AS BIGINT) AS sq, label
+       |  FROM feat
+       |)""".stripMargin
 
   /** Tie-aware ROC-AUC (Mann–Whitney rank-sum) over a frame with an
     * integer-quantized score column `sq` and a `positive` class predicate.
@@ -269,51 +320,13 @@ object Ml {
     // negatives at its own score).
     GraftQuery(
       "q_auc",
-      (s, dir) => {
-        val scoreF = coalesce(col("score"), lit(1000.0))
-        val aou = coalesce(when(col("ucl") =!= 0, col("value") / col("ucl")), lit(0.0))
-        val speedF = coalesce(col("speed_kms"), lit(0.0))
-        val m = FraudScorer.logisticMargin(scoreF, aou, speedF)
-        // logisticProb's integer numerator (prob·1e4) taken directly — the
-        // /1e4·1e4 round-trip through the displayed double would re-enter
-        // float territory for no reason
-        val sq = floor(lit(1.0) / (lit(1.0) + exp(-m)) * lit(1e4) + lit(0.5)).cast("long")
-        rocAuc(Relational.fraudEnriched(s, dir).select(sq.as("sq"), col("label")),
-          positive = col("label") === "FRAUD")
-      },
-      Some(s"""WITH located AS (${Relational.coordsSql}),
-              |seq AS (
-              |  SELECT event_id, user_id, value, lat, lon,
-              |    lag(lat) OVER w AS prev_lat, lag(lon) OVER w AS prev_lon,
-              |    epoch(ts) - lag(epoch(ts)) OVER w AS dt_s
-              |  FROM located
-              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-              |),
-              |speeds AS (
-              |  SELECT *, CASE WHEN dt_s > 0
-              |    THEN ${Relational.greatCircleSql("prev_lat", "prev_lon", "lat", "lon")} / dt_s
-              |    END AS speed_kms
-              |  FROM seq
-              |),
-              |ucl AS (${Relational.uclSql}),
-              |feat AS (
-              |  SELECT s.event_id,
-              |    floor((-2.0 + -0.004 * coalesce(c.c_acctbal, 1000.0)
-              |      + 1.5 * coalesce(CASE WHEN u.ucl <> 0 THEN s.value / u.ucl END, 0.0)
-              |      + 4.0 * coalesce(s.speed_kms, 0.0)) * 1e6 + 0.5) / 1e6 AS m,
-              |    CASE WHEN (c.c_acctbal IS NOT NULL AND c.c_acctbal < 200)
-              |           OR (u.ucl IS NOT NULL AND s.value > u.ucl)
-              |           OR (s.speed_kms IS NOT NULL AND s.speed_kms > 0.25)
-              |      THEN 'FRAUD' ELSE 'GENUINE' END AS label
-              |  FROM speeds s
-              |  LEFT JOIN ucl u ON s.user_id = u.user_id
-              |  LEFT JOIN customer c ON s.user_id = c.c_custkey
-              |),
+      (s, dir) => rocAuc(scoredEvents(s, dir), positive = col("label") === "FRAUD"),
+      Some(s"""WITH $scoredSql,
               |g AS (
-              |  SELECT CAST(floor(1.0 / (1.0 + exp(-m)) * 1e4 + 0.5) AS BIGINT) AS sq,
+              |  SELECT sq,
               |    sum(CASE WHEN label = 'FRAUD' THEN 1 ELSE 0 END) AS np,
               |    sum(CASE WHEN label = 'GENUINE' THEN 1 ELSE 0 END) AS nn
-              |  FROM feat GROUP BY 1
+              |  FROM scored GROUP BY 1
               |),
               |cum AS (
               |  SELECT sq, np, nn,
@@ -325,6 +338,88 @@ object Ml {
               |  floor(CAST(sum(np * (2 * nb + nn)) AS DOUBLE) /
               |    (2.0 * sum(np) * sum(nn)) * 1e6 + 0.5) / 1e6 AS auc
               |FROM cum""".stripMargin),
+    ),
+
+    // Calibration (reliability) bins for the frozen scorer: predicted
+    // probability deciles vs empirical positive rate. One map-side pass +
+    // a 10-row aggregate; the mean prediction per bin sums the INTEGER
+    // prob·1e4 values (order-free) and divides once.
+    GraftQuery(
+      "q_calibration",
+      (s, dir) => {
+        val g = scoredEvents(s, dir)
+          .withColumn("bin", least(floor(col("sq") / lit(1000L)), lit(9L)))
+          .groupBy("bin").agg(
+            count(lit(1)).as("n"),
+            sum("sq").as("sum_sq"),
+            sum(when(col("label") === "FRAUD", 1L).otherwise(0L)).as("np"))
+        g.select(col("bin"), col("n"),
+            (floor(col("sum_sq").cast("double") / (col("n") * lit(1e4)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_pred"),
+            (floor(col("np").cast("double") / col("n") * lit(1e6) + lit(0.5)) / lit(1e6)).as("frac_pos"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH $scoredSql,
+              |g AS (
+              |  SELECT least(CAST(floor(sq / 1000) AS BIGINT), 9) AS bin,
+              |    count(*) AS n, sum(sq) AS sum_sq,
+              |    sum(CASE WHEN label = 'FRAUD' THEN 1 ELSE 0 END) AS np
+              |  FROM scored GROUP BY 1
+              |)
+              |SELECT bin, CAST(n AS BIGINT) AS n,
+              |  floor(CAST(sum_sq AS DOUBLE) / (n * 1e4) * 1e6 + 0.5) / 1e6 AS mean_pred,
+              |  floor(CAST(np AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS frac_pos
+              |FROM g ORDER BY bin""".stripMargin),
+    ),
+
+    // Precision/recall/F1 sweep at the 9 decile thresholds: the score-group
+    // frame (≤ 10,001 rows) crossed with a broadcast 9-row threshold dim —
+    // never a per-event pass per threshold. Exact integer TP/FP/FN;
+    // ratios divide once, quantized.
+    GraftQuery(
+      "q_pr_curve",
+      (s, dir) => {
+        val g = scoredEvents(s, dir)
+          .groupBy("sq").agg(
+            sum(when(col("label") === "FRAUD", 1L).otherwise(0L)).as("np"),
+            sum(when(col("label") === "GENUINE", 1L).otherwise(0L)).as("nn"))
+        val totals = g.agg(sum("np").as("pos_tot"))
+        val thresholds = (1 to 9).map(i => i * 1000L)
+        val t = g.sparkSession.createDataFrame(
+          thresholds.map(Tuple1.apply)).toDF("t")
+        val pr = g.crossJoin(broadcast(t))
+          .groupBy("t").agg(
+            sum(when(col("sq") >= col("t"), col("np")).otherwise(0L)).as("tp"),
+            sum(when(col("sq") >= col("t"), col("nn")).otherwise(0L)).as("fp"))
+          .crossJoin(broadcast(totals))
+          .withColumn("fn", col("pos_tot") - col("tp"))
+        pr.select(col("t"), col("tp"), col("fp"), col("fn"),
+            (floor(col("tp").cast("double") / greatest(col("tp") + col("fp"), lit(1L)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("precision"),
+            (floor(col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("recall"),
+            (floor(lit(2.0) * col("tp") / greatest(lit(2L) * col("tp") + col("fp") + col("fn"), lit(1L)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("f1"))
+          .orderBy("t")
+      },
+      Some(s"""WITH $scoredSql,
+              |g AS (
+              |  SELECT sq,
+              |    sum(CASE WHEN label = 'FRAUD' THEN 1 ELSE 0 END) AS np,
+              |    sum(CASE WHEN label = 'GENUINE' THEN 1 ELSE 0 END) AS nn
+              |  FROM scored GROUP BY 1
+              |),
+              |t AS (SELECT unnest([1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000]) AS t),
+              |tot AS (SELECT sum(np) AS pos_tot FROM g),
+              |pr AS (
+              |  SELECT t,
+              |    sum(CASE WHEN sq >= t THEN np ELSE 0 END) AS tp,
+              |    sum(CASE WHEN sq >= t THEN nn ELSE 0 END) AS fp
+              |  FROM g CROSS JOIN t GROUP BY t
+              |)
+              |SELECT CAST(t AS BIGINT) AS t, CAST(tp AS BIGINT) AS tp,
+              |  CAST(fp AS BIGINT) AS fp,
+              |  CAST(pos_tot - tp AS BIGINT) AS fn,
+              |  floor(CAST(tp AS DOUBLE) / greatest(tp + fp, 1) * 1e6 + 0.5) / 1e6 AS precision,
+              |  floor(CAST(tp AS DOUBLE) / greatest(pos_tot, 1) * 1e6 + 0.5) / 1e6 AS recall,
+              |  floor(2.0 * tp / greatest(2 * tp + fp + (pos_tot - tp), 1) * 1e6 + 0.5) / 1e6 AS f1
+              |FROM pr CROSS JOIN tot ORDER BY t""".stripMargin),
     ),
   )
 }
