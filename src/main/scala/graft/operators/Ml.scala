@@ -88,7 +88,8 @@ object Ml {
     val speedF = coalesce(col("speed_kms"), lit(0.0))
     val m = FraudScorer.logisticMargin(scoreF, aou, speedF)
     val sq = floor(lit(1.0) / (lit(1.0) + exp(-m)) * lit(1e4) + lit(0.5)).cast("long")
-    Relational.fraudEnriched(s, dir).select(sq.as("sq"), col("label"))
+    Relational.fraudEnriched(s, dir)
+      .select(col("event_id"), sq.as("sq"), col("label"))
   }
 
   /** WITH-clause fragment replaying [[scoredEvents]] in DuckDB; terminal
@@ -123,7 +124,8 @@ object Ml {
        |  LEFT JOIN customer c ON s.user_id = c.c_custkey
        |),
        |scored AS (
-       |  SELECT CAST(floor(1.0 / (1.0 + exp(-m)) * 1e4 + 0.5) AS BIGINT) AS sq, label
+       |  SELECT event_id,
+       |    CAST(floor(1.0 / (1.0 + exp(-m)) * 1e4 + 0.5) AS BIGINT) AS sq, label
        |  FROM feat
        |)""".stripMargin
 
@@ -420,6 +422,106 @@ object Ml {
               |  floor(CAST(tp AS DOUBLE) / greatest(pos_tot, 1) * 1e6 + 0.5) / 1e6 AS recall,
               |  floor(2.0 * tp / greatest(2 * tp + fp + (pos_tot - tp), 1) * 1e6 + 0.5) / 1e6 AS f1
               |FROM pr CROSS JOIN tot ORDER BY t""".stripMargin),
+    ),
+
+    // Population stability index between two deterministic event halves
+    // (event_id parity — the monitoring shape compares a reference window
+    // to the current one): score-decile shares with add-½ smoothing,
+    // contrib = (p−q)·ln(p/q) per bin quantized to micros, psi = the
+    // INTEGER sum of those micros — so the total can never depend on bin
+    // summation order.
+    GraftQuery(
+      "q_psi",
+      (s, dir) => {
+        val halves = scoredEvents(s, dir)
+          .withColumn("bin", least(floor(col("sq") / lit(1000L)), lit(9L)))
+          .groupBy("bin").agg(
+            sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("ref_n"),
+            sum(when(col("event_id") % 2 =!= 0, 1L).otherwise(0L)).as("cur_n"))
+        val tot = halves.agg(sum("ref_n").as("rt"), sum("cur_n").as("ct"))
+        val contrib = halves.crossJoin(broadcast(tot))
+          .withColumn("p", (col("ref_n") + lit(0.5)) / (col("rt") + lit(5.0)))
+          .withColumn("q", (col("cur_n") + lit(0.5)) / (col("ct") + lit(5.0)))
+          .withColumn("contrib_micros",
+            floor((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e6) + lit(0.5)).cast("long"))
+        val psi = contrib.agg(sum("contrib_micros").as("psi_micros"))
+        contrib.crossJoin(broadcast(psi))
+          .select(col("bin"), col("ref_n"), col("cur_n"),
+            (col("contrib_micros").cast("double") / lit(1e6)).as("contrib"),
+            (col("psi_micros").cast("double") / lit(1e6)).as("psi"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH $scoredSql,
+              |halves AS (
+              |  SELECT least(CAST(floor(sq / 1000) AS BIGINT), 9) AS bin,
+              |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ref_n,
+              |    sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS cur_n
+              |  FROM scored GROUP BY 1),
+              |tot AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM halves),
+              |c AS (
+              |  SELECT bin, ref_n, cur_n,
+              |    CAST(floor(((ref_n + 0.5) / (rt + 5.0) - (cur_n + 0.5) / (ct + 5.0))
+              |      * ln(((ref_n + 0.5) / (rt + 5.0)) / ((cur_n + 0.5) / (ct + 5.0)))
+              |      * 1e6 + 0.5) AS BIGINT) AS cm
+              |  FROM halves CROSS JOIN tot),
+              |p AS (SELECT sum(cm) AS pm FROM c)
+              |SELECT bin, CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+              |  CAST(cm AS DOUBLE) / 1e6 AS contrib,
+              |  CAST(pm AS DOUBLE) / 1e6 AS psi
+              |FROM c CROSS JOIN p ORDER BY bin""".stripMargin),
+    ),
+
+    // Kolmogorov–Smirnov statistic between the class-conditional score
+    // CDFs — the classic fraud-scorecard separation metric. The cumulative
+    // pass runs over the ≤ 10,001-row score-group frame; the max gap is
+    // compared on EXACT integers (|cumP·N − cumN·P|), the division to a
+    // displayed double happens once. `at_sq` = the lowest score attaining
+    // the max (deterministic under ties).
+    GraftQuery(
+      "q_ks",
+      (s, dir) => {
+        val g = scoredEvents(s, dir)
+          .groupBy("sq").agg(
+            sum(when(col("label") === "FRAUD", 1L).otherwise(0L)).as("np"),
+            sum(when(col("label") === "GENUINE", 1L).otherwise(0L)).as("nn"))
+        val wCum = Window.orderBy("sq")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = g
+          .withColumn("cp", sum("np").over(wCum))
+          .withColumn("cn", sum("nn").over(wCum))
+        val tot = cum.agg(max("cp").as("p_tot"), max("cn").as("n_tot"))
+        val gaps = cum.crossJoin(broadcast(tot))
+          .withColumn("gap", abs(col("cp") * col("n_tot") - col("cn") * col("p_tot")))
+        gaps.agg(
+            max(struct(col("gap").as("gap"), (-col("sq")).as("neg_sq"))).as("best"),
+            max("p_tot").as("p_tot"), max("n_tot").as("n_tot"))
+          .select(
+            (floor(col("best.gap").cast("double") / (col("p_tot") * col("n_tot"))
+              * lit(1e6) + lit(0.5)) / lit(1e6)).as("ks"),
+            (-col("best.neg_sq")).as("at_sq"))
+      },
+      Some(s"""WITH $scoredSql,
+              |g AS (
+              |  SELECT sq,
+              |    sum(CASE WHEN label = 'FRAUD' THEN 1 ELSE 0 END) AS np,
+              |    sum(CASE WHEN label = 'GENUINE' THEN 1 ELSE 0 END) AS nn
+              |  FROM scored GROUP BY 1),
+              |cum AS (
+              |  SELECT sq,
+              |    sum(np) OVER (ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+              |    sum(nn) OVER (ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+              |  FROM g),
+              |tot AS (SELECT max(cp) AS p_tot, max(cn) AS n_tot FROM cum),
+              |gaps AS (
+              |  SELECT sq, abs(cp * n_tot - cn * p_tot) AS gap, p_tot, n_tot
+              |  FROM cum CROSS JOIN tot),
+              |best AS (
+              |  SELECT gap, sq, p_tot, n_tot,
+              |    row_number() OVER (ORDER BY gap DESC, sq) AS rn
+              |  FROM gaps)
+              |SELECT floor(CAST(gap AS DOUBLE) / (p_tot * n_tot) * 1e6 + 0.5) / 1e6 AS ks,
+              |  sq AS at_sq
+              |FROM best WHERE rn = 1""".stripMargin),
     ),
   )
 }
