@@ -206,14 +206,14 @@ object Retrieval {
 
   def queries: Seq[GraftQuery] = Seq(
 
-    // Hybrid search: every 50th document is a query; BM25 and exact-cosine
+    // Hybrid search: every 100th document is a query; BM25 and exact-cosine
     // top-20 lists fused by RRF, top-5 per query. The oracle replays the
     // identical quantized-integer pipeline in SQL.
     GraftQuery(
       "q_hybrid_rrf",
       (s, dir) => hybridRrf(
         Tables(s, dir, "documents"), Tables(s, dir, "embeddings"),
-        queryPred = col("doc_id") % 50 === 0),
+        queryPred = col("doc_id") % 100 === 0),
       Some(s"""WITH toks AS (
               |  SELECT doc_id, string_split(text, ' ') AS ws,
               |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -224,7 +224,7 @@ object Retrieval {
               |  FROM (SELECT doc_id, dl, unnest(ws) AS w FROM toks) GROUP BY 1, 2, 3),
               |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
               |qterms AS (
-              |  SELECT DISTINCT doc_id AS query_id, w FROM tf WHERE doc_id % 50 = 0),
+              |  SELECT DISTINCT doc_id AS query_id, w FROM tf WHERE doc_id % 100 = 0),
               |contrib AS (
               |  SELECT q.query_id, tf.doc_id,
               |    CAST(floor(
@@ -247,7 +247,7 @@ object Retrieval {
               |dense AS (
               |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
               |    CAST(floor(list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) * 1e6 + 0.5) AS BIGINT) AS cos_micros
-              |  FROM normed a JOIN normed b ON a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+              |  FROM normed a JOIN normed b ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id),
               |dense_top AS (
               |  SELECT query_id, doc_id,
               |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, doc_id) AS BIGINT) AS r_dense
