@@ -277,7 +277,7 @@ object Dedup {
     * intra-block hamming pairs → recursive min-label reachability →
     * `labels(doc_id, canonical_id)`. Composes under further CTEs/selects.
     */
-  private lazy val clusterLabelsSqlPrefix: String =
+  private[operators] lazy val clusterLabelsSqlPrefix: String =
     s"""WITH RECURSIVE
        |t AS (SELECT doc_id, source, md5(w) AS h FROM ($tokensSql)),
        |votes AS (

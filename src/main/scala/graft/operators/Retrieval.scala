@@ -204,6 +204,26 @@ object Retrieval {
       .orderBy("doc_id")
   }
 
+  /** Leakage-free train/val/test split: the unit of assignment is the
+    * NEAR-DUP CLUSTER, not the document — a doc and its near-twins always
+    * land in the same split, so evaluation can't be contaminated by
+    * training-set paraphrases (the failure doc-level hash splits have).
+    * Split = deterministic 48-bit hash of the cluster's canonical id
+    * against cumulative share thresholds. One broadcast-free pass over
+    * the cluster labels; the clustering itself is [[Dedup.nearDupClusters]]
+    * (signature-collapsed union-find — engine-curve scaling, PLANS.md).
+    */
+  def leakFreeSplit(docs: DataFrame, trainFrac: Double, valFrac: Double): DataFrame = {
+    val h = Sketches.hash48(col("canonical_id"))
+    val scale = (1L << 48).toDouble
+    Dedup.nearDupClusters(docs, "doc_id", "text", "source", 3)
+      .withColumn("split",
+        when(h < lit((trainFrac * scale).toLong), "train")
+          .when(h < lit(((trainFrac + valFrac) * scale).toLong), "val")
+          .otherwise("test"))
+      .select("doc_id", "canonical_id", "cluster_size", "split")
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Hybrid search: every 100th document is a query; BM25 and exact-cosine
@@ -264,6 +284,24 @@ object Retrieval {
               |  doc_id, CAST(rrf_micros AS DOUBLE) / 1e6 AS rrf, r_lex, r_dense
               |FROM fused QUALIFY rank <= 5
               |ORDER BY query_id, rank""".stripMargin),
+    ),
+
+    // Leakage-free 80/10/10 split: near-dup clusters assigned whole.
+    GraftQuery(
+      "q_split_leakfree",
+      (s, dir) => leakFreeSplit(Tables(s, dir, "documents"), 0.8, 0.1)
+        .orderBy("doc_id"),
+      Some(s"""${Dedup.clusterLabelsSqlPrefix},
+              |sized AS (
+              |  SELECT doc_id, canonical_id,
+              |    count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+              |  FROM labels)
+              |SELECT doc_id, canonical_id, cluster_size,
+              |  CASE WHEN ${Sketches.hash48Sql("canonical_id")} < ${(0.8 * (1L << 48).toDouble).toLong}
+              |         THEN 'train'
+              |       WHEN ${Sketches.hash48Sql("canonical_id")} < ${(0.9 * (1L << 48).toDouble).toLong}
+              |         THEN 'val' ELSE 'test' END AS split
+              |FROM sized ORDER BY doc_id""".stripMargin),
     ),
 
     // DSIR importance weights: target = English documents; top-100 selected.

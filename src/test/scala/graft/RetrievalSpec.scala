@@ -99,6 +99,33 @@ class RetrievalSpec extends SparkSuite {
       s"highest-weight docs selected, ties broken by id: ${out.toSeq}")
   }
 
+  test("leakFreeSplit: near-twins land in one split, extremes cover the ranges") {
+    val s = spark
+    import s.implicits._
+    // docs 0/1 are near-identical (one word differs) in the same source →
+    // one cluster → one split. 2 and 3 are unrelated singletons.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "src0"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota", "src0"),
+      (2L, "completely different words entirely here now", "src0"),
+      (3L, "unrelated content again something else whole", "src1"))
+      .toDF("doc_id", "text", "source")
+    val out = Retrieval.leakFreeSplit(docs, 0.8, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val byDoc = out.map(t => t._1 -> t._3).toMap
+    assert(out.map(_._3).forall(Set("train", "val", "test")))
+    val twins = out.filter(t => t._1 <= 1L)
+    assert(twins.map(_._2).distinct.size == 1, s"twins share a cluster: ${out.toSeq}")
+    assert(twins.map(_._3).distinct.size == 1, s"twins share a split: ${out.toSeq}")
+    // degenerate fractions pin the threshold arithmetic
+    val allTrain = Retrieval.leakFreeSplit(docs, 1.0, 0.0)
+      .select("split").collect().map(_.getString(0))
+    assert(allTrain.forall(_ == "train"))
+    val allTest = Retrieval.leakFreeSplit(docs, 0.0, 0.0)
+      .select("split").collect().map(_.getString(0))
+    assert(allTest.forall(_ == "test"))
+  }
+
   test("importanceWeights: no unpartitioned window in the plan") {
     val docs = docsDf((0L, "a b", "en"), (1L, "b c", "zh"))
     val plan = Retrieval.importanceWeights(docs, col("lang") === "en", keep = 1)
