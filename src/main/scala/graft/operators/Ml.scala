@@ -148,8 +148,11 @@ object Ml {
         sum("np").as("n_pos"), sum("nn").as("n_neg"),
         sum(col("np") * (lit(2L) * col("nb") + col("nn"))).as("num2"))
       .select(col("n_pos"), col("n_neg"),
-        (floor(col("num2").cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("auc"))
+        // single-class input → no rankable pairs → null, not a div-by-zero
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          floor(col("num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("auc"))
   }
 
   val queries: Seq[GraftQuery] = Seq(
@@ -337,8 +340,9 @@ object Ml {
               |  FROM g
               |)
               |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
-              |  floor(CAST(sum(np * (2 * nb + nn)) AS DOUBLE) /
-              |    (2.0 * sum(np) * sum(nn)) * 1e6 + 0.5) / 1e6 AS auc
+              |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+              |    floor(CAST(sum(np * (2 * nb + nn)) AS DOUBLE) /
+              |      (2.0 * sum(np) * sum(nn)) * 1e6 + 0.5) / 1e6 END AS auc
               |FROM cum""".stripMargin),
     ),
 

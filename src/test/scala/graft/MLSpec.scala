@@ -122,5 +122,9 @@ class MLSpec extends SparkSuite {
     assert(auc(Seq((1L, "P"), (2L, "N")))._3 == 0.0)
     // all-tied scores -> 0.5 exactly
     assert(auc(Seq((5L, "P"), (5L, "P"), (5L, "N")))._3 == 0.5)
+    // single-class input -> null AUC, not a division by zero
+    val oneClass = operators.Ml.rocAuc(Seq((5L, "P"), (6L, "P")).toDF("sq", "label"),
+      positive = col("label") === "P").head()
+    assert(oneClass.isNullAt(2), oneClass.toString)
   }
 }
