@@ -224,6 +224,34 @@ object Retrieval {
       .select("doc_id", "canonical_id", "cluster_size", "split")
   }
 
+  /** Contrastive training triples (anchor, positive, negative) for
+    * embedding-model fine-tuning: positives are near-dup pairs (each
+    * non-canonical cluster member anchored to its canonical), negatives
+    * are drawn from a DETERMINISTIC k-doc pool (the k lowest-hash docs —
+    * TakeOrderedAndProject, broadcast) with the anchor's own cluster
+    * excluded, so a "negative" can never be a paraphrase of the anchor.
+    * Per-anchor work is O(k) against the broadcast pool — the in-batch /
+    * shared-pool negative-sampling shape, never an anchor×corpus join.
+    * Selection inside the pool is the argmin of a mixed hash, so triples
+    * are partition-invariant and engine-reproducible.
+    */
+  def contrastiveTriples(docs: DataFrame, poolSize: Int = 100): DataFrame = {
+    val labels = Dedup.nearDupClusters(docs, "doc_id", "text", "source", 3)
+    val pool = labels
+      .select(col("doc_id").as("pid"), col("canonical_id").as("pcan"))
+      .orderBy(Sketches.hash48(col("pid")), col("pid")).limit(poolSize)
+    val anchors = labels
+      .where(col("cluster_size") >= 2 && col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("anchor_id"), col("canonical_id").as("positive_id"))
+    anchors.crossJoin(broadcast(pool))
+      .where(col("pcan") =!= col("positive_id"))
+      .withColumn("hsel", Sketches.hash48(col("anchor_id") * lit(1000000L) + col("pid")))
+      .groupBy("anchor_id", "positive_id")
+      .agg(min(struct(col("hsel").as("h"), col("pid").as("pid"))).as("best"))
+      .select(col("anchor_id"), col("positive_id"), col("best.pid").as("negative_id"))
+      .orderBy("anchor_id")
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Hybrid search: every 100th document is a query; BM25 and exact-cosine
@@ -302,6 +330,30 @@ object Retrieval {
               |       WHEN ${Sketches.hash48Sql("canonical_id")} < ${(0.9 * (1L << 48).toDouble).toLong}
               |         THEN 'val' ELSE 'test' END AS split
               |FROM sized ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Contrastive triples: cluster positives, 100-doc hash pool negatives.
+    GraftQuery(
+      "q_contrastive_pairs",
+      (s, dir) => contrastiveTriples(Tables(s, dir, "documents")),
+      Some(s"""${Dedup.clusterLabelsSqlPrefix},
+              |sized AS (
+              |  SELECT doc_id, canonical_id,
+              |    count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+              |  FROM labels),
+              |pool AS (
+              |  SELECT doc_id AS pid, canonical_id AS pcan FROM sized
+              |  ORDER BY ${Sketches.hash48Sql("doc_id")}, doc_id LIMIT 100),
+              |anchors AS (
+              |  SELECT doc_id AS anchor_id, canonical_id AS positive_id
+              |  FROM sized WHERE cluster_size >= 2 AND doc_id <> canonical_id),
+              |sel AS (
+              |  SELECT anchor_id, positive_id, pid,
+              |    row_number() OVER (PARTITION BY anchor_id ORDER BY
+              |      ${Sketches.hash48Sql("(anchor_id * 1000000 + pid)")}, pid) AS rn
+              |  FROM anchors CROSS JOIN pool WHERE pcan <> positive_id)
+              |SELECT anchor_id, positive_id, pid AS negative_id
+              |FROM sel WHERE rn = 1 ORDER BY anchor_id""".stripMargin),
     ),
 
     // DSIR importance weights: target = English documents; top-100 selected.

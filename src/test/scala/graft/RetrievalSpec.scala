@@ -126,6 +126,29 @@ class RetrievalSpec extends SparkSuite {
     assert(allTest.forall(_ == "test"))
   }
 
+  test("contrastiveTriples: positives are canonicals, negatives never share the cluster") {
+    val s = spark
+    import s.implicits._
+    // two near-twin pairs + two singletons; every anchor must draw its
+    // negative from OUTSIDE its own cluster even with a tiny pool
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "src0"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota", "src0"),
+      (2L, "one two three four five six seven eight", "src0"),
+      (3L, "one two three four five six seven eight", "src0"),
+      (4L, "completely different words entirely here now", "src0"),
+      (5L, "unrelated content again something else whole", "src0"))
+      .toDF("doc_id", "text", "source")
+    val triples = Retrieval.contrastiveTriples(docs, poolSize = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // anchors = the non-canonical twin of each pair
+    assert(triples.map(_._1).toSet == Set(1L, 3L), triples.toSeq.toString)
+    val byAnchor = triples.map(t => t._1 -> t).toMap
+    assert(byAnchor(1L)._2 == 0L && byAnchor(3L)._2 == 2L, "positive = canonical")
+    assert(!Set(0L, 1L).contains(byAnchor(1L)._3), "negative outside anchor 1's cluster")
+    assert(!Set(2L, 3L).contains(byAnchor(3L)._3), "negative outside anchor 3's cluster")
+  }
+
   test("importanceWeights: no unpartitioned window in the plan") {
     val docs = docsDf((0L, "a b", "en"), (1L, "b c", "zh"))
     val plan = Retrieval.importanceWeights(docs, col("lang") === "en", keep = 1)
