@@ -236,7 +236,12 @@ object Retrieval {
     * are partition-invariant and engine-reproducible.
     */
   def contrastiveTriples(docs: DataFrame, poolSize: Int = 100): DataFrame = {
+    // labels feeds both the pool and the anchor side — without
+    // materialization the whole union-find clustering runs twice (lazy
+    // RDD-level cache, ContextCleaner-freed; same trade as
+    // Similarity.tiledPairScan)
     val labels = Dedup.nearDupClusters(docs, "doc_id", "text", "source", 3)
+      .localCheckpoint(false)
     val pool = labels
       .select(col("doc_id").as("pid"), col("canonical_id").as("pcan"))
       .orderBy(Sketches.hash48(col("pid")), col("pid")).limit(poolSize)
