@@ -661,6 +661,61 @@ object TextAnalysis {
              |FROM words LEFT JOIN vocab v USING (w)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+
+    // Interpolated Kneser–Ney bigram LM perplexity scoring + CCNet-style
+    // perplexity terciles (head/middle/tail) — the perplexity-filter pass
+    // of a pretraining pipeline (CCNet scores crawl text under a LM
+    // trained on a clean reference corpus and keeps the low-perplexity
+    // head). Train slice = 80% of docs (doc_id % 5 <> 0) standing in for
+    // the reference corpus; EVERY doc is scored, so the held-out 20%
+    // exercises the unseen-bigram backoff paths. See [[knScore]] for the
+    // formula, the determinism discipline, and the 100 TB shape.
+    GraftQuery(
+      "q_kn_score",
+      (s, dir) => knScore(Tables(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 5 =!= 0),
+      Some("""WITH tdocs AS (
+             |  SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 5 <> 0),
+             |tb AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+             |       FROM tdocs, unnest(range(1, greatest(len(ws), 1))) AS t(i)),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY w1, w2),
+             |hist AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM c12 GROUP BY w1),
+             |cont AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY w2),
+             |sc AS (SELECT (SELECT count(*) FROM c12) AS tt,
+             |       (SELECT count(DISTINCT w) + 1
+             |        FROM (SELECT unnest(ws) AS w FROM tdocs)) AS v),
+             |model AS (
+             |  SELECT c.w1, c.w2, CAST(floor(-ln((c.c12 - 0.75) / h.c1
+             |      + 0.75 * h.n1f / h.c1 * ((o.n1b + 1) / (sc.tt + sc.v)))
+             |      * 1e6 + 0.5) AS BIGINT) AS lp
+             |  FROM c12 c JOIN hist h USING (w1) JOIN cont o USING (w2) CROSS JOIN sc),
+             |ab AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+             |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |            unnest(range(1, greatest(len(ws), 1))) AS t(i)),
+             |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM ab GROUP BY doc_id, w1, w2),
+             |scored AS (
+             |  SELECT t.doc_id, t.tf, coalesce(m.lp, CAST(floor(-ln(
+             |      CASE WHEN h.c1 IS NOT NULL
+             |        THEN 0.75 * h.n1f / h.c1 * ((coalesce(o.n1b, 0) + 1) / (sc.tt + sc.v))
+             |        ELSE (coalesce(o.n1b, 0) + 1) / (sc.tt + sc.v) END)
+             |      * 1e6 + 0.5) AS BIGINT)) AS lp
+             |  FROM tf t LEFT JOIN model m ON m.w1 = t.w1 AND m.w2 = t.w2
+             |  LEFT JOIN hist h ON h.w1 = t.w1
+             |  LEFT JOIN cont o ON o.w2 = t.w2
+             |  CROSS JOIN sc),
+             |perdoc AS (
+             |  SELECT doc_id, sum(tf * lp) AS nll_micros,
+             |    CAST(sum(tf) AS BIGINT) AS n_bigrams
+             |  FROM scored GROUP BY doc_id),
+             |final AS (
+             |  SELECT doc_id, n_bigrams,
+             |    floor(CAST(nll_micros AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.5) / 1e6
+             |      AS avg_nll
+             |  FROM perdoc)
+             |SELECT doc_id, n_bigrams, avg_nll,
+             |  CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id) AS BIGINT) AS ppl_bucket
+             |FROM final ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   /** Per-source quality quota: keep the top `quota` documents of each
@@ -778,5 +833,94 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         (floor(coalesce(col("sc").cast("double") / col("n_bigrams"), lit(0.0))
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("avg_gram_freq"))
+  }
+
+  /** Interpolated Kneser–Ney bigram LM document scoring (the CCNet
+    * perplexity filter): train bigram statistics on the `trainPred` slice
+    * of the corpus (the "clean reference corpus" — CCNet uses Wikipedia),
+    * score EVERY document by its mean per-bigram negative log-likelihood
+    * under the smoothed LM, and bucket documents into `buckets` perplexity
+    * bands (CCNet keeps the low-perplexity head, flags the tail).
+    *
+    * Formula (discount d = 0.75, add-1-smoothed continuation so unseen
+    * words stay finite):
+    *   P(w2|w1) = max(c(w1,w2) − d, 0)/c(w1) + d·N1+(w1,·)/c(w1) · Pc(w2)
+    *   Pc(w2)   = (N1+(·,w2) + 1) / (T + V)
+    * with T = distinct train bigram types, V = distinct train words + 1
+    * (an OOV slot). Unseen (w1,w2) with seen history w1 drops the first
+    * term; an unseen history backs off to Pc(w2) alone.
+    *
+    * Determinism discipline (hash-matches the DuckDB oracle): all counts
+    * are exact integers; −ln P is evaluated ONCE per bigram TYPE (the
+    * model frame), quantized half-up to integer micros; per-doc totals are
+    * Σ tf·lp over exact longs — order-free — with one double division at
+    * the end, rounded to a micro. The tercile assignment avoids a global
+    * window via [[Scale.distributedNtile]] (value-bucketed two-phase rank).
+    *
+    * 100 TB shape: two corpus-wide shuffles (the train-bigram aggregate
+    * and the per-doc (doc,w1,w2) tf aggregate — both partial-aggregated
+    * map-side); the seen-bigram model join is a bigram-type-bounded
+    * equi-join (AQE picks broadcast when it fits); the unigram backoff
+    * tables (hist/cont) and the two scalars broadcast. In production the
+    * train slice is a fixed reference corpus, so the model frame is
+    * reference-bounded, independent of the scored corpus's size.
+    *
+    * Output: (doc_id, n_bigrams, avg_nll, ppl_bucket) for every doc with
+    * at least one bigram (single-word docs have no bigram evidence and
+    * are excluded by contract); ppl_bucket 1 = head … `buckets` = tail.
+    */
+  def knScore(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      trainPred: org.apache.spark.sql.Column, buckets: Int = 3): org.apache.spark.sql.DataFrame = {
+    val d = 0.75
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+      col(textCol).as("__text"), trainPred.as("__train"))
+    val trainGrams = base.filter(col("__train"))
+      .select(explode(Curation.gramsOf(col("__text"), 2)).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+    val c12 = trainGrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val hist = c12.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val scalars = c12.agg(count(lit(1)).as("tt")).crossJoin(
+      base.filter(col("__train"))
+        .select(explode(split(col("__text"), " ")).as("w"))
+        .agg((countDistinct("w") + lit(1L)).as("v")))
+    // −ln P once per SEEN bigram type, micro-quantized — the same
+    // hoisting discipline as q_hybrid_rrf's idf (evaluate per type, not
+    // per occurrence row)
+    val pcSeen = (col("n1b") + lit(1L)) / (col("tt") + col("v"))
+    val pknSeen = (col("c12") - lit(d)) / col("c1") +
+      lit(d) * col("n1f") / col("c1") * pcSeen
+    val model = c12.join(hist, "w1").join(cont, "w2")
+      .crossJoin(broadcast(scalars))
+      .select(col("w1"), col("w2"),
+        floor(-log(pknSeen) * lit(1e6) + lit(0.5)).cast(LongType).as("lp"))
+    val tfFrame = base
+      .select(col("doc_id"), explode(Curation.gramsOf(col("__text"), 2)).as("g"))
+      .select(col("doc_id"), split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val pcBack = (coalesce(col("n1b"), lit(0L)) + lit(1L)) / (col("tt") + col("v"))
+    val lpBack = floor(-log(
+      when(col("c1").isNotNull, lit(d) * col("n1f") / col("c1") * pcBack)
+        .otherwise(pcBack)) * lit(1e6) + lit(0.5)).cast(LongType)
+    val scored = tfFrame
+      .join(model, Seq("w1", "w2"), "left")
+      .join(broadcast(hist), Seq("w1"), "left")
+      .join(broadcast(cont), Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("tf"), coalesce(col("lp"), lpBack).as("lp"))
+    val perDoc = scored.groupBy("doc_id").agg(
+        sum(col("tf") * col("lp")).as("nll_micros"),
+        sum("tf").as("n_bigrams"))
+      .withColumn("avg_nll",
+        floor(col("nll_micros").cast("double") / col("n_bigrams").cast("double")
+          + lit(0.5)) / lit(1e6))
+      .select("doc_id", "n_bigrams", "avg_nll")
+    Scale.distributedNtile(perDoc, Seq(col("avg_nll"), col("doc_id")),
+        "avg_nll", descending = false, buckets, "ppl_bucket")
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+        col("ppl_bucket").cast(LongType).as("ppl_bucket"))
+      .orderBy("doc_id")
   }
 }
