@@ -15,7 +15,7 @@ object SparkEntry {
       operators.Warehouse.queries ++ operators.Curation.queries ++
       operators.BloomPrune.queries ++ operators.SkewLayout.queries ++
       operators.Graph.queries ++ operators.Scale.queries ++
-      operators.Retrieval.queries
+      operators.Retrieval.queries ++ operators.Bpe.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

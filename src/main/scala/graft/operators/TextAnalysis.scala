@@ -682,8 +682,8 @@ object TextAnalysis {
              |hist AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM c12 GROUP BY w1),
              |cont AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY w2),
              |sc AS (SELECT (SELECT count(*) FROM c12) AS tt,
-             |       (SELECT count(DISTINCT w) + 1
-             |        FROM (SELECT unnest(ws) AS w FROM tdocs)) AS v),
+             |       (SELECT count(DISTINCT w) + 1 FROM (
+             |          SELECT w1 AS w FROM c12 UNION ALL SELECT w2 FROM c12)) AS v),
              |model AS (
              |  SELECT c.w1, c.w2, CAST(floor(-ln((c.c12 - 0.75) / h.c1
              |      + 0.75 * h.n1f / h.c1 * ((o.n1b + 1) / (sc.tt + sc.v)))
@@ -874,16 +874,34 @@ object TextAnalysis {
     val d = 0.75
     val base = df.select(col(idCol).cast(LongType).as("doc_id"),
       col(textCol).as("__text"), trainPred.as("__train"))
+    // bigram pairs as STRUCTS straight off the zip (not gramsOf's joined
+    // string, which every consumer would have to re-split per gram row)
+    def pairsOf(ws: org.apache.spark.sql.Column) = filter(
+      zip_with(ws, slice(ws, lit(2), size(ws)),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
     val trainGrams = base.filter(col("__train"))
-      .select(explode(Curation.gramsOf(col("__text"), 2)).as("g"))
-      .select(split(col("g"), " ").getItem(0).as("w1"),
-        split(col("g"), " ").getItem(1).as("w2"))
+      .select(explode(pairsOf(split(col("__text"), " "))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // c12 is the LM's sufficient statistic — EVERY downstream frame (model,
+    // hist, cont, T) derives from it. Unpersisted, Catalyst re-plans each
+    // leg from the raw corpus (measured: 5 separate gram-explode subtrees,
+    // no exchange reuse). Persisting turns the pipeline into ONE train-gram
+    // pass + four aggregates over the bigram-type-bounded cache —
+    // MEMORY_AND_DISK for the same contract as q_rfm's entity aggregate.
+    // Bench/Verify clearCache() between queries.
     val c12 = trainGrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializes the cache; also drives the model-join strategy below
+    val nTypes = c12.count()
     val hist = c12.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
     val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    // V = train BIGRAM vocabulary + 1 OOV slot, derived from the cached
+    // bigram stats — a separate token scan would cost a third corpus pass
+    // just to include words that never enter any bigram (single-word
+    // docs), an immaterial difference to a smoothing denominator
     val scalars = c12.agg(count(lit(1)).as("tt")).crossJoin(
-      base.filter(col("__train"))
-        .select(explode(split(col("__text"), " ")).as("w"))
+      c12.select(col("w1").as("w")).union(c12.select(col("w2").as("w")))
         .agg((countDistinct("w") + lit(1L)).as("v")))
     // −ln P once per SEEN bigram type, micro-quantized — the same
     // hoisting discipline as q_hybrid_rrf's idf (evaluate per type, not
@@ -895,21 +913,40 @@ object TextAnalysis {
       .crossJoin(broadcast(scalars))
       .select(col("w1"), col("w2"),
         floor(-log(pknSeen) * lit(1e6) + lit(0.5)).cast(LongType).as("lp"))
-    val tfFrame = base
-      .select(col("doc_id"), explode(Curation.gramsOf(col("__text"), 2)).as("g"))
-      .select(col("doc_id"), split(col("g"), " ").getItem(0).as("w1"),
-        split(col("g"), " ").getItem(1).as("w2"))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val tfOcc = base
+      .select(col("doc_id"), explode(pairsOf(split(col("__text"), " "))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val pcBack = (coalesce(col("n1b"), lit(0L)) + lit(1L)) / (col("tt") + col("v"))
     val lpBack = floor(-log(
       when(col("c1").isNotNull, lit(d) * col("n1f") / col("c1") * pcBack)
         .otherwise(pcBack)) * lit(1e6) + lit(0.5)).cast(LongType)
-    val scored = tfFrame
-      .join(model, Seq("w1", "w2"), "left")
+    // Two scoring shapes, picked from the MEASURED type count (free from
+    // the cache materialization above):
+    //   - model fits a broadcast: join gram OCCURRENCES map-side — the
+    //     per-doc partial aggregate then collapses to one row per doc
+    //     before any exchange, so the corpus never shuffles at all;
+    //   - web-scale bigram table: collapse occurrences to per-doc tf
+    //     FIRST (fewer rows per join key), then the shuffle equi-join.
+    // (Without the hint Catalyst picked a sort-merge join even for a
+    // 916-row model — the scalar crossJoin resets sizeInBytes.)
+    val weighted = if (nTypes <= 4000000L)
+      tfOcc.withColumn("tf", lit(1L)).join(broadcast(model), Seq("w1", "w2"), "left")
+    else
+      tfOcc.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+        .join(model, Seq("w1", "w2"), "left")
+    val scored = weighted
       .join(broadcast(hist), Seq("w1"), "left")
       .join(broadcast(cont), Seq("w2"), "left")
       .crossJoin(broadcast(scalars))
       .select(col("doc_id"), col("tf"), coalesce(col("lp"), lpBack).as("lp"))
+    // persisted: distributedNtile drives three actions over the per-doc
+    // aggregate (cutoff quantile job, total count, ranking job) — without
+    // persistence each one re-runs BOTH corpus gram explodes and the model
+    // joins. MEMORY_AND_DISK is the 100 TB contract (doc-bounded but
+    // entity-sized; an evicted MEMORY_ONLY block would silently recompute
+    // the whole LM pipeline mid-rank). Bench and Verify clearCache()
+    // between queries; callers that reuse the session should unpersist
+    // after the final action over the result.
     val perDoc = scored.groupBy("doc_id").agg(
         sum(col("tf") * col("lp")).as("nll_micros"),
         sum("tf").as("n_bigrams"))
@@ -917,6 +954,7 @@ object TextAnalysis {
         floor(col("nll_micros").cast("double") / col("n_bigrams").cast("double")
           + lit(0.5)) / lit(1e6))
       .select("doc_id", "n_bigrams", "avg_nll")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Scale.distributedNtile(perDoc, Seq(col("avg_nll"), col("doc_id")),
         "avg_nll", descending = false, buckets, "ppl_bucket")
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),

@@ -35,7 +35,7 @@ class KnScoreSpec extends SparkSuite {
       .map { case (w1, m) => w1 -> (m.values.sum, m.size.toLong) }
     val cont = c12.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
     val tt = c12.size.toLong
-    val v = train.flatMap(r => words(r._2)).distinct.size.toLong + 1
+    val v = c12.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.size.toLong + 1
     def pc(w2: String): Double = (cont.getOrElse(w2, 0L) + 1).toDouble / (tt + v)
     def lp(w1: String, w2: String): Long = {
       val p = c12.get((w1, w2)) match {
