@@ -762,9 +762,145 @@ object Dedup {
       .withColumn("cluster_size", count(lit(1)).over(w))
   }
 
+  /** Incremental (cross-snapshot) near-dup dedup — the production daily
+    * shape: flag each NEW-batch document whose bigram-SHINGLE Jaccard
+    * with an existing snapshot doc (or an earlier batch doc) reaches
+    * `threshold`, without ever pairing the snapshot against itself.
+    * Shingles, not words: on a small-vocabulary corpus every document's
+    * WORD set converges to the whole vocabulary and every band collides
+    * (measured: the 32× clean-corpus probe paid a 25M-candidate verify
+    * under word sets, 31-word vocab; shingle sets keep candidates the
+    * genuine near-dups). Candidates come from the same 2×4 MinHash
+    * banding as [[minHashPairs]], but the band join is ONE-SIDED: batch
+    * rows probe all rows, admitting (batch, snapshot) and ordered
+    * (batch, batch) pairs only — at a billion-doc snapshot and a
+    * million-doc batch, candidate mass is batch-bounded where a full
+    * re-dedup would be snapshot-quadratic. Exact Jaccard verifies
+    * candidates; `dup_of` is the SMALLEST matching id (exact-integer
+    * argmin via min(struct), deterministic).
+    *
+    * Skew: a degenerate band bucket fans its snapshot members out under
+    * every batch probe — the standard LSH too-common-bucket guard
+    * (minHashPairs' `maxBandBucket`) or AQE skew-join split applies; the
+    * fixture's buckets are small, so the plain equi-join is the right
+    * plan here.
+    *
+    * Output: one row PER BATCH DOC — (doc_id, is_dup, dup_of, jaccard);
+    * null dup_of/jaccard when unique. Recall is the banding's (a pair
+    * missed by both bands is not flagged) — the same contract as every
+    * LSH surface here, and the oracle replicates the banding exactly.
+    */
+  def incrementalDedup(df: DataFrame, idCol: String, textCol: String,
+      batchPred: Column, threshold: Double = 0.8): DataFrame = {
+    val s = df.sparkSession
+    graft.functions.MinHashSig.register(s)
+    val spread = df.select(col(idCol).cast("long").as("__id"),
+        batchPred.as("__batch"), col(textCol).as("__txt"))
+      .repartition(kernelParallelism(df))
+      .withColumn("__gs", array_distinct(expr(
+        "filter(zip_with(split(__txt, ' '), slice(split(__txt, ' '), 2, size(split(__txt, ' '))), (a, b) -> concat(a, ' ', b)), g -> g IS NOT NULL)")))
+    val banded = spread.select(col("__id"), col("__batch"),
+        expr("minhash_sig(__gs)").as("sig"))
+      .select(col("__id"), col("__batch"),
+        concat((0 until 4).map(i => col("sig").getItem(i)): _*).as("__b0"),
+        concat((4 until 8).map(i => col("sig").getItem(i)): _*).as("__b1"))
+      .select(col("__id"), col("__batch"), col("__b0").as("__k0"),
+        posexplode(array(col("__b0"), col("__b1"))).as(Seq("band_idx", "band_key")))
+    val probe = banded.filter(col("__batch"))
+      .select(col("__id").as("__ida"), col("band_idx"), col("band_key"),
+        col("__k0").as("__k0a"))
+    val build = banded.select(col("__id").as("__idb"), col("__batch").as("__batchb"),
+      col("band_idx"), col("band_key"), col("__k0").as("__k0b"))
+    val cands = probe.join(build, Seq("band_idx", "band_key"))
+      .filter(!col("__batchb") || col("__idb") < col("__ida"))
+      // one banded row per doc per band → a pair can repeat only as a
+      // both-band double-hit, and that hit has equal band-0 keys: the
+      // same codegen'd filter as minHashPairs, no distinct shuffle
+      .filter(col("band_idx") === 0 || col("__k0a") =!= col("__k0b"))
+      .select(col("__ida").as("doc_id"), col("__idb").as("doc_b"))
+    val docSets = spread.select(col("__id"), col("__gs").as("gs"))
+    val verified = cands
+      .join(docSets.select(col("__id").as("doc_id"), col("gs").as("gs_a")), "doc_id")
+      .join(docSets.select(col("__id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+      .withColumn("__i", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (size(col("gs_a")).cast("long") + size(col("gs_b")).cast("long") - col("__i")))
+      .filter(col("jaccard") >= threshold)
+    val best = verified.groupBy("doc_id")
+      .agg(min(struct(col("doc_b"), col("jaccard"))).as("m"))
+      .select(col("doc_id"), col("m.doc_b").as("dup_of"), col("m.jaccard").as("jaccard"))
+    spread.filter(col("__batch")).select(col("__id").as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
   // ---- verify queries ------------------------------------------------------
 
   val queries: Seq[GraftQuery] = Seq(
+
+    // Incremental dedup of a 10% "new crawl" batch against the 90%
+    // snapshot: one-sided banded candidates over bigram shingles,
+    // exact-Jaccard verify at 0.8, smallest matching id wins. The oracle
+    // replicates the shingling, the md5-slice MinHash banding, the
+    // one-sided admission rule, and the argmin.
+    GraftQuery(
+      "q_dedup_incremental",
+      (s, dir) => incrementalDedup(Tables(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") % 10 === 0),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest(gs) AS w FROM (
+              |    SELECT doc_id,
+              |      list_distinct([ws[i] || ' ' || ws[i + 1]
+              |        FOR i IN range(1, greatest(len(ws), 1))]) AS gs
+              |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+              |),
+              |sigs AS (
+              |  SELECT doc_id,
+              |${(0 until NumHashes).map(i => s"    min(substr(md5(w), ${i * 4 + 1}, 4)) AS h$i").mkString(",\n")}
+              |  FROM t GROUP BY doc_id
+              |),
+              |banded AS (
+              |  SELECT doc_id, doc_id % 10 = 0 AS is_batch,
+              |    h0||h1||h2||h3 AS b0, h4||h5||h6||h7 AS b1 FROM sigs
+              |),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM banded a JOIN banded b ON a.b0 = b.b0
+              |    AND a.is_batch AND (NOT b.is_batch OR b.doc_id < a.doc_id)
+              |  UNION
+              |  SELECT DISTINCT a.doc_id, b.doc_id
+              |  FROM banded a JOIN banded b ON a.b1 = b.b1
+              |    AND a.is_batch AND (NOT b.is_batch OR b.doc_id < a.doc_id)
+              |),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS i
+              |  FROM cands c
+              |  JOIN t ta ON ta.doc_id = c.doc_a
+              |  JOIN t tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+              |  GROUP BY 1, 2
+              |),
+              |matched AS (
+              |  SELECT i.doc_a, i.doc_b,
+              |    CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jaccard
+              |  FROM inter i
+              |  JOIN sizes sa ON sa.doc_id = i.doc_a
+              |  JOIN sizes sb ON sb.doc_id = i.doc_b
+              |  WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.8
+              |),
+              |best AS (
+              |  SELECT doc_a, doc_b, jaccard,
+              |    row_number() OVER (PARTITION BY doc_a ORDER BY doc_b) AS rn
+              |  FROM matched
+              |)
+              |SELECT d.doc_id, b.doc_b IS NOT NULL AS is_dup,
+              |  b.doc_b AS dup_of, b.jaccard
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+              |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_a = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+    ),
 
     GraftQuery(
       "q_dedup_exact",
