@@ -662,6 +662,69 @@ object TextAnalysis {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // fastText-style hashed-feature quality classifier: word unigrams +
+    // bigram shingles hash (portable md5-48) into a 64-bucket FROZEN
+    // weight table (integer micros, generated from a fixed formula and
+    // embedded as literals in BOTH engines — the q_ml_score frozen-model
+    // discipline applied to text); per-doc score = sigmoid of the mean
+    // bucket weight. Scale shape: the whole feature pipeline is ONE
+    // map-side array fold per document — no explode, no join, no shuffle
+    // (the weight table rides the plan as a literal) — so the classifier
+    // runs at scan speed on 100 TB; integer-micro sums keep the fold
+    // order-free, one exp + one division at the end.
+    GraftQuery(
+      "q_quality_classifier",
+      (s, dir) => {
+        val wts = (0 until 64).map(b => ((b * 2654435761L) % 2000001L) - 1000000L)
+        val wArr = array(wts.map(lit): _*)
+        def bucketW(c: org.apache.spark.sql.Column) = element_at(wArr,
+          (conv(substring(md5(c), 1, 12), 16, 10).cast(LongType) % 64).cast("int") + 1)
+        val d = Tables(s, dir, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("gs", expr(
+            "filter(zip_with(ws, slice(ws, 2, size(ws)), (a, b) -> concat(a, ' ', b)), g -> g IS NOT NULL)"))
+          .withColumn("n_feats", (size(col("ws")) + size(col("gs"))).cast(LongType))
+          .withColumn("s_micros",
+            aggregate(col("ws"), lit(0L), (acc, w) => acc + bucketW(w)) +
+              aggregate(col("gs"), lit(0L), (acc, g) => acc + bucketW(g)))
+          .withColumn("meanw",
+            col("s_micros").cast("double") / col("n_feats").cast("double") / lit(1e6))
+          .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("meanw"))))
+        d.select(col("doc_id"), col("n_feats"),
+            (floor(col("prob") * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"),
+            (col("prob") >= 0.5).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val wts = (0 until 64).map(b => ((b * 2654435761L) % 2000001L) - 1000000L)
+        val h = (x: String) => graft.operators.Sketches.hash48Sql(x)
+        s"""WITH w AS (SELECT [${wts.mkString(", ")}] AS wt),
+           |m AS (
+           |  SELECT doc_id, ws,
+           |    [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, greatest(len(ws), 1))] AS gs
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+           |),
+           |f AS (
+           |  SELECT doc_id,
+           |    CAST(len(ws) + len(gs) AS BIGINT) AS n_feats,
+           |    CAST(list_sum(list_transform(ws,
+           |        x -> wt[CAST(${h("x")} % 64 AS INT) + 1])) AS BIGINT)
+           |    + CAST(list_sum(list_transform(gs,
+           |        x -> wt[CAST(${h("x")} % 64 AS INT) + 1])) AS BIGINT) AS s_micros
+           |  FROM m CROSS JOIN w
+           |),
+           |p AS (
+           |  SELECT doc_id, n_feats,
+           |    1.0 / (1.0 + exp(-(CAST(s_micros AS DOUBLE) / CAST(n_feats AS DOUBLE) / 1e6))) AS prob
+           |  FROM f
+           |)
+           |SELECT doc_id, n_feats,
+           |  floor(prob * 1e6 + 0.5) / 1e6 AS score,
+           |  prob >= 0.5 AS keep
+           |FROM p ORDER BY doc_id""".stripMargin
+      },
+    ),
+
     // Interpolated Kneser–Ney bigram LM perplexity scoring + CCNet-style
     // perplexity terciles (head/middle/tail) — the perplexity-filter pass
     // of a pretraining pipeline (CCNet scores crawl text under a LM
@@ -960,5 +1023,80 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
         col("ppl_bucket").cast(LongType).as("ppl_bucket"))
       .orderBy("doc_id")
+  }
+
+  /** Frozen interpolated-KN bigram model for map-side / streaming scoring
+    * — the batch→speed-layer handoff: train once on the reference corpus
+    * ([[knModel]]), broadcast the bounded statistics into a stream, score
+    * each arriving document with zero joins and zero state.
+    *
+    * `bigramLp`/`avgNll` reproduce the batch column expressions BIT FOR
+    * BIT (same float association, same micro rounding — the equality
+    * KnScoreSpec pins between the serial formula and the distributed
+    * plan, and KnStreamSpec pins end-to-end against [[knScore]] output).
+    */
+  final case class KnModel(
+      c12: Map[(String, String), Long],
+      hist: Map[String, (Long, Long)],
+      cont: Map[String, Long],
+      tt: Long,
+      v: Long) {
+    private val d = 0.75
+    private def pc(w2: String): Double =
+      (cont.getOrElse(w2, 0L) + 1).toDouble / (tt + v)
+    /** Micro-quantized −ln P(w2|w1), all backoff tiers. */
+    def bigramLp(w1: String, w2: String): Long = {
+      val p = c12.get((w1, w2)) match {
+        case Some(c) =>
+          val (c1, n1f) = hist(w1)
+          (c - d) / c1 + d * n1f / c1 * pc(w2)
+        case None => hist.get(w1) match {
+          case Some((c1, n1f)) => d * n1f / c1 * pc(w2)
+          case None => pc(w2)
+        }
+      }
+      math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    }
+    /** Mean per-bigram −log P, micro-rounded like the batch path; None
+      * when the doc has no bigram (no evidence → abstain). */
+    def avgNll(text: String): Option[Double] = {
+      val ws = text.split(" ", -1)
+      if (ws.length < 2) None
+      else {
+        var s = 0L
+        var i = 0
+        while (i < ws.length - 1) { s += bigramLp(ws(i), ws(i + 1)); i += 1 }
+        Some(math.floor(s.toDouble / (ws.length - 1) + 0.5) / 1e6)
+      }
+    }
+  }
+
+  /** Train and COLLECT the frozen KN model: one train-gram aggregate, one
+    * collect of the bigram-type-bounded count table (every other statistic
+    * derives from it serially — same derivations as the distributed
+    * [[knScore]] frames). `maxTypes` bounds the driver state: a model past
+    * the cap cannot ship in a closure/broadcast — use the distributed
+    * [[knScore]] instead (require, not silent truncation).
+    */
+  def knModel(df: org.apache.spark.sql.DataFrame, textCol: String,
+      trainPred: org.apache.spark.sql.Column, maxTypes: Long = 1L << 22): KnModel = {
+    val ws = split(col(textCol), " ")
+    val pairs = filter(
+      zip_with(ws, slice(ws, lit(2), size(ws)),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+    val rows = df.filter(trainPred).select(explode(pairs).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .collect()
+    require(rows.length <= maxTypes,
+      s"knModel: ${rows.length} bigram types exceed maxTypes=$maxTypes; " +
+        "a model this size cannot ship driver-side — use knScore's distributed path")
+    val c12 = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hist = c12.groupBy(_._1._1)
+      .map { case (w1, m) => w1 -> (m.values.sum, m.size.toLong) }
+    val cont = c12.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val vocab = c12.keysIterator.flatMap(k => Iterator(k._1, k._2)).toSet
+    KnModel(c12, hist, cont, c12.size.toLong, vocab.size.toLong + 1L)
   }
 }

@@ -64,4 +64,25 @@ object CorpusStream {
           .otherwise(lit(0.0)))
       .filter(col("n_words") >= minWords && col("digit_frac") <= maxDigitFrac)
   }
+
+  /** CCNet-style streaming perplexity gate — the batch→speed-layer model
+    * handoff: a frozen [[graft.operators.TextAnalysis.KnModel]] (trained
+    * once on the reference corpus, bigram-type-bounded, shipped in the
+    * closure) scores each arriving document map-side and documents above
+    * `maxAvgNll` drop. Stateless and join-free — the stream never touches
+    * the training corpus; per-doc scores are BIT-IDENTICAL to the batch
+    * `knScore` output (KnStreamSpec pins the equality), so the speed and
+    * batch layers cannot disagree on a document's fate.
+    *
+    * Documents with no bigram (single word) carry a null `avg_nll` and
+    * PASS — no evidence is abstention, not rejection (the same null
+    * policy as the zip/speed operators, F11).
+    */
+  def perplexityGate(docs: DataFrame,
+      model: graft.operators.TextAnalysis.KnModel,
+      maxAvgNll: Double): DataFrame = {
+    val score = udf((text: String) => model.avgNll(text))
+    docs.withColumn("avg_nll", score(col("text")))
+      .filter(col("avg_nll").isNull || col("avg_nll") <= maxAvgNll)
+  }
 }
