@@ -596,5 +596,104 @@ object Curation {
               |  ORDER BY priority, doc_id LIMIT 50)
               |ORDER BY doc_id""".stripMargin),
     ),
+
+    // T5-style span corruption (deterministic variant): words group into
+    // length-3 blocks, a block masks iff hash48(doc_id:block) % 100 < 15
+    // (~15% token mass in ~3-token spans — the T5 recipe's rate/length,
+    // with the sampling made a pure hash function of (doc, block) so any
+    // engine reproduces it bit-for-bit); masked blocks collapse to a
+    // sentinel <X_b> in the input and reappear as sentinel-prefixed spans
+    // in the target. Entirely map-side array arithmetic — no explode, no
+    // shuffle: the masked-LM data-prep pass runs at scan speed. Sentinel
+    // ids are block ordinals (not renumbered) — deterministic without a
+    // per-doc prefix scan.
+    GraftQuery(
+      "q_span_corruption",
+      (s, dir) => {
+        def h48(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+        val masked = (b: org.apache.spark.sql.Column) =>
+          h48(concat(col("doc_id").cast("string"), lit(":"), b.cast("string"))) % 100 < 15
+        val spanOf = (b: org.apache.spark.sql.Column) =>
+          slice(col("ws"), b * 3 + 1, lit(3))
+        Tables(s, dir, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("n_words", size(col("ws")).cast(LongType))
+          .withColumn("blocks",
+            sequence(lit(0), (ceil(col("n_words") / lit(3.0)) - 1).cast("int")))
+          .select(
+            col("doc_id"), col("n_words"),
+            coalesce(aggregate(filter(col("blocks"), masked), lit(0L),
+              (acc, b) => acc + size(spanOf(b))), lit(0L)).as("n_masked"),
+            array_join(transform(col("blocks"), b =>
+              when(masked(b), concat(lit("<X_"), b.cast("string"), lit(">")))
+                .otherwise(array_join(spanOf(b), " "))), " ").as("input_text"),
+            array_join(transform(filter(col("blocks"), masked), b =>
+              concat(lit("<X_"), b.cast("string"), lit("> "),
+                array_join(spanOf(b), " "))), " ").as("target_text"),
+          )
+          .orderBy("doc_id")
+      },
+      Some {
+        val mask = Sketches.hash48Sql(
+          "CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)") + " % 100 < 15"
+        s"""WITH m AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |x AS (
+           |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+           |    [b FOR b IN range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))] AS blocks
+           |  FROM m
+           |)
+           |SELECT doc_id, n_words,
+           |  CAST(coalesce(list_sum(list_transform(
+           |    list_filter(blocks, b -> $mask),
+           |    b -> len(ws[b * 3 + 1 : b * 3 + 3]))), 0) AS BIGINT) AS n_masked,
+           |  array_to_string(list_transform(blocks, b ->
+           |    CASE WHEN $mask THEN '<X_' || CAST(b AS VARCHAR) || '>'
+           |         ELSE array_to_string(ws[b * 3 + 1 : b * 3 + 3], ' ') END), ' ')
+           |    AS input_text,
+           |  coalesce(array_to_string(list_transform(list_filter(blocks, b -> $mask), b ->
+           |    '<X_' || CAST(b AS VARCHAR) || '> '
+           |      || array_to_string(ws[b * 3 + 1 : b * 3 + 3], ' ')), ' '), '')
+           |    AS target_text
+           |FROM x ORDER BY doc_id""".stripMargin
+      },
+    ),
+
+    // Per-source corpus datasheet (the "datasheet for datasets" rollup a
+    // corpus release ships with): doc/token/char volume, exact-duplicate
+    // mass, and language spread per source — ONE partial-aggregated
+    // groupBy over map-side-computed per-doc stats (token counts and the
+    // md5 content key never leave the mapper un-aggregated), so the card
+    // costs a single scan at 100 TB. dup_frac compares decimal-exact
+    // counts; the displayed ratio rounds at 1e-6.
+    GraftQuery(
+      "q_corpus_datasheet",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("source"), col("lang"), col("n_chars"),
+            size(split(col("text"), " ")).cast(LongType).as("toks"),
+            md5(col("text")).as("ck"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum("toks").as("n_tokens"),
+            sum("n_chars").as("n_chars"),
+            countDistinct("ck").as("distinct_texts"),
+            countDistinct("lang").as("n_langs"))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+            col("distinct_texts"), col("n_langs"),
+            (floor((lit(1.0) - col("distinct_texts").cast("double") /
+              col("n_docs").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+              .as("dup_frac"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |  count(DISTINCT md5(text)) AS distinct_texts,
+             |  count(DISTINCT lang) AS n_langs,
+             |  floor((1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dup_frac
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }

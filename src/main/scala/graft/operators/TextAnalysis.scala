@@ -662,6 +662,68 @@ object TextAnalysis {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // Zipf-law fit of the corpus token distribution: OLS slope of
+    // ln(freq) on ln(rank) over the top-1000 terms — the tokenizer/corpus
+    // health diagnostic (natural corpora sit near −1; a flat slope marks
+    // synthetic or template text). Scale shape: one word-count aggregate,
+    // top-k via TakeOrderedAndProject (never a global sort), the rank
+    // window runs POST-LIMIT over ≤ 1000 rows (the q_oov_rate precedent).
+    // Determinism: ln values quantize to 1e-4 ticks (exact longs), all
+    // regression sums are exact integer arithmetic (bounded: Σx² ≤
+    // 4.8e12·k, n·Σxy ≤ 9.5e15 — inside long), one double division at
+    // the end; regr_slope's order-dependent double accumulators never
+    // appear.
+    GraftQuery(
+      "q_zipf",
+      (s, dir) => {
+        val top = Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(1000)
+        val ranked = top.withColumn("rk",
+          row_number().over(Window.orderBy(col("c").desc, col("w"))).cast(LongType))
+        val q = ranked.select(
+          floor(log(col("rk")) * lit(1e4) + lit(0.5)).cast(LongType).as("x"),
+          floor(log(col("c")) * lit(1e4) + lit(0.5)).cast(LongType).as("y"))
+        val sums = q.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        val num = col("n") * col("sxy") - col("sx") * col("sy")
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        val slope = num.cast("double") / den.cast("double")
+        val intercept = (col("sy").cast("double") / col("n").cast("double") -
+          slope * (col("sx").cast("double") / col("n").cast("double"))) / lit(1e4)
+        sums.select(col("n").as("n_terms"),
+          (floor(slope * lit(1e6) + lit(0.5)) / lit(1e6)).as("zipf_slope"),
+          (floor(intercept * lit(1e6) + lit(0.5)) / lit(1e6)).as("zipf_intercept"))
+      },
+      Some("""WITH wc AS (
+             |  SELECT w, count(*) AS c FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 1000
+             |),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM wc),
+             |q AS (
+             |  SELECT CAST(floor(ln(rk) * 1e4 + 0.5) AS BIGINT) AS x,
+             |    CAST(floor(ln(c) * 1e4 + 0.5) AS BIGINT) AS y
+             |  FROM r
+             |),
+             |s AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx
+             |  FROM q
+             |)
+             |SELECT n AS n_terms,
+             |  floor(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+             |    * 1e6 + 0.5) / 1e6 AS zipf_slope,
+             |  floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+             |      - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 1e4
+             |    * 1e6 + 0.5) / 1e6 AS zipf_intercept
+             |FROM s""".stripMargin),
+    ),
+
     // fastText-style hashed-feature quality classifier: word unigrams +
     // bigram shingles hash (portable md5-48) into a 64-bucket FROZEN
     // weight table (integer micros, generated from a fixed formula and
