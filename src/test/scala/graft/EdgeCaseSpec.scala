@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -31,6 +32,29 @@ class EdgeCaseSpec extends SparkSuite {
     assert(Dedup.containmentPairs(empty, "doc_id", "text", "source").count() == 0)
     assert(Dedup.editDistancePairs(empty, "doc_id", "text", "source").count() == 0)
     assert(Dedup.nearDupClusters(empty, "doc_id", "text", "source", 3).count() == 0)
+  }
+
+  test("continuation-4 operators: empty and degenerate corpora never throw") {
+    val empty = docs()
+    assert(Dedup.incrementalDedup(empty, "doc_id", "text",
+      col("doc_id") % 2 === 0).count() == 0)
+    assert(TextAnalysis.knScore(empty, "doc_id", "text", lit(true)).count() == 0)
+    assert(graft.operators.Bpe.train(empty, "text", 5).isEmpty)
+    assert(graft.operators.Bpe.train(empty, "text", 5, maxDriverVocab = 0L).isEmpty)
+    // one doc: batch side alone, no candidates; KN trains on itself
+    val one = docs((7L, "only one document here", "src")).drop("source")
+    val inc = Dedup.incrementalDedup(one, "doc_id", "text", lit(true)).collect()
+    assert(inc.length == 1 && !inc(0).getBoolean(1))
+    val kn = TextAnalysis.knScore(one, "doc_id", "text", lit(true)).collect()
+    assert(kn.length == 1 && kn(0).getLong(3) == 1L)
+    // empty train slice: every bigram routes through the OOV tier, scores finite
+    val two = docs((1L, "a b c", "s"), (2L, "c b a", "s")).drop("source")
+    val cold = TextAnalysis.knScore(two, "doc_id", "text", lit(false)).collect()
+    assert(cold.length == 2 && cold.forall(r => !r.isNullAt(2)))
+    // single-word corpus: BPE merges only with the sentinel, never loops
+    val tiny = docs((1L, "aa aa", "s")).drop("source")
+    val m = graft.operators.Bpe.train(tiny, "text", 10)
+    assert(m.nonEmpty && m.size <= 10)
   }
 
   test("dedup family: single document yields no pairs, one singleton cluster") {
