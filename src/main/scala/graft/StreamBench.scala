@@ -97,7 +97,7 @@ object StreamBench {
     val shift = 1000000000L
 
     val line: String = scenario match {
-      case "corpus" =>
+      case c if c == "corpus" || c == "corpus_kn" =>
         // documents + 25% duplicate tail; duplicates arrive AFTER their
         // originals (higher doc_id, same text) so the watermarked dedup
         // state must actually catch them
@@ -112,16 +112,31 @@ object StreamBench {
         val nDocs = corpusJson.count()
         val docDir = s"$work/doc_in"
         corpusJson.repartition(batches).write.text(docDir)
+        // corpus_kn: the full speed-layer quality path — the frozen KN
+        // model (batch-trained once on the base corpus, closure-shipped)
+        // gates each doc after dedup; the cut is the base corpus's own
+        // p75 score, so ~25% of unique docs drop and both branches pay
+        val gate: Option[(graft.operators.TextAnalysis.KnModel, Double)] =
+          if (scenario == "corpus_kn") {
+            val model = graft.operators.TextAnalysis.knModel(
+              d0, "text", col("doc_id") % 5 =!= 0)
+            val scores = d0.select(col("text")).collect()
+              .flatMap(r => model.avgNll(r.getString(0))).sorted
+            Some((model, scores((scores.length * 3) / 4)))
+          } else None
         def run(tag: String, maxFiles: Int): String = {
           val raw = spark.readStream.schema(valueSchema)
             .option("maxFilesPerTrigger", maxFiles.toString).text(docDir)
           val t0 = System.nanoTime()
-          val q = CorpusStream.ingest(raw)
+          val ingested = CorpusStream.ingest(raw)
+          val piped = gate.fold(ingested) { case (m, cut) =>
+            CorpusStream.perplexityGate(ingested, m, cut) }
+          val q = piped
             .writeStream.format("parquet")
             .option("path", s"$work/corpus_out_$tag")
             .option("checkpointLocation", s"$work/ckpt_corpus_$tag")
             .start()
-          drain(q, s"corpus_ingest_$tag", nDocs, t0)
+          drain(q, s"${scenario}_$tag", nDocs, t0)
         }
         run("warm", batches / 2) // warm-up: big files, few batches
         run("main", 1)
