@@ -995,7 +995,8 @@ object TextAnalysis {
     * are excluded by contract); ppl_bucket 1 = head … `buckets` = tail.
     */
   def knScore(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-      trainPred: org.apache.spark.sql.Column, buckets: Int = 3): org.apache.spark.sql.DataFrame = {
+      trainPred: org.apache.spark.sql.Column, buckets: Int = 3,
+      maxDriverTypes: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
     val d = 0.75
     val base = df.select(col(idCol).cast(LongType).as("doc_id"),
       col(textCol).as("__text"), trainPred.as("__train"))
@@ -1031,6 +1032,22 @@ object TextAnalysis {
     // −ln P once per SEEN bigram type, micro-quantized — the same
     // hoisting discipline as q_hybrid_rrf's idf (evaluate per type, not
     // per occurrence row)
+    //
+    // Three scoring tiers, picked from the MEASURED type count (free
+    // from the cache materialization above):
+    //   1. model fits the DRIVER (≤ maxDriverTypes): collect the cached
+    //      c12 once, score each doc with the frozen [[KnModel]] in ONE
+    //      narrow pass — no gram explode, no joins, no broadcast-build
+    //      jobs (the scores are bit-identical to the join path: the
+    //      serial formula ≡ the column expressions, pinned by
+    //      KnScoreSpec both-paths and KnStreamSpec);
+    //   2. model fits a BROADCAST: join gram occurrences map-side — the
+    //      per-doc partial aggregate collapses to one row per doc before
+    //      any exchange, so the corpus never shuffles;
+    //   3. web-scale bigram table: collapse occurrences to per-doc tf
+    //      FIRST (fewer rows per join key), then the shuffle equi-join.
+    // (Without the broadcast hint Catalyst picked a sort-merge join even
+    // for a 916-row model — the scalar crossJoin resets sizeInBytes.)
     val pcSeen = (col("n1b") + lit(1L)) / (col("tt") + col("v"))
     val pknSeen = (col("c12") - lit(d)) / col("c1") +
       lit(d) * col("n1f") / col("c1") * pcSeen
@@ -1045,15 +1062,6 @@ object TextAnalysis {
     val lpBack = floor(-log(
       when(col("c1").isNotNull, lit(d) * col("n1f") / col("c1") * pcBack)
         .otherwise(pcBack)) * lit(1e6) + lit(0.5)).cast(LongType)
-    // Two scoring shapes, picked from the MEASURED type count (free from
-    // the cache materialization above):
-    //   - model fits a broadcast: join gram OCCURRENCES map-side — the
-    //     per-doc partial aggregate then collapses to one row per doc
-    //     before any exchange, so the corpus never shuffles at all;
-    //   - web-scale bigram table: collapse occurrences to per-doc tf
-    //     FIRST (fewer rows per join key), then the shuffle equi-join.
-    // (Without the hint Catalyst picked a sort-merge join even for a
-    // 916-row model — the scalar crossJoin resets sizeInBytes.)
     val weighted = if (nTypes <= 4000000L)
       tfOcc.withColumn("tf", lit(1L)).join(broadcast(model), Seq("w1", "w2"), "left")
     else
@@ -1072,13 +1080,21 @@ object TextAnalysis {
     // the whole LM pipeline mid-rank). Bench and Verify clearCache()
     // between queries; callers that reuse the session should unpersist
     // after the final action over the result.
-    val perDoc = scored.groupBy("doc_id").agg(
+    val perDocJoined = scored.groupBy("doc_id").agg(
         sum(col("tf") * col("lp")).as("nll_micros"),
         sum("tf").as("n_bigrams"))
       .withColumn("avg_nll",
         floor(col("nll_micros").cast("double") / col("n_bigrams").cast("double")
           + lit(0.5)) / lit(1e6))
       .select("doc_id", "n_bigrams", "avg_nll")
+    val perDoc = (if (nTypes <= maxDriverTypes) {
+        val m = buildKnModel(c12.collect())
+        val scoreU = udf((text: String) => m.avgNll(text))
+        base.select(col("doc_id"),
+            (size(split(col("__text"), " ")) - 1).cast(LongType).as("n_bigrams"),
+            scoreU(col("__text")).as("avg_nll"))
+          .filter(col("n_bigrams") >= 1L)
+      } else perDocJoined)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Scale.distributedNtile(perDoc, Seq(col("avg_nll"), col("doc_id")),
         "avg_nll", descending = false, buckets, "ppl_bucket")
@@ -1154,6 +1170,12 @@ object TextAnalysis {
     require(rows.length <= maxTypes,
       s"knModel: ${rows.length} bigram types exceed maxTypes=$maxTypes; " +
         "a model this size cannot ship driver-side — use knScore's distributed path")
+    buildKnModel(rows)
+  }
+
+  /** Assemble a [[KnModel]] from collected (w1, w2, c12) rows — shared by
+    * [[knModel]] and [[knScore]]'s driver-model fast path. */
+  private def buildKnModel(rows: Array[org.apache.spark.sql.Row]): KnModel = {
     val c12 = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val hist = c12.groupBy(_._1._1)
       .map { case (w1, m) => w1 -> (m.values.sum, m.size.toLong) }

@@ -92,9 +92,16 @@ class KnScoreSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toSeq
 
-  test("knScore equals the serial KN reference on all backoff paths") {
+  test("knScore equals the serial KN reference on all backoff paths — both tiers") {
     val expected = serialKn(corpus, _ % 2 == 0, 3)
     assert(run() == expected)
+    // force the distributed join tier (driver-model cap 0) — same answer
+    val joined = TextAnalysis.knScore(docs(corpus: _*), "doc_id", "text",
+        col("doc_id") % 2 === 0, 3, maxDriverTypes = 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(joined == expected)
     // the fixture genuinely exercises the backoff tiers: the OOV doc must
     // score strictly worse than the all-seen train doc
     val byId = expected.map(e => e._1 -> e._3).toMap
