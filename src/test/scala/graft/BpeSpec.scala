@@ -111,6 +111,22 @@ class BpeSpec extends SparkSuite {
     words.foreach { w => assert(seg(w) == Bpe.applyMerges(w, merges), s"word $w") }
   }
 
+  test("train property: equals the serial reference on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small alphabet forces heavy pair collisions and tie-breaks; repeated
+    // chars ("aaa...") force the greedy-overlap path
+    val word = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    val gen = Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, word))
+    val prop = Prop.forAll(gen) { words =>
+      val corpus = words.grouped(3).map(_.mkString(" ")).toSeq
+      val df = docs(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+      Bpe.train(df, "text", 8) == serialTrain(corpus, 8)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("tokenCounts: consistent totals and genuine compression on fixture data") {
     val df = Tables(spark, sf("sf0.001"), "documents")
     val merges = Bpe.train(df, "text", 40).map(m => (m._1, m._2))

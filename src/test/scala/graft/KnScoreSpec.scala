@@ -119,6 +119,34 @@ class KnScoreSpec extends SparkSuite {
     assert(shuffled == expected)
   }
 
+  test("knScore property: equals the serial reference on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // 5-word core vocab + a rare OOV token; random train membership
+    // exercises every backoff tier across corpora
+    val word = Gen.frequency(9 -> Gen.oneOf("ai", "bo", "cu", "de", "ef"),
+      1 -> Gen.const("zzz"))
+    val doc = Gen.choose(2, 7).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val gen = for {
+      n <- Gen.choose(3, 7)
+      texts <- Gen.listOfN(n, doc)
+      mod <- Gen.choose(2, 3)
+    } yield (texts, mod)
+    val prop = Prop.forAll(gen) { case (texts, mod) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // guard: at least one train doc, else the LM has no statistics at
+      // all and every tier collapses to the same OOV constant (fine but
+      // uninformative)
+      val out = TextAnalysis.knScore(docs(rows: _*), "doc_id", "text",
+          col("doc_id") % mod === 0, 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSeq
+      out == serialKn(rows, _ % mod == 0, 3)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("knScore drops single-word docs, keeps everything else") {
     val withSingle = corpus :+ (9L -> "lonely")
     val out = TextAnalysis.knScore(docs(withSingle: _*), "doc_id", "text",
