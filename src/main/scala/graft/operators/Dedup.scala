@@ -791,7 +791,8 @@ object Dedup {
     * LSH surface here, and the oracle replicates the banding exactly.
     */
   def incrementalDedup(df: DataFrame, idCol: String, textCol: String,
-      batchPred: Column, threshold: Double = 0.8): DataFrame = {
+      batchPred: Column, threshold: Double = 0.8,
+      maxBandBucket: Option[Int] = None): DataFrame = {
     val s = df.sparkSession
     graft.functions.MinHashSig.register(s)
     val spread = df.select(col(idCol).cast("long").as("__id"),
@@ -806,10 +807,21 @@ object Dedup {
         concat((4 until 8).map(i => col("sig").getItem(i)): _*).as("__b1"))
       .select(col("__id"), col("__batch"), col("__b0").as("__k0"),
         posexplode(array(col("__b0"), col("__b1"))).as(Seq("band_idx", "band_key")))
-    val probe = banded.filter(col("__batch"))
+    // the same too-common-bucket guard as minHashPairs: a band bucket
+    // holding more than the cap fans every batch probe across all its
+    // members — drop oversized buckets before the join (documented
+    // recall loss; None = exact)
+    val pruned = maxBandBucket match {
+      case Some(cap) =>
+        val w = Window.partitionBy("band_idx", "band_key")
+        banded.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => banded
+    }
+    val probe = pruned.filter(col("__batch"))
       .select(col("__id").as("__ida"), col("band_idx"), col("band_key"),
         col("__k0").as("__k0a"))
-    val build = banded.select(col("__id").as("__idb"), col("__batch").as("__batchb"),
+    val build = pruned.select(col("__id").as("__idb"), col("__batch").as("__batchb"),
       col("band_idx"), col("band_key"), col("__k0").as("__k0b"))
     val cands = probe.join(build, Seq("band_idx", "band_key"))
       .filter(!col("__batchb") || col("__idb") < col("__ida"))

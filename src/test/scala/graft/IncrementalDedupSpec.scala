@@ -63,6 +63,24 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(shuffled == base)
   }
 
+  test("maxBandBucket: generous cap is exact, tight cap drops banded recall") {
+    val base = run(docs(corpus: _*))
+    val generous = Dedup.incrementalDedup(docs(corpus: _*), "doc_id", "text",
+        col("doc_id") % 2 === 0, maxBandBucket = Some(100))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSeq
+    assert(generous == base)
+    // cap 1 prunes every shared bucket — nothing can be flagged, but
+    // every batch doc still reports (the output contract is unchanged)
+    val tight = Dedup.incrementalDedup(docs(corpus: _*), "doc_id", "text",
+        col("doc_id") % 2 === 0, maxBandBucket = Some(1))
+      .collect()
+    assert(tight.length == corpus.count(_._1 % 2 == 0))
+    assert(tight.forall(!_.getBoolean(1)))
+  }
+
   test("jaccard is the exact shingle-set value for the reported dup_of") {
     val row = Dedup.incrementalDedup(docs(corpus: _*), "doc_id", "text",
         col("doc_id") % 2 === 0)
