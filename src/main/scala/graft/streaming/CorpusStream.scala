@@ -65,6 +65,65 @@ object CorpusStream {
       .filter(col("n_words") >= minWords && col("digit_frac") <= maxDigitFrac)
   }
 
+  /** Stream-static near-dup guard — the speed-layer twin of
+    * `Dedup.incrementalDedup`: every arriving document checks itself
+    * against a STATIC corpus snapshot and surfaces as a quarantine row
+    * when a verified near-duplicate exists. Same signature scheme as the
+    * batch operator (bigram shingles → 2×4 md5-slice MinHash bands), and
+    * the same scale shape: the stream's banded rows EQUI-join the
+    * snapshot's banded rows per micro-batch (a stream-static hash join —
+    * never a nested-loop scan of the snapshot), exact shingle Jaccard
+    * verifies candidates inside the batch, and
+    * `dropDuplicatesWithinWatermark` collapses multi-band/multi-match
+    * hits to one row per doc with watermark-bounded state.
+    *
+    * Output: (doc_id, dup_of, jaccard, `__ts`) for flagged docs only —
+    * `dup_of` is ONE verified witness (the batch operator's argmin
+    * canonicalization needs an aggregation a stateless stream gate
+    * shouldn't pay; route flagged ids to quarantine and let the batch
+    * layer canonicalize). Callers should `persist` the prepared snapshot
+    * ([[prepareSnapshot]]) so its signature pass runs once, not once per
+    * micro-batch.
+    */
+  def prepareSnapshot(snapshot: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = snapshot.sparkSession
+    graft.functions.MinHashSig.register(spark)
+    bandedSigs(snapshot, idCol, textCol)
+      .select(col("band_idx"), col("band_key"),
+        col("__id").as("snap_id"), col("__gs").as("snap_gs"))
+  }
+
+  private def bandedSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast(LongType).as("__id"),
+        array_distinct(expr(s"filter(zip_with(split($textCol, ' '), " +
+          s"slice(split($textCol, ' '), 2, size(split($textCol, ' '))), " +
+          "(a, b) -> concat(a, ' ', b)), g -> g IS NOT NULL)")).as("__gs"))
+      .withColumn("sig", expr("minhash_sig(__gs)"))
+      .select(col("__id"), col("__gs"),
+        posexplode(array(
+          concat((0 until 4).map(i => col("sig").getItem(i)): _*),
+          concat((4 until 8).map(i => col("sig").getItem(i)): _*)))
+          .as(Seq("band_idx", "band_key")))
+
+  def snapshotNearDups(docs: DataFrame, preparedSnapshot: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      dedupWindow: String = "10 minutes"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.MinHashSig.register(spark)
+    val streamBands = bandedSigs(docs, idCol, textCol)
+    val inter = size(array_intersect(col("__gs"), col("snap_gs"))).cast(LongType)
+    streamBands
+      .join(preparedSnapshot, Seq("band_idx", "band_key"))
+      .withColumn("__i", inter)
+      .withColumn("jaccard", col("__i").cast("double") /
+        (size(col("__gs")).cast(LongType) + size(col("snap_gs")).cast(LongType) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__id").as("doc_id"), col("snap_id").as("dup_of"), col("jaccard"))
+      .withColumn("__ts", current_timestamp())
+      .withWatermark("__ts", dedupWindow)
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** CCNet-style streaming perplexity gate — the batch→speed-layer model
     * handoff: a frozen [[graft.operators.TextAnalysis.KnModel]] (trained
     * once on the reference corpus, bigram-type-bounded, shipped in the
