@@ -97,6 +97,41 @@ object StreamBench {
     val shift = 1000000000L
 
     val line: String = scenario match {
+      case "snap_dedup" =>
+        // stream-static snapshot guard: snapshot = the base documents;
+        // the stream replays the same docs under new ids (every one a
+        // verified exact dup — worst-case verify mass) plus the `copies`
+        // blow-up as unique docs (disjoint suffixed tokens)
+        val d0 = Tables(spark, sfDir, "documents")
+        val uniq = (1 until copies.max(2)).map { i =>
+          d0.withColumn("doc_id", col("doc_id") + lit(i * shift))
+            .withColumn("text",
+              array_join(transform(split(col("text"), " "),
+                t => concat(t, lit(s"_$i"))), " "))
+        }.foldLeft(d0.withColumn("doc_id", col("doc_id") + lit(99 * shift)))(_ unionByName _)
+        val streamJson = uniq
+          .select(to_json(struct(col("doc_id"), col("text"), lit("s").as("source"))).as("value"))
+        val nDocs = streamJson.count()
+        val inDir = s"$work/snap_in"
+        streamJson.repartition(batches).write.text(inDir)
+        val snap = graft.streaming.CorpusStream
+          .prepareSnapshot(d0, "doc_id", "text").cache()
+        snap.count()
+        def run(tag: String, maxFiles: Int): String = {
+          val raw = spark.readStream.schema(valueSchema)
+            .option("maxFilesPerTrigger", maxFiles.toString).text(inDir)
+          val t0 = System.nanoTime()
+          val q = graft.streaming.CorpusStream.snapshotNearDups(
+              graft.streaming.CorpusStream.decode(raw), snap, "doc_id", "text")
+            .writeStream.format("parquet")
+            .option("path", s"$work/snap_out_$tag")
+            .option("checkpointLocation", s"$work/ckpt_snap_$tag")
+            .start()
+          drain(q, s"snap_dedup_$tag", nDocs, t0)
+        }
+        run("warm", batches / 2)
+        run("main", 1)
+
       case c if c == "corpus" || c == "corpus_kn" =>
         // documents + 25% duplicate tail; duplicates arrive AFTER their
         // originals (higher doc_id, same text) so the watermarked dedup
