@@ -56,18 +56,25 @@ object MakeScaled {
 
     copies("events", Seq("event_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
-    // l_partkey shifts WITH the copy (and the part dim scales to match,
-    // below): real data grows its item space alongside its fact volume.
-    // Leaving partkeys fixed would grow every part's degree k×, turning
-    // the pair-mass queries (q_triangles, q_cooccur) quadratic in k by
-    // FIXTURE construction — a density artifact that would drown the
-    // engine's own scaling signal.
+    // l_partkey AND o_custkey shift WITH the copy (and the part/customer
+    // dims scale to match, below): real data grows its item space and its
+    // customer base alongside its fact volume. Leaving either key fixed
+    // grows that entity's degree k× and densifies the co-purchase
+    // projection BY FIXTURE construction — the un-shifted customer axis
+    // was measured doing exactly that (round-8 continuation 4): at 32×,
+    // cross-copy shared-part accumulation pushed most customer pairs past
+    // q_triangles' minShared=4, the projection approached a clique, and
+    // the enumeration (invisible to count()-based bench curves, which
+    // prune it) went combinatorial — a density artifact, not an engine
+    // signal.
     copies("lineitem", Seq("l_orderkey", "l_partkey"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
-    copies("orders", Seq("o_orderkey"))
+    copies("orders", Seq("o_orderkey", "o_custkey"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
     copies("part", Seq("p_partkey"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
+    copies("customer", Seq("c_custkey"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/customer.parquet")
     if (corpus) {
       // per-copy PERTURBATION, not verbatim replication: k−1 exact twins of
       // every doc is a degenerate corpus; a suffix token / dimension nudge
@@ -124,7 +131,7 @@ object MakeScaled {
         Tables(spark, src, t).write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
       }
     }
-    Seq("region", "nation", "customer", "supplier")
+    Seq("region", "nation", "supplier")
       .foreach { t =>
         Tables(spark, src, t).write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
       }

@@ -17,8 +17,13 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_SHUFFLE: probe-time override for the partition count —
+    // scale-probe fixtures grow 32-64x past sf0.1, and holding the bench's
+    // 32 partitions fixed there measures spill, not the operator (the
+    // cluster rule is partitions ∝ data)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
