@@ -5,11 +5,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** A named query with its Spark implementation and (when SQL-expressible) a
   * DuckDB oracle over the same parquet tables. Queries without an oracle get
   * the driver's weaker rows-only check.
+  *
+  * `oracleGen` is the verify-time variant for oracles whose SQL-expressible
+  * half depends on fixture-derived constants (q_bpe_tokens: the trained
+  * merge table embeds as literals into a recursive CTE). Verify evaluates it
+  * with the same (spark, sfDir) the query ran against and writes the result
+  * into oracle_sql.json alongside the static oracles — the DuckDB side then
+  * recomputes the deterministic half independently. Exactly one of
+  * `oracle` / `oracleGen` should be set.
   */
 final case class GraftQuery(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
+    oracleGen: Option[(SparkSession, String) => String] = None,
 )
 
 object Tables {

@@ -45,8 +45,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+    // Static oracles + verify-time-generated ones (fixture-derived
+    // constants, e.g. q_bpe_tokens' trained merge table as CTE literals).
+    val dynamic = SparkEntry.all
+      .filter(g => g.oracleGen.isDefined && only.forall(_.contains(g.name)))
+      .flatMap { g =>
+        try Some(g.name -> g.oracleGen.get(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] oracleGen ${g.name} failed: ${e.getMessage}")
+          None
+        }
+      }.toMap
+    val json = (SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) } ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

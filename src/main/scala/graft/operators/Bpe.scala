@@ -254,12 +254,82 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** DuckDB oracle for the SQL-expressible half of q_bpe_tokens:
+    * segmentation under a FROZEN merge list + per-doc token counting, as a
+    * recursive CTE (the q_stateful_classify order-dependent-fold technique).
+    * The trained merge table embeds as literals — training itself is an
+    * iterative argmax loop SQL cannot express and stays spec-pinned by
+    * BpeSpec against a serial reference.
+    *
+    * The greedy left-to-right merge pass maps EXACTLY onto SQL `replace`
+    * over a DOUBLE-chr(31)-delimited symbol string. Encoding: every token
+    * boundary (including the string's ends) is the 2-char "␟␟"; the pass
+    * for pair (a, b) replaces "␟a␟␟b␟" with "␟ab␟" — each side of the
+    * pattern claims only HALF of its boundary, so:
+    *   - both symbols are anchored at full-token boundaries (a single ␟
+    *     never occurs inside a token, and a matched symbol is flanked by
+    *     ␟ on both sides, so it can be neither a prefix nor a suffix of a
+    *     longer token — the naive single-␟ pattern "a␟b" breaks exactly
+    *     there: "te␟</w>" contains "e␟</w>" and merge ('e','</w>') would
+    *     fire mid-token);
+    *   - greedy runs still chain: in "␟␟a␟␟a␟␟a␟␟a␟␟" the first match
+    *     consumes "␟a␟␟a␟", leaving the untouched outer ␟s to serve as
+    *     the anchors of the NEXT match — replace scans left to right,
+    *     consumes non-overlapping occurrences, and continues AFTER each
+    *     replacement, so a just-merged token never re-merges with the
+    *     next symbol in the same pass: the "aaaa" + (a,a) → ["aa","aa"]
+    *     contract [[mergePass]] implements.
+    * chr(31) (ASCII unit separator) cannot occur inside a symbol: symbols
+    * are corpus characters and their concatenations, and a chr(31) in raw
+    * text would itself be a 1-char symbol. */
+  private[graft] def tokenCountsOracle(merges: Seq[(String, String)]): String = {
+    def strLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val mergesCte =
+      if (merges.isEmpty) "merges(r, a, b) AS (SELECT 1, '', '' WHERE FALSE)"
+      else merges.zipWithIndex
+        .map { case ((a, b), i) => s"(${i + 1}, ${strLit(a)}, ${strLit(b)})" }
+        .mkString("merges(r, a, b) AS (VALUES\n  ", ",\n  ", ")")
+    s"""WITH RECURSIVE
+       |$mergesCte,
+       |occ AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |  ) WHERE w <> ''
+       |),
+       |words AS (SELECT DISTINCT w FROM occ),
+       |seg AS (
+       |  SELECT w, 0 AS r,
+       |    chr(31) || chr(31)
+       |      || array_to_string(string_split(w, ''), chr(31) || chr(31))
+       |      || chr(31) || chr(31) || '</w>' || chr(31) || chr(31) AS s
+       |  FROM words
+       |  UNION ALL
+       |  SELECT g.w, m.r,
+       |    replace(g.s, chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+       |                 chr(31) || m.a || m.b || chr(31))
+       |  FROM seg g JOIN merges m ON m.r = g.r + 1
+       |),
+       |fin AS (
+       |  SELECT w,
+       |    CAST(len(string_split(s, chr(31) || chr(31))) - 2 AS BIGINT) AS n_tokens,
+       |    CAST(length(w) AS BIGINT) AS n_chars
+       |  FROM seg WHERE r = ${merges.length}
+       |)
+       |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(f.n_tokens) AS BIGINT) AS n_tokens,
+       |  floor(CAST(sum(f.n_chars) AS DOUBLE) / CAST(sum(f.n_tokens) AS DOUBLE)
+       |    * 1e4 + 0.5) / 1e4 AS chars_per_token
+       |FROM occ o JOIN fin f USING (w)
+       |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
+  }
+
   /** BPE fertility probe: train 40 merges on the corpus itself, report
     * per-doc token counts and chars-per-token under the learned vocab —
     * the tokenizer-fit readout run before committing a vocab to a
-    * pretraining run. No DuckDB oracle (training is an iterative argmax
-    * loop SQL cannot express); the driver records the rows-only check and
-    * BpeSpec pins the semantics against a serial reference end-to-end.
+    * pretraining run. The oracle is verify-time-generated
+    * ([[tokenCountsOracle]]): segmentation + counting under the frozen
+    * merge list is checked hash-exact by DuckDB; the trainer itself is
+    * spec-pinned (BpeSpec) against a serial reference.
     */
   val queries: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -270,6 +340,11 @@ object Bpe {
         tokenCounts(docs, "doc_id", "text", merges)
       },
       None,
+      oracleGen = Some((s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val merges = train(docs, "text", 40).map(m => (m._1, m._2))
+        tokenCountsOracle(merges)
+      }),
     ),
   )
 }

@@ -823,13 +823,23 @@ object Dedup {
         col("__k0").as("__k0a"))
     val build = pruned.select(col("__id").as("__idb"), col("__batch").as("__batchb"),
       col("band_idx"), col("band_key"), col("__k0").as("__k0b"))
-    val cands = probe.join(build, Seq("band_idx", "band_key"))
+    val joined = probe.join(build, Seq("band_idx", "band_key"))
       .filter(!col("__batchb") || col("__idb") < col("__ida"))
-      // one banded row per doc per band → a pair can repeat only as a
-      // both-band double-hit, and that hit has equal band-0 keys: the
-      // same codegen'd filter as minHashPairs, no distinct shuffle
-      .filter(col("band_idx") === 0 || col("__k0a") =!= col("__k0b"))
-      .select(col("__ida").as("doc_id"), col("__idb").as("doc_b"))
+    // one banded row per doc per band → a pair can repeat only as a
+    // both-band double-hit, and that hit has equal band-0 keys: the
+    // same codegen'd filter as minHashPairs, no distinct shuffle. With a
+    // bucket cap the equivalence breaks — pruning can drop a pair's
+    // band-0 bucket while its band-1 collision survives, and that
+    // survivor has EQUAL band-0 keys and would be wrongly discarded —
+    // so capped mode deduplicates positionally instead, exactly as
+    // minHashPairs does.
+    val cands = maxBandBucket match {
+      case None => joined
+        .filter(col("band_idx") === 0 || col("__k0a") =!= col("__k0b"))
+        .select(col("__ida").as("doc_id"), col("__idb").as("doc_b"))
+      case Some(_) => joined
+        .select(col("__ida").as("doc_id"), col("__idb").as("doc_b")).distinct()
+    }
     val docSets = spread.select(col("__id"), col("__gs").as("gs"))
     val verified = cands
       .join(docSets.select(col("__id").as("doc_id"), col("gs").as("gs_a")), "doc_id")

@@ -769,10 +769,10 @@ object TextAnalysis {
            |f AS (
            |  SELECT doc_id,
            |    CAST(len(ws) + len(gs) AS BIGINT) AS n_feats,
-           |    CAST(list_sum(list_transform(ws,
-           |        x -> wt[CAST(${h("x")} % 64 AS INT) + 1])) AS BIGINT)
-           |    + CAST(list_sum(list_transform(gs,
-           |        x -> wt[CAST(${h("x")} % 64 AS INT) + 1])) AS BIGINT) AS s_micros
+           |    CAST(coalesce(list_sum(list_transform(ws,
+           |        x -> wt[CAST(${h("x")} % 64 AS INT) + 1])), 0) AS BIGINT)
+           |    + CAST(coalesce(list_sum(list_transform(gs,
+           |        x -> wt[CAST(${h("x")} % 64 AS INT) + 1])), 0) AS BIGINT) AS s_micros
            |  FROM m CROSS JOIN w
            |),
            |p AS (

@@ -81,6 +81,44 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(tight.forall(!_.getBoolean(1)))
   }
 
+  test("maxBandBucket middle case: band-0 bucket pruned, surviving band-1 collision still flags") {
+    // The regression shape: a pair that collides in BOTH bands (exact
+    // twins), whose band-0 bucket is oversized because near-twin variants
+    // share the band-0 key — pruning drops the band-0 rows, the pair's
+    // only surviving candidate comes from band 1, and that candidate has
+    // EQUAL band-0 keys. The unconditional double-hit filter used to
+    // discard it; capped mode must use positional distinct instead.
+    graft.functions.MinHashSig.register(spark)
+    val base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    val s = spark
+    import s.implicits._
+    // Deterministic search: appended-word near-twins whose band-0 key
+    // matches the base but whose band-1 key differs (per-slot change
+    // prob ≈ 1/22, so ~14% of variants qualify).
+    val shingleExpr = "array_distinct(filter(zip_with(split(text, ' '), " +
+      "slice(split(text, ' '), 2, size(split(text, ' '))), " +
+      "(a, b) -> concat(a, ' ', b)), g -> g IS NOT NULL))"
+    val sigs = (base +: (0 until 60).map(i => s"$base x$i")).toDF("text")
+      .withColumn("sig", expr(s"minhash_sig($shingleExpr)"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Any](1).map(_.toString))
+      .toMap
+    def band(t: String, b: Int) = sigs(t).slice(4 * b, 4 * b + 4).mkString
+    val variants = sigs.keys.filter(t => t != base &&
+      band(t, 0) == band(base, 0) && band(t, 1) != band(base, 1)).toSeq.sorted
+    assert(variants.size >= 3, "fixture search found too few band-partial twins")
+    // snapshot: base (id 1) + three band-0-sharing variants; batch: exact
+    // twin of base (id 0). Band-0 bucket = {0,1,3,5,7} (5 > cap 4) →
+    // pruned; band-1 bucket = {0,1} survives.
+    val corpus = docs(Seq(1L -> base, 3L -> variants(0), 5L -> variants(1),
+      7L -> variants(2), 0L -> base): _*)
+    val out = Dedup.incrementalDedup(corpus, "doc_id", "text",
+        col("doc_id") % 2 === 0, maxBandBucket = Some(4))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 0L && out(0).getBoolean(1) && out(0).getLong(2) == 1L)
+  }
+
   test("jaccard is the exact shingle-set value for the reported dup_of") {
     val row = Dedup.incrementalDedup(docs(corpus: _*), "doc_id", "text",
         col("doc_id") % 2 === 0)
