@@ -55,13 +55,13 @@ object Bench {
     * must not be invisible in the bench line.
     */
   def renderJson(results: Seq[(String, Double)], sfDir: String,
-      failures: Int = 0, flaky: Int = 0): String = {
+      failures: Int = 0, flaky: Int = 0, calibration: Double = 0.0): String = {
     val total = results.map(_._2).sum
     val sf = sfLabel(sfDir)
     def line(entries: Seq[(String, Double)], otherSum: Option[Double]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
         otherSum.map(s => "\"other\":" + fmt(s))
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"flaky":$flaky,"queries":${qs.mkString("{", ",", "}")},"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"queries":${qs.mkString("{", ",", "}")},"sf":"$sf"}"""
     }
     val bySlowest = results.sortBy { case (k, v) => (-v, k) }
     // Largest prefix of the slowest-first ordering that fits; the rest
@@ -100,6 +100,22 @@ object Bench {
         .selectExpr("row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn")
         .count()
     }
+    // Box calibration: one FIXED synthetic workload (sf-independent —
+    // shuffle agg + sort over a generated range), timed min-of-2 after
+    // warmup and published as `calibration_sec`. Cross-round bench ratios
+    // divide by this to separate host-speed drift from plan regressions
+    // (round 8 burned a day's adjudication on a uniform ~1.5× host
+    // slowdown that isolated probes showed was not code). The workload
+    // must NEVER change across rounds or the constant loses meaning.
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 25).selectExpr("id % 9973 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"),
+          org.apache.spark.sql.functions.count("*").as("c"))
+        .orderBy("s").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibration = math.min(calibrateOnce(), calibrateOnce())
     // Two reps, report per-query MIN: a single cold pass is hostage to the
     // shared driver box's noise (round 3 recorded a phantom 1.48× "regression"
     // spread across untouched queries; a clean local re-run was 1.0×). The min
@@ -145,7 +161,7 @@ object Bench {
         s"[bench] FLAKY $n: ${reps.count(!_._3)}/${reps.size} reps failed")
       someFailed
     }
-    val jsonLine = renderJson(results, sfDir, failures, flaky)
+    val jsonLine = renderJson(results, sfDir, failures, flaky, calibration)
     // Full per-query dump (no MaxLine cap / "other" merging) for scaling
     // analysis — the stdout line stays driver-compatible, the file carries
     // every query's time for tools/scaling.py.
@@ -153,7 +169,7 @@ object Bench {
       val qs = results.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"failures":$failures,"flaky":$flaky,"queries":$qs,"sf":"${sfLabel(sfDir)}"}""")
+        s"""{"failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"queries":$qs,"sf":"${sfLabel(sfDir)}"}""")
     }
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()

@@ -28,6 +28,9 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("n_frames", IntegerType),
       StructField("sample_rate", IntegerType),
+      StructField("bitrate_kbps", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("brand", StringType),
     ))),
   ))
 
@@ -148,12 +151,17 @@ object Multimodal {
     *     past the marker;
     *   - MP3: the first MPEG audio frame header (after an ID3v2 tag if
     *     one leads, skipped via its syncsafe size) — sample rate from the
-    *     version bits × rate-index table. A reserved version/layer/index
-    *     pattern falls to the stub;
-    *   - MP4 (ISO BMFF): "ftyp" leading box, then nested bounded box
-    *     walks moov → trak → tkhd ([[boxOffset]]) — track width/height
-    *     are 16.16 fixed-point u32s at the tkhd tail (v0 and v1 layouts
-    *     both handled). Audio-only tracks (zero dims) fall to the stub;
+    *     version bits × rate-index table, bitrate from the full
+    *     version × layer × bitrate-index table (kbps; free-format index 0
+    *     → null, no duration: one header cannot distinguish CBR from
+    *     VBR). A reserved version/layer/index pattern falls to the stub;
+    *   - MP4 (ISO BMFF): "ftyp" leading box (major brand = the 4CC right
+    *     after the box name), then nested bounded box walks moov → trak
+    *     → tkhd ([[boxOffset]]) — track width/height are 16.16
+    *     fixed-point u32s at the tkhd tail (v0 and v1 layouts both
+    *     handled) — plus moov → mvhd for timescale/duration
+    *     (duration_ms = duration·1000/timescale, v0 u32 and v1 u64
+    *     layouts). Audio-only tracks (zero dims) fall to the stub;
     *   - GIF: "GIF87a"/"GIF89a" signature, logical-screen dims as LE u16
     *     (frame count stays null — it needs a full data-stream walk);
     *   - BMP: "BM" signature, INFOHEADER signed LE s32 dims (top-down
@@ -199,6 +207,27 @@ object Multimodal {
       when(mpVer === 3, when(srIdx === 0, 44100).when(srIdx === 1, 48000).otherwise(32000))
         .when(mpVer === 2, when(srIdx === 0, 22050).when(srIdx === 1, 24000).otherwise(16000))
         .otherwise(when(srIdx === 0, 11025).when(srIdx === 1, 12000).otherwise(8000))
+    // bitrate: bits 7-4 of byte 3 index the version × layer kbps table
+    // (element_at is 1-based, matching index 1 = the table's first column);
+    // index 0 (free format) and 15 (reserved) → null, not stub — the frame
+    // is still a valid MPEG frame with a known sample rate
+    val brIdx = shiftright(mb3, 4).bitwiseAND(lit(15))
+    def kbps(vs: Int*): Column = element_at(array(vs.map(lit): _*), brIdx)
+    val mp3Bitrate = when(brIdx >= 1 && brIdx <= 14,
+      when(mpVer === 3, // MPEG1: layer bits 3=L1 2=L2 1=L3
+        when(mpLayer === 3, kbps(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448))
+          .when(mpLayer === 2, kbps(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384))
+          .otherwise(kbps(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)))
+        .otherwise( // MPEG2/2.5: L1, and a shared L2/L3 table
+          when(mpLayer === 3, kbps(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256))
+            .otherwise(kbps(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))))
+      .otherwise(lit(null).cast(IntegerType))
+    // WAV duration: canonical layout only (already guarded by the byte-13
+    // "fmt " check) — byte rate LE u32 at 29, "data" chunk size at 41
+    val wavByteRate = leU32(content, 29)
+    val wavHasData = octet_length(content) >= 44 && magicIs(content, 37, "64617461")
+    val wavDurMs = when(wavHasData && wavByteRate > 0,
+      leU32(content, 41) * lit(1000L) / wavByteRate).cast(LongType)
     // MP4: nested box walks; tkhd v0 puts the 16.16 width/height 76/80
     // bytes into the payload, v1's 64-bit times push them 12 further
     // GIF: "GIF87a"/"GIF89a", logical-screen width/height as LE u16 at
@@ -228,46 +257,64 @@ object Multimodal {
       .otherwise(tkhd + lit(84L))
     val mp4W = shiftright(beU32At(content, dimOff), 16).cast(IntegerType)
     val mp4H = shiftright(beU32At(content, dimOff + lit(4L)), 16).cast(IntegerType)
-    when(isPng, struct(
-        beU32(content, 17).cast(IntegerType).as("width"),
-        beU32(content, 21).cast(IntegerType).as("height"),
-        lit(1).cast(IntegerType).as("n_frames"),
-        nullInt.as("sample_rate")))
-      .when(isWav, struct(
-        nullInt.as("width"),
-        nullInt.as("height"),
-        nullInt.as("n_frames"),
-        leU32(content, 25).cast(IntegerType).as("sample_rate")))
-      .when(isJpeg && sof.isNotNull, struct(
-        beU16At(content, sof + lit(7L)).as("width"),
-        beU16At(content, sof + lit(5L)).as("height"),
-        lit(1).cast(IntegerType).as("n_frames"),
-        nullInt.as("sample_rate")))
-      .when(isMp3, struct(
-        nullInt.as("width"),
-        nullInt.as("height"),
-        nullInt.as("n_frames"),
-        mp3Rate.cast(IntegerType).as("sample_rate")))
-      .when(isGif, struct(
-        leU16(content, 7).cast(IntegerType).as("width"),
-        leU16(content, 9).cast(IntegerType).as("height"),
-        nullInt.as("n_frames"),
-        nullInt.as("sample_rate")))
-      .when(isBmp && bmpW > 0 && bmpH > 0, struct(
-        bmpW.cast(IntegerType).as("width"),
-        bmpH.cast(IntegerType).as("height"),
-        lit(1).cast(IntegerType).as("n_frames"),
-        nullInt.as("sample_rate")))
-      .when(isMp4 && tkhd.isNotNull && mp4W > 0 && mp4H > 0, struct(
-        mp4W.as("width"),
-        mp4H.as("height"),
-        nullInt.as("n_frames"),
-        nullInt.as("sample_rate")))
-      .otherwise(struct(
-        (h % 1920 + 1).cast(IntegerType).as("width"),
-        (h % 1080 + 1).cast(IntegerType).as("height"),
-        (h % 240 + 1).cast(IntegerType).as("n_frames"),
-        lit(16000).cast(IntegerType).as("sample_rate")))
+    // ftyp major brand: the 4CC right after the box name (bytes 9-12)
+    val mp4Brand = substring(content, 9, 4).cast(StringType)
+    // mvhd: moov-sibling walk; v0 = [ver/flags 4][ctime 4][mtime 4]
+    // [timescale u32][duration u32], v1 widens the times to u64
+    val mvhd = boxOffset(content, moov + lit(8L),
+      moov + beU32At(content, moov) - lit(1L), "6D766864")
+    val mvhdV1 = u8At(content, mvhd + lit(8L)) === 1
+    val mvTs = when(mvhdV1, beU32At(content, mvhd + lit(28L)))
+      .otherwise(beU32At(content, mvhd + lit(20L)))
+    val mvDur = when(mvhdV1,
+        beU32At(content, mvhd + lit(32L)) * lit(1L << 32) +
+          beU32At(content, mvhd + lit(36L)))
+      .otherwise(beU32At(content, mvhd + lit(24L)))
+    val mp4DurMs = when(mvhd.isNotNull && mvTs > 0, mvDur * lit(1000L) / mvTs)
+      .cast(LongType)
+    val nullLong = lit(null).cast(LongType)
+    val nullStr = lit(null).cast(StringType)
+    def meta(width: Column, height: Column, nFrames: Column, sampleRate: Column,
+        bitrateKbps: Column = nullInt, durationMs: Column = nullLong,
+        brand: Column = nullStr): Column =
+      struct(width.as("width"), height.as("height"), nFrames.as("n_frames"),
+        sampleRate.as("sample_rate"), bitrateKbps.as("bitrate_kbps"),
+        durationMs.as("duration_ms"), brand.as("brand"))
+    when(isPng, meta(
+        beU32(content, 17).cast(IntegerType),
+        beU32(content, 21).cast(IntegerType),
+        lit(1).cast(IntegerType),
+        nullInt))
+      .when(isWav, meta(
+        nullInt, nullInt, nullInt,
+        leU32(content, 25).cast(IntegerType),
+        durationMs = wavDurMs))
+      .when(isJpeg && sof.isNotNull, meta(
+        beU16At(content, sof + lit(7L)),
+        beU16At(content, sof + lit(5L)),
+        lit(1).cast(IntegerType),
+        nullInt))
+      .when(isMp3, meta(
+        nullInt, nullInt, nullInt,
+        mp3Rate.cast(IntegerType),
+        bitrateKbps = mp3Bitrate.cast(IntegerType)))
+      .when(isGif, meta(
+        leU16(content, 7).cast(IntegerType),
+        leU16(content, 9).cast(IntegerType),
+        nullInt, nullInt))
+      .when(isBmp && bmpW > 0 && bmpH > 0, meta(
+        bmpW.cast(IntegerType),
+        bmpH.cast(IntegerType),
+        lit(1).cast(IntegerType),
+        nullInt))
+      .when(isMp4 && tkhd.isNotNull && mp4W > 0 && mp4H > 0, meta(
+        mp4W, mp4H, nullInt, nullInt,
+        durationMs = mp4DurMs, brand = mp4Brand))
+      .otherwise(meta(
+        (h % 1920 + 1).cast(IntegerType),
+        (h % 1080 + 1).cast(IntegerType),
+        (h % 240 + 1).cast(IntegerType),
+        lit(16000).cast(IntegerType)))
   }
 
   /** Attach decoded metadata to a raw (asset_id, media_type, content) frame. */

@@ -66,6 +66,14 @@ class BenchJsonSpec extends AnyFunSuite {
       .contains(""""failures":2"""))
   }
 
+  test("calibration constant surfaces in the line; default is zero") {
+    assert(Bench.renderJson(Seq("q_a" -> 1.0), "/x")
+      .contains(""""calibration_sec":0.000"""))
+    val s = Bench.renderJson(Seq("q_a" -> 1.0), "/x", calibration = 1.2345)
+    parseable(s)
+    assert(s.contains(""""calibration_sec":1.234""") || s.contains(""""calibration_sec":1.235"""))
+  }
+
   test("flaky count surfaces in the line; default is zero") {
     // a query that crashed in one rep but succeeded in another must not be
     // invisible: failures stays 0 (its min is a real success) but flaky > 0

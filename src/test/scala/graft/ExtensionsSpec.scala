@@ -110,12 +110,12 @@ class ExtensionsSpec extends SparkSuite {
     val pngOut = new java.io.ByteArrayOutputStream()
     assert(javax.imageio.ImageIO.write(img, "png", pngOut))
     val png = pngOut.toByteArray
-    // a real WAV from the JDK's own audio writer: 8 frames of 16-bit mono
-    // PCM at 22050 Hz
+    // a real WAV from the JDK's own audio writer: 4410 frames (200 ms) of
+    // 16-bit mono PCM at 22050 Hz
     val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 1, true, false)
-    val pcm = Array.fill[Byte](16)(3)
+    val pcm = Array.fill[Byte](8820)(3)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, 8)
+      new java.io.ByteArrayInputStream(pcm), fmt, 4410)
     val wavOut = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
@@ -132,6 +132,10 @@ class ExtensionsSpec extends SparkSuite {
     assert(meta(1L) == ((Some(5), Some(3), Some(1), None)), meta(1L).toString)
     // WAV: true sample rate from the fmt chunk, no raster dims
     assert(meta(2L) == ((None, None, None, Some(22050))), meta(2L).toString)
+    // WAV duration from data-chunk size / byte rate: 8820 B at 44100 B/s = 200 ms
+    val wavDur = Multimodal.withMeta(assets).filter(col("asset_id") === 2L)
+      .select("meta.duration_ms").head()
+    assert(wavDur.getLong(0) == 200L, wavDur.toString)
     // unknown bytes: deterministic stub values, never null
     val (w3, h3, f3, r3) = meta(3L)
     assert(Seq(w3, h3, f3, r3).forall(_.isDefined))
@@ -197,8 +201,9 @@ class ExtensionsSpec extends SparkSuite {
     // res(8) layer(2) alt(2) vol(2) res(2), matrix(36), then 16.16 w/h
     val tkhd = box("tkhd", Seq.fill[Byte](24)(0) ++ Seq.fill[Byte](16)(0) ++
       Seq.fill[Byte](36)(0) ++ be32(640L << 16) ++ be32(360L << 16))
-    // a leading non-trak sibling forces the moov walk to actually walk
-    val mvhdFiller = box("mvhd", Seq.fill[Byte](20)(0))
+    // a leading non-trak sibling forces the moov walk to actually walk —
+    // and doubles as a real v0 mvhd: timescale 600, duration 1200 → 2000 ms
+    val mvhdFiller = box("mvhd", Seq.fill[Byte](12)(0) ++ be32(600L) ++ be32(1200L))
     val mp4 = (box("ftyp", "isom0000".getBytes.toSeq) ++
       box("moov", mvhdFiller ++ box("trak", tkhd))).toArray
     // audio-only mp4: tkhd with zero dims must fall to the stub
@@ -209,14 +214,21 @@ class ExtensionsSpec extends SparkSuite {
       (4L, "video", mp4), (5L, "audio", m4a))
       .toDF("asset_id", "media_type", "content")
     val meta = Multimodal.withMeta(assets)
-      .select("asset_id", "meta.width", "meta.height", "meta.sample_rate")
+      .select("asset_id", "meta.width", "meta.height", "meta.sample_rate",
+        "meta.bitrate_kbps", "meta.duration_ms", "meta.brand")
       .collect().map(r => r.getLong(0) ->
-        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
-    assert(meta(1L)._3.contains(44100), meta(1L).toString)
-    assert(meta(2L)._3.contains(24000), meta(2L).toString) // ID3 skipped, MPEG2 table
-    assert(meta(3L)._3.contains(16000), meta(3L).toString) // reserved index -> stub
-    assert(meta(4L)._1.contains(640) && meta(4L)._2.contains(360), meta(4L).toString)
-    assert(meta(5L)._3.contains(16000), meta(5L).toString) // zero-dim tkhd -> stub
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))),
+          (Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(meta(1L)._1._3.contains(44100), meta(1L).toString)
+    // V1 L3 bitrate index 9 = 128 kbps; one header can't prove CBR → no duration
+    assert(meta(1L)._2 == ((Some(128), None, None)), meta(1L).toString)
+    assert(meta(2L)._1._3.contains(24000), meta(2L).toString) // ID3 skipped, MPEG2 table
+    assert(meta(2L)._2._1.contains(48), meta(2L).toString)    // V2 L3 index 6 = 48 kbps
+    assert(meta(3L)._1._3.contains(16000), meta(3L).toString) // reserved index -> stub
+    assert(meta(4L)._1._1.contains(640) && meta(4L)._1._2.contains(360), meta(4L).toString)
+    // mvhd v0: duration 1200 at timescale 600 → 2000 ms; ftyp major brand rides along
+    assert(meta(4L)._2 == ((None, Some(2000L), Some("isom"))), meta(4L).toString)
+    assert(meta(5L)._1._3.contains(16000), meta(5L).toString) // zero-dim tkhd -> stub
   }
 
   test("multimodal: decodeMeta parses REAL GIF and BMP bytes") {
