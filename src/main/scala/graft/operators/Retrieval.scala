@@ -65,12 +65,19 @@ object Retrieval {
     * candidate mass (the 32× twin-fixture probe: 82 s vs 13.5 s with
     * per-copy vocabularies, RetrievalProbe). Setting `maxDfFrac=f` prunes
     * query terms with df > f·n_docs BEFORE the posting fan-out — standard
-    * stop-word/static-pruning; scores then omit those terms' (tiny)
-    * contributions, so the default keeps exact BM25.
+    * stop-word/static pruning.
+    *
+    * DEFAULT = Some(0.5): the production path prunes terms appearing in
+    * more than half the corpus. Recall contract: a pruned term's idf is
+    * ≤ ln 2 ≈ 0.69 (df > n/2 ⇒ (n−df+0.5)/(df+0.5) < 1), so scores omit
+    * only sub-ln2-idf contributions; a candidate reachable ONLY through
+    * such terms loses its lexical rank, and two candidates separated only
+    * by stop-word mass may swap adjacent ranks. Pass `maxDfFrac = None`
+    * for exact textbook BM25 (what the verify query pins against DuckDB).
     */
   def hybridRrf(docs: DataFrame, emb: DataFrame, queryPred: Column,
       topPerLeg: Int = 20, topOut: Int = 5,
-      maxDfFrac: Option[Double] = None): DataFrame = {
+      maxDfFrac: Option[Double] = Some(0.5)): DataFrame = {
     // The query-id set: small by construction (queries ≪ corpus), carried
     // as a broadcast side into both legs.
     val queryIds = docs.where(queryPred).select(col("doc_id").as("__qid"))
@@ -261,12 +268,13 @@ object Retrieval {
 
     // Hybrid search: every 100th document is a query; BM25 and exact-cosine
     // top-20 lists fused by RRF, top-5 per query. The oracle replays the
-    // identical quantized-integer pipeline in SQL.
+    // identical quantized-integer pipeline in SQL — EXACT BM25, so the
+    // verify query opts out of the production df-prune default.
     GraftQuery(
       "q_hybrid_rrf",
       (s, dir) => hybridRrf(
         Tables(s, dir, "documents"), Tables(s, dir, "embeddings"),
-        queryPred = col("doc_id") % 100 === 0),
+        queryPred = col("doc_id") % 100 === 0, maxDfFrac = None),
       Some(s"""WITH toks AS (
               |  SELECT doc_id, string_split(text, ' ') AS ws,
               |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl

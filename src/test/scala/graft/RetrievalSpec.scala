@@ -31,7 +31,8 @@ class RetrievalSpec extends SparkSuite {
     val emb = embDf(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)),
       (2L, Seq(0.95f, 0.05f)), (3L, Seq(0f, 1f)))
-    val out = Retrieval.hybridRrf(docs, emb, col("doc_id") === 0, topPerLeg = 2, topOut = 3)
+    val out = Retrieval.hybridRrf(docs, emb, col("doc_id") === 0, topPerLeg = 2, topOut = 3,
+        maxDfFrac = None) // exact BM25: this test pins the fusion arithmetic
       .collect()
     assert(out.forall(_.getLong(0) == 0L), "only the query doc emits rows")
     assert(!out.exists(_.getLong(2) == 0L), "self-match excluded")
@@ -76,6 +77,30 @@ class RetrievalSpec extends SparkSuite {
     assert(uncapped(1L), "doc 1 reaches the lexical list via 'the' when uncapped")
     assert(capped.get(1L).forall(!_), "df-capped: doc 1 has no lexical rank")
     assert(capped(2L), "rare-term doc keeps its lexical rank under the cap")
+  }
+
+  test("hybridRrf: default maxDfFrac=0.5 prunes over-half-corpus terms; None restores exact BM25") {
+    // 'the' has df 4/4 — the DEFAULT production path must prune it (doc 1
+    // is reachable only through 'the' and loses its lexical rank), while
+    // an explicit None keeps textbook BM25 (doc 1 ranked). Same fixture
+    // as the explicit-cap test, exercised through the default argument.
+    val docs = docsDf(
+      (0L, "the rare", "en"),
+      (1L, "the junk", "en"),
+      (2L, "rare junk the", "en"),
+      (3L, "the junk junk", "en"))
+    val emb = embDf(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.5f, 0.5f)), (3L, Seq(-1f, 0f)))
+    val default = Retrieval.hybridRrf(docs, emb, col("doc_id") === 0,
+        topPerLeg = 10, topOut = 4)
+      .collect().map(r => r.getLong(2) -> !r.isNullAt(4)).toMap
+    val exact = Retrieval.hybridRrf(docs, emb, col("doc_id") === 0,
+        topPerLeg = 10, topOut = 4, maxDfFrac = None)
+      .collect().map(r => r.getLong(2) -> !r.isNullAt(4)).toMap
+    assert(default.get(1L).forall(!_), "default prunes the universal term")
+    assert(exact(1L), "explicit None restores the exact-BM25 lexical rank")
+    assert(default(2L), "rare-term doc keeps its lexical rank under the default")
   }
 
   test("importanceWeights: target-like docs weigh higher; selection is exact-k") {
