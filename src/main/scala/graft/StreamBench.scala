@@ -32,7 +32,9 @@ import java.nio.file.Files
   * starts from a fresh checkpoint over the full input.
   *
   * Usage: runMain graft.StreamBench <scenario> [sfDir] [batches] [copies] [parts]
-  *   scenario — fraud_fmgws | fraud_tws | corpus
+  *   scenario — fraud_fmgws | fraud_tws | corpus | corpus_kn | snap_dedup
+  *              | scale_fmgws | scale_tws (synthetic, copies = CARDS in
+  *              thousands) | snap_scale (copies = snapshot blow-up factor)
   *   batches  — input files (= micro-batches) per run (default 20)
   *   copies   — input blow-up factor, ids shifted per copy (default 1)
   *   parts    — shuffle/state partitions for the STREAM (default 8:
@@ -131,6 +133,102 @@ object StreamBench {
         }
         run("warm", batches / 2)
         run("main", 1)
+
+      case s if s.startsWith("scale_") =>
+        // past-the-fixture state scale (round-9): the sf0.1 replay tops out
+        // at 1,500-6,000 distinct cards, so the "state is linear in keys /
+        // RocksDB for past-heap" claims were asserted, not measured. This
+        // scenario synthesizes `copies`-THOUSAND distinct cards (3 txns
+        // each, spread round-robin across batches) through the identical
+        // production wiring, with a full-coverage deploy snapshot — the
+        // 1M-card point is `scale_fmgws ... 20 1000 8`.
+        val api = if (s.endsWith("tws")) "tws" else "fmgws"
+        val cards = (if (args.length > 3) args(3).toLong else 1000L) * 1000L
+        val txnsPer = 3L
+        val txnJson = spark.range(cards * txnsPer).select(to_json(struct(
+          (col("id") % cards).as("card_id"),
+          (col("id") % cards).as("member_id"),
+          (col("id") * 7919 % 49999 / 10.0 + 1.0).as("amount"),
+          col("id").as("pos_id"),
+          (col("id") % 100).cast(IntegerType).as("postcode"),
+          date_format(timestamp_seconds(lit(1577836800L) + col("id") % 86400),
+            "dd-MM-yyyy HH:mm:ss").as("transaction_dt"),
+        )).as("value"))
+        val nTxn = cards * txnsPer
+        val txnDir = s"$work/txn_in"
+        txnJson.repartition(batches).write.text(txnDir)
+
+        val zip: Map[String, (Double, Double)] = (0 until 100).map { kk =>
+          kk.toString -> ((kk * 37 % 140 - 70) + 0.5, (kk * 73 % 340 - 170) + 0.25)
+        }.toMap
+        val zipBc = spark.sparkContext.broadcast(zip)
+        // full-coverage deploy snapshot: every card has a ucl+score row, as
+        // a landed lookup table would at deploy time — the seed load is
+        // part of what must scale with the key space
+        val snapshot = spark.range(cards).select(
+          col("id").as("card_id"),
+          (col("id") % 4000 / 2.0 + 500.0).as("ucl"),
+          (col("id") % 800).cast(IntegerType).as("score"),
+          lit(null).cast(IntegerType).as("postcode"),
+          lit(null).cast(StringType).as("transaction_dt")).as[CardLookup]
+          .cache()
+        snapshot.count()
+
+        def runScale(tag: String, maxFiles: Int): String = {
+          val raw = spark.readStream.schema(valueSchema)
+            .option("maxFilesPerTrigger", maxFiles.toString).text(txnDir)
+          val t0 = System.nanoTime()
+          val q = FraudStream.runFrom(raw, snapshot, zipBc,
+            masterPath = s"$work/master_$tag", checkpoint = s"$work/ckpt_$tag",
+            cfg = FraudConfig(), stateApi = api).start()
+          drain(q, s"scale_${api}_${cards}_$tag", nTxn, t0)
+        }
+        runScale("warm", batches / 2)
+        runScale("main", 1)
+
+      case "snap_scale" =>
+        // snapshot-size scale for the stream-static near-dup guard: the
+        // snapshot grows to `copies` x 5k docs (disjoint-token rewrites —
+        // DISTINCT members, not twins) while the arriving stream stays
+        // fixed at 4x base (every 4th doc an exact dup of a snapshot
+        // member). The claim under test: per-batch cost tracks BATCH size,
+        // not snapshot size, because the snapshot's signature frame is
+        // prepared once and each micro-batch only probes it.
+        val d0 = Tables(spark, sfDir, "documents")
+        val snapDocs = (1 until copies.max(2)).map { i =>
+          d0.withColumn("doc_id", col("doc_id") + lit(i * shift))
+            .withColumn("text",
+              array_join(transform(split(col("text"), " "),
+                t => concat(t, lit(s"_s$i"))), " "))
+        }.foldLeft(d0)(_ unionByName _)
+        val streamDocs = (1 to 3).map { i =>
+          d0.withColumn("doc_id", col("doc_id") + lit((200 + i) * shift))
+            .withColumn("text",
+              array_join(transform(split(col("text"), " "),
+                t => concat(t, lit(s"_x$i"))), " "))
+        }.foldLeft(d0.withColumn("doc_id", col("doc_id") + lit(99 * shift)))(_ unionByName _)
+        val streamJson = streamDocs
+          .select(to_json(struct(col("doc_id"), col("text"), lit("s").as("source"))).as("value"))
+        val nDocs = streamJson.count()
+        val inDir = s"$work/snap_in"
+        streamJson.repartition(batches).write.text(inDir)
+        val snap = graft.streaming.CorpusStream
+          .prepareSnapshot(snapDocs, "doc_id", "text").cache()
+        val snapRows = snap.count()
+        def runSnap(tag: String, maxFiles: Int): String = {
+          val raw = spark.readStream.schema(valueSchema)
+            .option("maxFilesPerTrigger", maxFiles.toString).text(inDir)
+          val t0 = System.nanoTime()
+          val q = graft.streaming.CorpusStream.snapshotNearDups(
+              graft.streaming.CorpusStream.decode(raw), snap, "doc_id", "text")
+            .writeStream.format("parquet")
+            .option("path", s"$work/snap_out_$tag")
+            .option("checkpointLocation", s"$work/ckpt_snap_$tag")
+            .start()
+          drain(q, s"snap_scale_${copies}x_sig${snapRows}_$tag", nDocs, t0)
+        }
+        runSnap("warm", batches / 2)
+        runSnap("main", 1)
 
       case c if c == "corpus" || c == "corpus_kn" =>
         // documents + 25% duplicate tail; duplicates arrive AFTER their

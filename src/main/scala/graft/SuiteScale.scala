@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Whole-suite scaling runner: times EVERY SparkEntry query at one sf dir
+  * in full-hash-drain mode and writes a machine-readable JSON file, so the
+  * scaling program (PLANS.md) can compute per-query exponents over the
+  * complete 158-query board rather than a hand-picked probe set.
+  *
+  * Differences from [[Bench]] (which stays the driver's artifact):
+  *   - `full` drain by default: aggregates xxhash64 over every output
+  *     column, like [[TimeQ]] `full` — count() lets ColumnPruning delete
+  *     unreferenced subtrees (the round-6 q_cusum trap, where a 3.2M-row
+  *     window measured as a bare scan), and an exponent fitted to a pruned
+  *     plan is fiction.
+  *   - records each query's INPUT TABLES (leaf parquet relations of the
+  *     analyzed plan), so the analysis can pair each query with the axis
+  *     that actually scales it: facts fixtures leave `documents`/
+  *     `embeddings` at base size, so a corpus query's facts-64x "exponent"
+  *     would be a measurement of nothing.
+  *   - JSON goes to a FILE (one object per query), not a size-capped
+  *     stdout line.
+  *
+  * Usage: runMain graft.SuiteScale <sfDir> <outJson> [reps] [count] [regex]
+  *   reps  — per-query passes, min reported (default 2)
+  *   count — use Bench-matching count() drain instead of full-hash
+  *   regex — only run query names matching (default all)
+  *
+  * SPARK_GRAFT_SHUFFLE overrides the partition count (scale fixtures grow
+  * 64x past sf0.1; holding 32 partitions fixed there measures spill, not
+  * the operator — partitions ∝ data is the cluster rule).
+  */
+object SuiteScale {
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outJson = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val countMode = args.contains("count")
+    val filter = args.drop(3).filterNot(_ == "count").headOption.map(_.r)
+
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1L << 20).selectExpr("id % 97 AS k").groupBy("k").count().count()
+
+    def inputTables(name: String): Seq[String] =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.analyzed.collect {
+            case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+              fs.location.rootPaths.map(p =>
+                p.getName.stripSuffix(".parquet").stripSuffix(".csv"))
+          }.flatten.distinct.sorted
+      } catch { case _: Throwable => Seq("(plan-error)") }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filter.forall(_.findFirstIn(n).isDefined))
+    val results = names.map { name =>
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime()
+        val ok = try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          if (countMode) df.count()
+          else {
+            import org.apache.spark.sql.functions.{col, sum, xxhash64}
+            df.agg(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+          }
+          true
+        } catch { case t: Throwable =>
+          System.err.println(s"[suitescale] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          false
+        }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val good = times.filter(_._2).map(_._1)
+      val sec = if (good.nonEmpty) good.min else -times.map(_._1).max
+      println(f"[suitescale] $name%-28s ${fmt(sec)}")
+      (name, sec, inputTables(name))
+    }
+    spark.stop()
+    val mode = if (countMode) "count" else "full"
+    val body = results.map { case (n, s, ts) =>
+      s"""  "$n": {"sec": ${fmt(s)}, "tables": [${ts.map("\"" + _ + "\"").mkString(", ")}]}"""
+    }.mkString(",\n")
+    val doc = s"""{\n"sf": "${Bench.sfLabel(sfDir)}", "mode": "$mode", "reps": $reps, "shuffle": $parts,\n"queries": {\n$body\n}}\n"""
+    Files.write(Paths.get(outJson), doc.getBytes(StandardCharsets.UTF_8))
+    println(s"[suitescale] wrote $outJson (${results.count(_._2 < 0)} failures)")
+  }
+}

@@ -93,6 +93,28 @@ object Multimodal {
     */
   val MaxBoxes = 16
 
+  /** Let-binding for column expressions, via a one-element higher-order
+    * `transform`: binds `bound` as a named lambda variable so `body` can
+    * reference it any number of times WITHOUT duplicating its subtree.
+    *
+    * Why it exists: the data-dependent offset chains here nest (tkhd is
+    * found inside trak inside moov, and each level reads the level below
+    * 2-3 times), so inlining Columns multiplies the tree ~3× per level —
+    * the un-let decodeMeta measured ~20 s of CATALYST OPTIMIZER time and
+    * ~12 s per execution on a 2-row frame, all spent walking a
+    * combinatorially duplicated expression tree, not reading bytes. With
+    * the bindings the whole decode optimizes in well under a second.
+    * Higher-order functions are CodegenFallback (interpreted per row) —
+    * irrelevant here: header decode is tens of byte reads per asset, and
+    * the binary payloads dominate I/O at any scale.
+    *
+    * A null `bound` still evaluates `body` (on a null element), which is
+    * exactly the pre-existing null-propagation contract of the inlined
+    * subtrees.
+    */
+  private def letL(bound: Column)(body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
   private def boxOffset(content: Column, start: Column, endIncl: Column,
       fourccHex: String): Column = {
     val nullOff = lit(null).cast(LongType)
@@ -184,44 +206,60 @@ object Multimodal {
       magicIs(content, 1, "52494646") && magicIs(content, 9, "57415645") && // "RIFF"/"WAVE"
       magicIs(content, 13, "666D7420") // "fmt " — guards byte-25 sample-rate read
     val isJpeg = octet_length(content) >= 4 && magicIs(content, 1, "FFD8FF")
-    val sof = jpegSofOffset(content)
+    // JPEG: one [[letL]] binding for the SOF walk, so the dispatch below
+    // can test ok + read w/h without re-embedding the segment-chain fold
+    val jpeg = letL(jpegSofOffset(content)) { sofO =>
+      struct(sofO.isNotNull.as("ok"),
+        beU16At(content, sofO + lit(7L)).as("w"),
+        beU16At(content, sofO + lit(5L)).as("h"))
+    }
     // MP3: optional ID3v2 prefix ("ID3" + syncsafe u28 size at bytes
     // 7-10), then the 4-byte frame header: FF Ex sync, version bits 4-3
-    // of byte 2, sample-rate index bits 3-2 of byte 3
+    // of byte 2, sample-rate index bits 3-2 of byte 3. The frame offset
+    // and the three header bytes are let-bound; everything downstream
+    // (rate table, bitrate table, validity) reads the bound bytes.
     val hasId3 = octet_length(content) >= 14 && magicIs(content, 1, "494433")
     val id3Size = Seq(21, 14, 7, 0).zipWithIndex.map { case (sh, i) =>
       u8At(content, lit((7 + i).toLong)).cast(LongType) * lit(1L << sh)
     }.reduce(_ + _)
-    val mpOff = when(hasId3, lit(11L) + id3Size).otherwise(lit(1L))
-    val mb1 = u8At(content, mpOff)
-    val mb2 = u8At(content, mpOff + lit(1L))
-    val mb3 = u8At(content, mpOff + lit(2L))
-    val mpVer = shiftright(mb2, 3).bitwiseAND(lit(3))   // 3=MPEG1 2=MPEG2 0=MPEG2.5
-    val mpLayer = shiftright(mb2, 1).bitwiseAND(lit(3)) // 0 = reserved
-    val srIdx = shiftright(mb3, 2).bitwiseAND(lit(3))   // 3 = reserved
-    val isMp3 = octet_length(content) >= 4 &&
-      mpOff + lit(3L) <= octet_length(content) &&
-      mb1 === 0xFF && mb2.bitwiseAND(lit(0xE0)) === 0xE0 &&
-      mpVer =!= 1 && mpLayer =!= 0 && srIdx =!= 3
-    val mp3Rate =
-      when(mpVer === 3, when(srIdx === 0, 44100).when(srIdx === 1, 48000).otherwise(32000))
-        .when(mpVer === 2, when(srIdx === 0, 22050).when(srIdx === 1, 24000).otherwise(16000))
-        .otherwise(when(srIdx === 0, 11025).when(srIdx === 1, 12000).otherwise(8000))
-    // bitrate: bits 7-4 of byte 3 index the version × layer kbps table
-    // (element_at is 1-based, matching index 1 = the table's first column);
-    // index 0 (free format) and 15 (reserved) → null, not stub — the frame
-    // is still a valid MPEG frame with a known sample rate
-    val brIdx = shiftright(mb3, 4).bitwiseAND(lit(15))
-    def kbps(vs: Int*): Column = element_at(array(vs.map(lit): _*), brIdx)
-    val mp3Bitrate = when(brIdx >= 1 && brIdx <= 14,
-      when(mpVer === 3, // MPEG1: layer bits 3=L1 2=L2 1=L3
-        when(mpLayer === 3, kbps(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448))
-          .when(mpLayer === 2, kbps(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384))
-          .otherwise(kbps(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)))
-        .otherwise( // MPEG2/2.5: L1, and a shared L2/L3 table
-          when(mpLayer === 3, kbps(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256))
-            .otherwise(kbps(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))))
-      .otherwise(lit(null).cast(IntegerType))
+    val mp3 = letL(when(hasId3, lit(11L) + id3Size).otherwise(lit(1L))) { mpOff =>
+      letL(struct(
+        u8At(content, mpOff).as("b1"),
+        u8At(content, mpOff + lit(1L)).as("b2"),
+        u8At(content, mpOff + lit(2L)).as("b3"),
+        (mpOff + lit(3L) <= octet_length(content)).as("inb"))) { hb =>
+        val mb1 = hb.getField("b1")
+        val mb2 = hb.getField("b2")
+        val mb3 = hb.getField("b3")
+        val mpVer = shiftright(mb2, 3).bitwiseAND(lit(3))   // 3=MPEG1 2=MPEG2 0=MPEG2.5
+        val mpLayer = shiftright(mb2, 1).bitwiseAND(lit(3)) // 0 = reserved
+        val srIdx = shiftright(mb3, 2).bitwiseAND(lit(3))   // 3 = reserved
+        val ok = octet_length(content) >= 4 && hb.getField("inb") &&
+          mb1 === 0xFF && mb2.bitwiseAND(lit(0xE0)) === 0xE0 &&
+          mpVer =!= 1 && mpLayer =!= 0 && srIdx =!= 3
+        val rate =
+          when(mpVer === 3, when(srIdx === 0, 44100).when(srIdx === 1, 48000).otherwise(32000))
+            .when(mpVer === 2, when(srIdx === 0, 22050).when(srIdx === 1, 24000).otherwise(16000))
+            .otherwise(when(srIdx === 0, 11025).when(srIdx === 1, 12000).otherwise(8000))
+        // bitrate: bits 7-4 of byte 3 index the version × layer kbps table
+        // (element_at is 1-based, matching index 1 = the table's first
+        // column); index 0 (free format) and 15 (reserved) → null, not
+        // stub — the frame is still a valid MPEG frame with a known rate
+        val brIdx = shiftright(mb3, 4).bitwiseAND(lit(15))
+        def kbps(vs: Int*): Column = element_at(array(vs.map(lit): _*), brIdx)
+        val kb = when(brIdx >= 1 && brIdx <= 14,
+          when(mpVer === 3, // MPEG1: layer bits 3=L1 2=L2 1=L3
+            when(mpLayer === 3, kbps(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448))
+              .when(mpLayer === 2, kbps(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384))
+              .otherwise(kbps(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)))
+            .otherwise( // MPEG2/2.5: L1, and a shared L2/L3 table
+              when(mpLayer === 3, kbps(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256))
+                .otherwise(kbps(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))))
+          .otherwise(lit(null).cast(IntegerType))
+        struct(ok.as("ok"), rate.cast(IntegerType).as("rate"),
+          kb.cast(IntegerType).as("kbps"))
+      }
+    }
     // WAV duration: canonical layout only (already guarded by the byte-13
     // "fmt " check) — byte rate LE u32 at 29, "data" chunk size at 41
     val wavByteRate = leU32(content, 29)
@@ -248,30 +286,42 @@ object Multimodal {
     val bmpW = when(dibSize >= 40, leS32(19)).when(dibSize === 12, leU16(content, 19))
     val bmpH = abs(when(dibSize >= 40, leS32(23)).when(dibSize === 12, leU16(content, 21)))
     val isMp4 = octet_length(content) >= 16 && magicIs(content, 5, "66747970") // "ftyp"
-    val moov = boxOffset(content, lit(1L), octet_length(content).cast(LongType), "6D6F6F76")
-    val trak = boxOffset(content, moov + lit(8L),
-      moov + beU32At(content, moov) - lit(1L), "7472616B")
-    val tkhd = boxOffset(content, trak + lit(8L),
-      trak + beU32At(content, trak) - lit(1L), "746B6864")
-    val dimOff = when(u8At(content, tkhd + lit(8L)) === 1, tkhd + lit(96L))
-      .otherwise(tkhd + lit(84L))
-    val mp4W = shiftright(beU32At(content, dimOff), 16).cast(IntegerType)
-    val mp4H = shiftright(beU32At(content, dimOff + lit(4L)), 16).cast(IntegerType)
+    // MP4: the nested box walks (moov → trak → tkhd, moov → mvhd) are the
+    // worst offenders for subtree duplication — each level reads the level
+    // below 2-3 times, so inlining multiplied the moov fold ~3× PER LEVEL.
+    // A let-chain binds each found offset exactly once.
+    val mp4 = letL(boxOffset(content, lit(1L),
+        octet_length(content).cast(LongType), "6D6F6F76")) { moovO =>
+      letL(moovO + beU32At(content, moovO) - lit(1L)) { moovEnd =>
+        letL(boxOffset(content, moovO + lit(8L), moovEnd, "7472616B")) { trakO =>
+          letL(boxOffset(content, trakO + lit(8L),
+              trakO + beU32At(content, trakO) - lit(1L), "746B6864")) { tkhdO =>
+            letL(when(u8At(content, tkhdO + lit(8L)) === 1, tkhdO + lit(96L))
+                .otherwise(tkhdO + lit(84L))) { dimO =>
+              // mvhd: moov-sibling walk; v0 = [ver/flags 4][ctime 4]
+              // [mtime 4][timescale u32][duration u32], v1 widens the
+              // times to u64
+              letL(boxOffset(content, moovO + lit(8L), moovEnd, "6D766864")) { mvhdO =>
+                val v1 = u8At(content, mvhdO + lit(8L)) === 1
+                val ts = when(v1, beU32At(content, mvhdO + lit(28L)))
+                  .otherwise(beU32At(content, mvhdO + lit(20L)))
+                val dur = when(v1,
+                    beU32At(content, mvhdO + lit(32L)) * lit(1L << 32) +
+                      beU32At(content, mvhdO + lit(36L)))
+                  .otherwise(beU32At(content, mvhdO + lit(24L)))
+                struct(tkhdO.isNotNull.as("ok"),
+                  shiftright(beU32At(content, dimO), 16).cast(IntegerType).as("w"),
+                  shiftright(beU32At(content, dimO + lit(4L)), 16).cast(IntegerType).as("h"),
+                  when(mvhdO.isNotNull && ts > 0, dur * lit(1000L) / ts)
+                    .cast(LongType).as("dur_ms"))
+              }
+            }
+          }
+        }
+      }
+    }
     // ftyp major brand: the 4CC right after the box name (bytes 9-12)
     val mp4Brand = substring(content, 9, 4).cast(StringType)
-    // mvhd: moov-sibling walk; v0 = [ver/flags 4][ctime 4][mtime 4]
-    // [timescale u32][duration u32], v1 widens the times to u64
-    val mvhd = boxOffset(content, moov + lit(8L),
-      moov + beU32At(content, moov) - lit(1L), "6D766864")
-    val mvhdV1 = u8At(content, mvhd + lit(8L)) === 1
-    val mvTs = when(mvhdV1, beU32At(content, mvhd + lit(28L)))
-      .otherwise(beU32At(content, mvhd + lit(20L)))
-    val mvDur = when(mvhdV1,
-        beU32At(content, mvhd + lit(32L)) * lit(1L << 32) +
-          beU32At(content, mvhd + lit(36L)))
-      .otherwise(beU32At(content, mvhd + lit(24L)))
-    val mp4DurMs = when(mvhd.isNotNull && mvTs > 0, mvDur * lit(1000L) / mvTs)
-      .cast(LongType)
     val nullLong = lit(null).cast(LongType)
     val nullStr = lit(null).cast(StringType)
     def meta(width: Column, height: Column, nFrames: Column, sampleRate: Column,
@@ -280,41 +330,50 @@ object Multimodal {
       struct(width.as("width"), height.as("height"), nFrames.as("n_frames"),
         sampleRate.as("sample_rate"), bitrateKbps.as("bitrate_kbps"),
         durationMs.as("duration_ms"), brand.as("brand"))
-    when(isPng, meta(
-        beU32(content, 17).cast(IntegerType),
-        beU32(content, 21).cast(IntegerType),
-        lit(1).cast(IntegerType),
-        nullInt))
-      .when(isWav, meta(
-        nullInt, nullInt, nullInt,
-        leU32(content, 25).cast(IntegerType),
-        durationMs = wavDurMs))
-      .when(isJpeg && sof.isNotNull, meta(
-        beU16At(content, sof + lit(7L)),
-        beU16At(content, sof + lit(5L)),
-        lit(1).cast(IntegerType),
-        nullInt))
-      .when(isMp3, meta(
-        nullInt, nullInt, nullInt,
-        mp3Rate.cast(IntegerType),
-        bitrateKbps = mp3Bitrate.cast(IntegerType)))
-      .when(isGif, meta(
-        leU16(content, 7).cast(IntegerType),
-        leU16(content, 9).cast(IntegerType),
-        nullInt, nullInt))
-      .when(isBmp && bmpW > 0 && bmpH > 0, meta(
-        bmpW.cast(IntegerType),
-        bmpH.cast(IntegerType),
-        lit(1).cast(IntegerType),
-        nullInt))
-      .when(isMp4 && tkhd.isNotNull && mp4W > 0 && mp4H > 0, meta(
-        mp4W, mp4H, nullInt, nullInt,
-        durationMs = mp4DurMs, brand = mp4Brand))
-      .otherwise(meta(
-        (h % 1920 + 1).cast(IntegerType),
-        (h % 1080 + 1).cast(IntegerType),
-        (h % 240 + 1).cast(IntegerType),
-        lit(16000).cast(IntegerType)))
+    // Final binding: the three walk-based format structs enter the
+    // dispatch as ONE bound tuple, so each parse tree occurs exactly once
+    // in the whole expression no matter how many dispatch branches (or
+    // struct fields, after SimplifyExtractValueOps) reference it.
+    letL(struct(jpeg.as("jpeg"), mp3.as("mp3"), mp4.as("mp4"))) { fm =>
+      val jp = fm.getField("jpeg")
+      val m3 = fm.getField("mp3")
+      val m4 = fm.getField("mp4")
+      when(isPng, meta(
+          beU32(content, 17).cast(IntegerType),
+          beU32(content, 21).cast(IntegerType),
+          lit(1).cast(IntegerType),
+          nullInt))
+        .when(isWav, meta(
+          nullInt, nullInt, nullInt,
+          leU32(content, 25).cast(IntegerType),
+          durationMs = wavDurMs))
+        .when(isJpeg && jp.getField("ok"), meta(
+          jp.getField("w"),
+          jp.getField("h"),
+          lit(1).cast(IntegerType),
+          nullInt))
+        .when(m3.getField("ok"), meta(
+          nullInt, nullInt, nullInt,
+          m3.getField("rate"),
+          bitrateKbps = m3.getField("kbps")))
+        .when(isGif, meta(
+          leU16(content, 7).cast(IntegerType),
+          leU16(content, 9).cast(IntegerType),
+          nullInt, nullInt))
+        .when(isBmp && bmpW > 0 && bmpH > 0, meta(
+          bmpW.cast(IntegerType),
+          bmpH.cast(IntegerType),
+          lit(1).cast(IntegerType),
+          nullInt))
+        .when(isMp4 && m4.getField("ok") && m4.getField("w") > 0 && m4.getField("h") > 0, meta(
+          m4.getField("w"), m4.getField("h"), nullInt, nullInt,
+          durationMs = m4.getField("dur_ms"), brand = mp4Brand))
+        .otherwise(meta(
+          (h % 1920 + 1).cast(IntegerType),
+          (h % 1080 + 1).cast(IntegerType),
+          (h % 240 + 1).cast(IntegerType),
+          lit(16000).cast(IntegerType)))
+    }
   }
 
   /** Attach decoded metadata to a raw (asset_id, media_type, content) frame. */
