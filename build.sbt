@@ -31,3 +31,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Fan the suites across parallel forked JVMs: one JVM re-derives nothing
+// (each group shares its lazy SparkSuite session), and the groups run
+// concurrently — the box has 32 cores and each test session is local[4],
+// so 6 groups fit with headroom. Suites were audited for cross-JVM
+// safety: every on-disk fixture is a Files.createTempDirectory path and
+// the warehouse dir is per-JVM (SparkSuite).
+Test / testGrouping := {
+  val groups = sys.env.getOrElse("GRAFT_TEST_GROUPS", "6").toInt
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val opts = (Test / forkOptions).value
+  if (groups <= 1)
+    Seq(Tests.Group("all", tests, Tests.SubProcess(opts)))
+  else
+    tests.zipWithIndex.groupBy(_._2 % groups).toSeq.sortBy(_._1).map {
+      case (i, ts) => Tests.Group(s"g$i", ts.map(_._1), Tests.SubProcess(opts))
+    }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, sys.env.getOrElse("GRAFT_TEST_GROUPS", "6").toInt))

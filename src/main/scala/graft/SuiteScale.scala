@@ -55,14 +55,32 @@ object SuiteScale {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1L << 20).selectExpr("id % 97 AS k").groupBy("k").count().count()
 
+    // Builders that localCheckpoint an intermediate frame truncate their
+    // lineage to RDD leaves, so plan inspection finds no file relations —
+    // their table sets are pinned here (from the builder source) instead.
+    val checkpointedTables: Map[String, Seq[String]] = Map(
+      "q_ab_test" -> Seq("events"),
+      "q_benford" -> Seq("orders"),
+      "q_contrastive_pairs" -> Seq("documents"),
+      "q_dedup_embedding" -> Seq("embeddings"),
+      "q_pagerank" -> Seq("lineitem", "orders"),
+      "q_semantic_dedup" -> Seq("embeddings"),
+      "q_setsim_prefix" -> Seq("documents"),
+      "q_similarity_bucketed" -> Seq("embeddings"),
+      "q_similarity_cosine" -> Seq("embeddings"),
+      "q_similarity_lsh" -> Seq("embeddings"),
+      "q_triangles" -> Seq("lineitem", "orders"),
+    )
     def inputTables(name: String): Seq[String] =
       try {
-        SparkEntry.queries(name)(spark, sfDir)
+        val seen = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.analyzed.collect {
             case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
               fs.location.rootPaths.map(p =>
                 p.getName.stripSuffix(".parquet").stripSuffix(".csv"))
           }.flatten.distinct.sorted
+        if (seen.nonEmpty) seen
+        else checkpointedTables.getOrElse(name, Seq.empty)
       } catch { case _: Throwable => Seq("(plan-error)") }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

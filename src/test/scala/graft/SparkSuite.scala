@@ -11,7 +11,10 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+    // unique per JVM: test groups fork in parallel (build.sbt testGrouping),
+    // and two sessions sharing a managed-table root would race
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
