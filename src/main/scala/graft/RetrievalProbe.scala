@@ -44,11 +44,17 @@ object RetrievalProbe {
     println(s"[retrievalprobe] docs=${docs.count()} queries(mod=$mod)=" +
       docs.where(col("doc_id") % mod === 0).count())
 
-    time(s"hybrid_rrf mod=$mod")(
-      drain(operators.Retrieval.hybridRrf(docs, emb, col("doc_id") % mod === 0)))
-    // df-capped lexical leg: on the synthetic fixtures every term is
-    // near-universal, so the cap removes (almost) the whole posting mass —
-    // this isolates the dense-leg + fusion cost.
+    // Exact (unpruned) lexical leg — opt-in: since maxDfFrac defaults to
+    // 0.5 (round 9), exact must be requested explicitly, and on a 64×
+    // near-twin fixture its posting mass spills >70 GB on one box — set
+    // RETRIEVAL_PROBE_EXACT=1 only where that is the point of the probe.
+    if (sys.env.get("RETRIEVAL_PROBE_EXACT").contains("1"))
+      time(s"hybrid_rrf mod=$mod exact")(
+        drain(operators.Retrieval.hybridRrf(docs, emb, col("doc_id") % mod === 0,
+          maxDfFrac = None)))
+    // df-capped lexical leg (the production default): on the synthetic
+    // fixtures every term is near-universal, so the cap removes (almost)
+    // the whole posting mass — this isolates the dense-leg + fusion cost.
     time(s"hybrid_rrf mod=$mod df<=0.5")(
       drain(operators.Retrieval.hybridRrf(docs, emb, col("doc_id") % mod === 0,
         maxDfFrac = Some(0.5))))

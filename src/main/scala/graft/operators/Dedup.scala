@@ -608,22 +608,96 @@ object Dedup {
     val d = df.select(col(idCol).cast("long").as("__id"), col(blockCol).cast("string").as("__blk"),
       expr(s"length($textCol) div $lenBucket").as("__lenb"),
       substring(col(textCol), 1, prefixLen).as("__head"))
-    val joined = tiledSelfPairs(d, Seq("__blk", "__lenb"), "__id", Seq("__head"), maxTileRows)
     maxDist match {
-      case Some(d) =>
-        // Thresholded mode — the production near-dup shape. The 3-arg
-        // levenshtein runs the BANDED DP (2d+1 diagonal band, early exit
-        // the moment the band's minimum exceeds d, -1 above threshold):
-        // rejecting a non-near pair costs ~(d+1)·(2d+1) cells instead of
-        // len², so the per-candidate constant drops ~100× at d ≈ 4 and the
-        // quadratic candidate scan stops being the suite's wall (the
-        // unthresholded ranking below has no such out — every pair's full
-        // DP is its contract).
-        joined.select(least(col("__id"), col("__id__b")).as("doc_a"),
-            greatest(col("__id"), col("__id__b")).as("doc_b"),
-            levenshtein(col("__head"), col("__head__b"), d).as("dist"))
+      case Some(dMax) =>
+        // Thresholded mode — the production near-dup shape. Two pieces:
+        //
+        // CANDIDATES via pigeonhole segment blocking (the PassJoin family,
+        // Li/Deng/Feng VLDB'12), not the block-quadratic self-join: the
+        // (block, length-bucket) key has BOUNDED cardinality, so at 100 TB
+        // its blocks grow linearly with the corpus and Σ C(block,2)
+        // candidates quadratically (measured: exponent 1.15 on the 64×
+        // clean-corpus axis). Instead, partition each head into τ+1 even
+        // segments; if dist(a,b) ≤ τ, at least one of b's τ+1 segments
+        // survives UNEDITED, i.e. appears verbatim as a substring of a
+        // (pigeonhole over the ≤ τ edits). So an equi-join of a's
+        // substrings against b's segments — on content, within the
+        // original block keys — is a LOSSLESS candidate filter whose mass
+        // tracks genuine content overlap, not block population. Per doc:
+        // τ+1 build segments and O(prefixLen · seg-length-spread) probe
+        // substrings — linear fan-out, shuffled hash join, no tiles.
+        //
+        // VERIFY via the 3-arg levenshtein — the BANDED DP (2τ+1 diagonal
+        // band, early exit the moment the band minimum exceeds τ, -1 above
+        // threshold): rejecting a false candidate costs ~(τ+1)·(2τ+1)
+        // cells instead of len². (The unthresholded ranking below has
+        // neither out — every block pair's full DP is its contract.)
+        val k = dMax + 1
+        val dd = d.withColumn("__hlen", length(col("__head")))
+        // Build side (the HIGHER id of each candidate pair): the τ+1 even
+        // segments. q = len div k, r = len mod k: first k−r segments have
+        // length q, last r have q+1.
+        val segs = dd.filter(col("__hlen") >= k)
+          .withColumn("__sg", explode(array_distinct(expr(
+            s"""transform(sequence(0, $dMax), i -> named_struct(
+               |  'pos', CASE WHEN i < $k - (__hlen % $k) THEN i * (__hlen div $k)
+               |         ELSE ($k - (__hlen % $k)) * (__hlen div $k)
+               |              + (i - ($k - (__hlen % $k))) * ((__hlen div $k) + 1) END,
+               |  'seg', substring(__head,
+               |    1 + CASE WHEN i < $k - (__hlen % $k) THEN i * (__hlen div $k)
+               |        ELSE ($k - (__hlen % $k)) * (__hlen div $k)
+               |             + (i - ($k - (__hlen % $k))) * ((__hlen div $k) + 1) END,
+               |    CASE WHEN i < $k - (__hlen % $k) THEN __hlen div $k
+               |         ELSE (__hlen div $k) + 1 END)))""".stripMargin))))
+          .select(col("__blk"), col("__lenb"), col("__id").as("__idb"),
+            col("__hlen").as("__hlenb"), col("__sg.seg").as("__seg"),
+            col("__sg.pos").as("__spos"))
+        // Probe side (the LOWER id): every substring whose length could be
+        // a segment length of some build head within τ of this length —
+        // q ranges over [(len−τ) div k, (len+τ) div k], plus 1 for the
+        // longer segments (build heads never exceed prefixLen, capping q).
+        // Each probe substring carries its start position: an unedited
+        // segment's occurrence can shift by at most the τ edits before it,
+        // so |probe pos − segment pos| ≤ τ is a residual join predicate
+        // that splits content collisions by alignment (the multi-match
+        // window of the PassJoin family).
+        val probes = dd
+          .withColumn("__lo", greatest(lit(1), expr(s"(__hlen - $dMax) div $k")))
+          .withColumn("__hi", least(col("__hlen"), greatest(col("__lo"),
+            expr(s"least(__hlen + $dMax, $prefixLen) div $k + 1"))))
+          .withColumn("__sg", explode(expr(
+            """flatten(transform(sequence(__lo, __hi),
+              |  l -> transform(sequence(1, __hlen - l + 1),
+              |       p -> named_struct('pos', p - 1,
+              |                         'seg', substring(__head, p, l)))))""".stripMargin)))
+          .select(col("__blk"), col("__lenb"), col("__id").as("__ida"),
+            col("__hlen").as("__hlena"), col("__sg.seg").as("__seg"),
+            col("__sg.pos").as("__ppos"))
+        val mainCands = probes.join(segs, Seq("__blk", "__lenb", "__seg"))
+          .filter(col("__ida") < col("__idb") &&
+            abs(col("__hlena") - col("__hlenb")) <= dMax &&
+            abs(col("__ppos") - col("__spos")) <= dMax)
+          .select(col("__ida"), col("__idb"))
+        // Heads shorter than τ+1 segments can't be partitioned — pair them
+        // against their whole block (a degenerate, tiny set: a near-empty
+        // head within τ edits of most strings carries no blocking signal).
+        val shorts = dd.filter(col("__hlen") < k)
+          .select(col("__blk"), col("__lenb"), col("__id").as("__ids"),
+            col("__hlen").as("__hlens"))
+        val shortCands = dd.join(shorts, Seq("__blk", "__lenb"))
+          .filter(col("__id") =!= col("__ids") &&
+            abs(col("__hlen") - col("__hlens")) <= dMax)
+          .select(least(col("__id"), col("__ids")).as("__ida"),
+            greatest(col("__id"), col("__ids")).as("__idb"))
+        val heads = dd.select(col("__id"), col("__head"))
+        mainCands.union(shortCands).distinct()
+          .join(heads.select(col("__id").as("__ida"), col("__head").as("__ha")), "__ida")
+          .join(heads.select(col("__id").as("__idb"), col("__head").as("__hb")), "__idb")
+          .select(col("__ida").as("doc_a"), col("__idb").as("doc_b"),
+            levenshtein(col("__ha"), col("__hb"), dMax).as("dist"))
           .filter(col("dist") >= 0)
       case None =>
+        val joined = tiledSelfPairs(d, Seq("__blk", "__lenb"), "__id", Seq("__head"), maxTileRows)
         joined.select(least(col("__id"), col("__id__b")).as("doc_a"),
           greatest(col("__id"), col("__id__b")).as("doc_b"),
           levenshtein(col("__head"), col("__head__b")).as("dist"))
