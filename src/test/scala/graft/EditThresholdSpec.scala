@@ -60,6 +60,21 @@ class EditThresholdSpec extends SparkSuite {
     assert(out((3L, 5L)) == 8) // empty head vs 8 chars: exactly tau
   }
 
+  test("candidate stage plans as equi hash joins — never a nested loop") {
+    // The point of the PassJoin candidate stage is that pair generation is
+    // an EQUI join on segment content (hash-partitionable at any scale,
+    // broadcastable when one side is small); a planner fallback to
+    // BroadcastNestedLoopJoin or CartesianProduct would silently
+    // reintroduce the all-pairs scan this stage exists to remove.
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val plan = Dedup.editDistancePairs(docs, "doc_id", "text", "source",
+      maxDist = Some(8)).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi join, got:\n$plan")
+  }
+
   test("randomized corpus equals brute force (seeded)") {
     val rnd = new Random(42)
     val alphabet = "abcdef "
