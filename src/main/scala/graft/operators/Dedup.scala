@@ -568,6 +568,45 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Ranked top-k set-similarity pairs WITHOUT a user threshold, via
+    * THRESHOLD DESCENT over [[prefixFilterJaccardPairs]] — the production
+    * answer to the ranked-pair waiver class (PLANS.md round 9): an
+    * unthresholded ranking admits no prefix-filter bound, but "the k best
+    * pairs" does once a floor exists. Walk a fixed ladder of thresholds
+    * from the top; at the first rung whose (prefix-filtered, verified)
+    * pair count reaches k, the global top-k is complete — every unlisted
+    * pair scores below that rung, and the listed ≥-rung pairs outrank it.
+    * If even the floor rung holds fewer than k pairs, the result is all
+    * of them; either way the SEMANTIC contract is simply
+    *
+    *   top-k of { pairs with jaccard ≥ ladder.last },
+    *
+    * ordered by (jaccard desc, doc_a, doc_b) — the descent only decides
+    * how much candidate mass is ever generated. The adaptive property
+    * that makes this scale where the all-pairs ranked kernel cannot: the
+    * stopping rung RISES with corpus size (more docs ⇒ more high-sim
+    * pairs ⇒ count reaches k at a higher τ), so a 64× corpus stops at the
+    * first rung with prefix-filter candidate mass, while the block-kernel
+    * ranking pays C(block, 2) regardless. Rung counts are ≤ |ladder|
+    * driver round-trips (the Bpe.train justification applies: each rung
+    * depends on the last count); the final rung's verify frame is
+    * localCheckpointed inside prefixFilterJaccardPairs, so the count and
+    * the top-k projection share one materialization.
+    */
+  def rankedJaccardTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
+      ladder: Seq[Double] = Seq(0.8, 0.4, 0.2, 0.1), n: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(ladder.nonEmpty && ladder == ladder.sortBy(-_),
+      s"ladder must be a descending threshold sequence, got $ladder")
+    def topK(pairs: DataFrame): DataFrame = pairs
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(k)
+    val chosen = ladder.iterator
+      .map(tau => prefixFilterJaccardPairs(df, idCol, textCol, tau, n))
+      .zipWithIndex
+      .collectFirst { case (pairs, i) if i == ladder.size - 1 || pairs.count() >= k => pairs }
+    topK(chosen.get)
+  }
+
   /** Word-set containment pairs within a block: |∩| / min(|a|,|b|) — the
     * asymmetric-size near-dup detector (a short doc fully contained in a
     * longer one scores 1.0 here but low symmetric Jaccard). Same sub-tiled
@@ -1306,6 +1345,37 @@ object Dedup {
              |SELECT doc_a, doc_b, floor(jaccard * 1e6 + 0.5) / 1e6 AS jaccard
              |FROM j WHERE jaccard >= 0.8
              |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+
+    // Ranked top-100 set-similarity WITHOUT a threshold, via descent —
+    // semantically: top-100 of pairs with jaccard >= the ladder floor
+    // (0.1), ordered by (rounded jaccard desc, ids); the descent is pure
+    // execution strategy, so the oracle states the contract directly.
+    GraftQuery(
+      "q_setsim_topk",
+      (s, dir) => rankedJaccardTopK(Tables(s, dir, "documents"), "doc_id", "text", 100),
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(gs) AS tok FROM (
+             |    SELECT doc_id,
+             |      list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gs
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+             |),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |),
+             |j AS (
+             |  SELECT doc_a, doc_b,
+             |    CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+             |  FROM inter i
+             |  JOIN sizes sa ON sa.doc_id = i.doc_a
+             |  JOIN sizes sb ON sb.doc_id = i.doc_b
+             |)
+             |SELECT doc_a, doc_b, floor(jaccard * 1e6 + 0.5) / 1e6 AS jaccard
+             |FROM j WHERE jaccard >= 0.1
+             |ORDER BY 3 DESC, doc_a, doc_b LIMIT 100""".stripMargin),
     ),
   )
 }
