@@ -66,6 +66,7 @@ object SuiteScale {
       "q_pagerank" -> Seq("lineitem", "orders"),
       "q_semantic_dedup" -> Seq("embeddings"),
       "q_setsim_prefix" -> Seq("documents"),
+      "q_setsim_topk" -> Seq("documents"),
       "q_similarity_bucketed" -> Seq("embeddings"),
       "q_similarity_cosine" -> Seq("embeddings"),
       "q_similarity_lsh" -> Seq("embeddings"),
