@@ -31,7 +31,10 @@ class EdgeCaseSpec extends SparkSuite {
     assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text", "source").count() == 0)
     assert(Dedup.containmentPairs(empty, "doc_id", "text", "source").count() == 0)
     assert(Dedup.editDistancePairs(empty, "doc_id", "text", "source").count() == 0)
+    assert(Dedup.editDistancePairs(empty, "doc_id", "text", "source",
+      maxDist = Some(8)).count() == 0)
     assert(Dedup.nearDupClusters(empty, "doc_id", "text", "source", 3).count() == 0)
+    assert(Dedup.rankedJaccardTopK(empty, "doc_id", "text", 10).count() == 0)
   }
 
   test("continuation-4 operators: empty and degenerate corpora never throw") {
