@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Zipfian-text fixture generator — the FAVORABLE case for content-blocked
+  * pair operators. The driver's synthetic documents draw from a ~200-word
+  * uniform vocabulary (no rare tail: median bigram df ≈ 285), which puts
+  * every content-blocking scheme — prefix filters, PassJoin segments,
+  * SimHash bands — at its collision-mass worst case; the scaling tables
+  * (PLANS.md rounds 8-9) adjudicate those rows by arguing real corpora are
+  * Zipfian. This generator makes the argument measurable: documents of
+  * 60–120 words sampled from a V-type vocabulary with p(rank) ∝ 1/rank
+  * (inverse-CDF: rank = ⌈V^u⌉ for u uniform — exact for exponent 1), all
+  * hash-deterministic per (doc, position), so two corpus sizes of the same
+  * distribution give a clean two-point exponent.
+  *
+  * Usage: runMain graft.MakeZipf <outDir> <nDocs> [vocab=50000]
+  */
+object MakeZipf {
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val nDocs = args(1).toLong
+    val vocab = if (args.length > 2) args(2).toLong else 50000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // u in [0,1) from a per-(doc, position) hash; rank = ceil(V^u) clamped
+    // to [1, V] gives p(rank) ∝ 1/rank. A 1% chance per doc of being a
+    // near-twin of doc-1 (positions re-used with a shifted salt on 5% of
+    // words) keeps a small genuine near-dup mass so threshold queries
+    // return non-empty results, as the driver fixtures do.
+    val df = spark.range(nDocs)
+      .withColumn("len", (lit(60) + pmod(xxhash64(col("id"), lit("len")), lit(61))).cast("int"))
+      .withColumn("twin", pmod(xxhash64(col("id"), lit("twin")), lit(100)) === 0 && col("id") > 0)
+      .withColumn("base", when(col("twin"), col("id") - 1).otherwise(col("id")))
+      // word = base-26 letter encoding of the Zipf rank ('a'..'z', 'ba'..):
+      // common words are short, rare words long (Zipf's law of
+      // abbreviation), and grams range over a real letter alphabet — an
+      // earlier 'w<rank>' digit encoding capped the character-trigram
+      // space at ~1,700 values (digits+w+space), which deleted the rare
+      // gram tail this fixture exists to provide
+      .withColumn("ws", expr(
+        s"""transform(sequence(1, len), j ->
+           |  aggregate(sequence(1, 4),
+           |    named_struct('r', cast(ceil(pow($vocab,
+           |      (pmod(xxhash64(base, j,
+           |         if(twin AND pmod(xxhash64(id, j, 'mut'), 20) = 0, id, cast(0 as bigint))),
+           |         1000000000) + 0.5) / 1000000000.0)) AS BIGINT), 's', ''),
+           |    (acc, x) -> if(acc.r > 0,
+           |      named_struct('r', (acc.r - 1) div 26,
+           |        's', concat(chr(97 + (acc.r - 1) % 26), acc.s)),
+           |      acc),
+           |    acc -> acc.s))""".stripMargin))
+      .select(
+        col("id").as("doc_id"),
+        array_join(col("ws"), " ").as("text"),
+        concat(lit("s"), pmod(xxhash64(col("id"), lit("src")), lit(8))).as("source"),
+        lit("en").as("lang"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    df.write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    println(s"[makezipf] wrote $out/documents.parquet: $nDocs docs, vocab $vocab")
+    spark.stop()
+  }
+}

@@ -651,76 +651,62 @@ object Dedup {
       case Some(dMax) =>
         // Thresholded mode — the production near-dup shape. Two pieces:
         //
-        // CANDIDATES via pigeonhole segment blocking (the PassJoin family,
-        // Li/Deng/Feng VLDB'12), not the block-quadratic self-join: the
-        // (block, length-bucket) key has BOUNDED cardinality, so at 100 TB
-        // its blocks grow linearly with the corpus and Σ C(block,2)
-        // candidates quadratically (measured: exponent 1.15 on the 64×
-        // clean-corpus axis). Instead, partition each head into τ+1 even
-        // segments; if dist(a,b) ≤ τ, at least one of b's τ+1 segments
-        // survives UNEDITED, i.e. appears verbatim as a substring of a
-        // (pigeonhole over the ≤ τ edits). So an equi-join of a's
-        // substrings against b's segments — on content, within the
-        // original block keys — is a LOSSLESS candidate filter whose mass
-        // tracks genuine content overlap, not block population. Per doc:
-        // τ+1 build segments and O(prefixLen · seg-length-spread) probe
-        // substrings — linear fan-out, shuffled hash join, no tiles.
+        // CANDIDATES via rarest-first q-gram prefix filtering (the ED-Join
+        // family, Xiao/Wang/Lin VLDB'08), not the block-quadratic
+        // self-join: the (block, length-bucket) key has BOUNDED
+        // cardinality, so at 100 TB its blocks grow linearly with the
+        // corpus and Σ C(block,2) candidates quadratically (measured:
+        // exponent 1.10 at 64× on the clean-corpus axis). The count bound:
+        // each of the ≤ τ edits destroys at most q of a head's DISTINCT
+        // q-gram contents, so two heads within τ edits share all but ≤ τ·q
+        // gram contents — and by the standard prefix-filter lemma (the
+        // prefixFilterJaccardPairs machinery), under a GLOBAL rarest-first
+        // (df asc, gram) total order each side's first τ·q+1 grams must
+        // collide. Each doc therefore emits only its τ·q+1 RAREST grams;
+        // the candidate equi-join runs on gram content within the original
+        // block keys, and rarest-first is what makes it survive a Zipfian
+        // stopword head — common grams sit past every prefix, so collision
+        // mass concentrates on the rare tail (an earlier PassJoin
+        // segment-blocking variant of this stage ground to multi-minute
+        // spill on a Zipf(1) corpus exactly because aligned common-word
+        // fragments collided block-wide).
         //
         // VERIFY via the 3-arg levenshtein — the BANDED DP (2τ+1 diagonal
         // band, early exit the moment the band minimum exceeds τ, -1 above
         // threshold): rejecting a false candidate costs ~(τ+1)·(2τ+1)
         // cells instead of len². (The unthresholded ranking below has
         // neither out — every block pair's full DP is its contract.)
-        val k = dMax + 1
+        val q3 = 3
+        val pref = dMax * q3 + 1
         val dd = d.withColumn("__hlen", length(col("__head")))
-        // Build side (the HIGHER id of each candidate pair): the τ+1 even
-        // segments. q = len div k, r = len mod k: first k−r segments have
-        // length q, last r have q+1.
-        val segs = dd.filter(col("__hlen") >= k)
-          .withColumn("__sg", explode(array_distinct(expr(
-            s"""transform(sequence(0, $dMax), i -> named_struct(
-               |  'pos', CASE WHEN i < $k - (__hlen % $k) THEN i * (__hlen div $k)
-               |         ELSE ($k - (__hlen % $k)) * (__hlen div $k)
-               |              + (i - ($k - (__hlen % $k))) * ((__hlen div $k) + 1) END,
-               |  'seg', substring(__head,
-               |    1 + CASE WHEN i < $k - (__hlen % $k) THEN i * (__hlen div $k)
-               |        ELSE ($k - (__hlen % $k)) * (__hlen div $k)
-               |             + (i - ($k - (__hlen % $k))) * ((__hlen div $k) + 1) END,
-               |    CASE WHEN i < $k - (__hlen % $k) THEN __hlen div $k
-               |         ELSE (__hlen div $k) + 1 END)))""".stripMargin))))
-          .select(col("__blk"), col("__lenb"), col("__id").as("__idb"),
-            col("__hlen").as("__hlenb"), col("__sg.seg").as("__seg"),
-            col("__sg.pos").as("__spos"))
-        // Probe side (the LOWER id): every substring whose length could be
-        // a segment length of some build head within τ of this length —
-        // q ranges over [(len−τ) div k, (len+τ) div k], plus 1 for the
-        // longer segments (build heads never exceed prefixLen, capping q).
-        // Each probe substring carries its start position: an unedited
-        // segment's occurrence can shift by at most the τ edits before it,
-        // so |probe pos − segment pos| ≤ τ is a residual join predicate
-        // that splits content collisions by alignment (the multi-match
-        // window of the PassJoin family).
-        val probes = dd
-          .withColumn("__lo", greatest(lit(1), expr(s"(__hlen - $dMax) div $k")))
-          .withColumn("__hi", least(col("__hlen"), greatest(col("__lo"),
-            expr(s"least(__hlen + $dMax, $prefixLen) div $k + 1"))))
-          .withColumn("__sg", explode(expr(
-            """flatten(transform(sequence(__lo, __hi),
-              |  l -> transform(sequence(1, __hlen - l + 1),
-              |       p -> named_struct('pos', p - 1,
-              |                         'seg', substring(__head, p, l)))))""".stripMargin)))
-          .select(col("__blk"), col("__lenb"), col("__id").as("__ida"),
-            col("__hlen").as("__hlena"), col("__sg.seg").as("__seg"),
-            col("__sg.pos").as("__ppos"))
-        val mainCands = probes.join(segs, Seq("__blk", "__lenb", "__seg"))
-          .filter(col("__ida") < col("__idb") &&
-            abs(col("__hlena") - col("__hlenb")) <= dMax &&
-            abs(col("__ppos") - col("__spos")) <= dMax)
-          .select(col("__ida"), col("__idb"))
-        // Heads shorter than τ+1 segments can't be partitioned — pair them
-        // against their whole block (a degenerate, tiny set: a near-empty
-        // head within τ edits of most strings carries no blocking signal).
-        val shorts = dd.filter(col("__hlen") < k)
+          .withColumn("__gs", when(col("__hlen") >= q3, array_distinct(expr(
+            s"transform(sequence(1, __hlen - ${q3 - 1}), p -> substring(__head, p, $q3))")))
+            .otherwise(array().cast("array<string>")))
+        // The count bound needs MORE than τ·q distinct grams to bite;
+        // heads below that (short or highly repetitive) fall back to
+        // block-local pairing below.
+        val longs = dd.filter(size(col("__gs")) > dMax * q3)
+        val toks = longs.select(col("__blk"), col("__lenb"), col("__id"),
+          col("__hlen"), explode(col("__gs")).as("__g"))
+        val dfreq = toks.groupBy("__g").agg(count(lit(1)).as("__df"))
+        val prefix = toks.join(dfreq, "__g")
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy("__id").orderBy(col("__df"), col("__g"))))
+          .filter(col("__rk") <= pref)
+          .select(col("__blk"), col("__lenb"), col("__g"), col("__id"), col("__hlen"))
+          .localCheckpoint(false) // both self-join legs read this frame
+        val mainCands = prefix
+          .join(prefix.select(col("__blk"), col("__lenb"), col("__g"),
+              col("__id").as("__idb"), col("__hlen").as("__hlenb")),
+            Seq("__blk", "__lenb", "__g"))
+          .filter(col("__id") < col("__idb") &&
+            abs(col("__hlen") - col("__hlenb")) <= dMax)
+          .select(col("__id").as("__ida"), col("__idb"))
+        // Heads with ≤ τ·q distinct grams carry no prefix guarantee — pair
+        // them against their whole block (a degenerate, tiny set on
+        // natural text; a corpus OF such strings needs the unthresholded
+        // kernel anyway).
+        val shorts = dd.filter(size(col("__gs")) <= dMax * q3)
           .select(col("__blk"), col("__lenb"), col("__id").as("__ids"),
             col("__hlen").as("__hlens"))
         val shortCands = dd.join(shorts, Seq("__blk", "__lenb"))
