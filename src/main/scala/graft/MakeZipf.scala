@@ -22,6 +22,10 @@ object MakeZipf {
     val out = args(0)
     val nDocs = args(1).toLong
     val vocab = if (args.length > 2) args(2).toLong else 50000L
+    // 4 base-26 letter iterations encode ranks up to 26^4 = 456,976; a
+    // larger vocab would silently collide ranks past that.
+    require(vocab >= 2 && vocab <= 456976L,
+      s"vocab must be in [2, 456976] (4-letter base-26 encoding), got $vocab")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -30,8 +34,11 @@ object MakeZipf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // u in [0,1) from a per-(doc, position) hash; rank = ceil(V^u) clamped
-    // to [1, V] gives p(rank) ∝ 1/rank. A 1% chance per doc of being a
+    // u in [0,1) from a per-(doc, position) hash; rank = max(1, floor(V^u))
+    // gives p(rank) = ln(1+1/rank)/ln V ∝ ~1/rank INCLUDING rank 1 (the
+    // earlier ceil form could never hit rank 1 — V^u > 1 for u > 0 — so
+    // the distribution head this fixture exists to stress was missing).
+    // A 1% chance per doc of being a
     // near-twin of doc-1 (positions re-used with a shifted salt on 5% of
     // words) keeps a small genuine near-dup mass so threshold queries
     // return non-empty results, as the driver fixtures do.
@@ -48,10 +55,10 @@ object MakeZipf {
       .withColumn("ws", expr(
         s"""transform(sequence(1, len), j ->
            |  aggregate(sequence(1, 4),
-           |    named_struct('r', cast(ceil(pow($vocab,
+           |    named_struct('r', cast(greatest(1.0, floor(pow($vocab,
            |      (pmod(xxhash64(base, j,
            |         if(twin AND pmod(xxhash64(id, j, 'mut'), 20) = 0, id, cast(0 as bigint))),
-           |         1000000000) + 0.5) / 1000000000.0)) AS BIGINT), 's', ''),
+           |         1000000000) + 0.5) / 1000000000.0))) AS BIGINT), 's', ''),
            |    (acc, x) -> if(acc.r > 0,
            |      named_struct('r', (acc.r - 1) div 26,
            |        's', concat(chr(97 + (acc.r - 1) % 26), acc.s)),

@@ -72,6 +72,11 @@ object SuiteScale {
       "q_similarity_lsh" -> Seq("embeddings"),
       "q_triangles" -> Seq("lineitem", "orders"),
     )
+    // Staleness guard (round-9 ADVICE): the pinned map above must track the
+    // builders — a query whose plan yields no file relations but is missing
+    // from the map would silently report no tables, and a mapped query whose
+    // plan DOES yield relations means the builder changed and the pin is
+    // stale. Both fail the run loudly instead of mis-attributing an axis.
     def inputTables(name: String): Seq[String] =
       try {
         val seen = SparkEntry.queries(name)(spark, sfDir)
@@ -80,9 +85,19 @@ object SuiteScale {
               fs.location.rootPaths.map(p =>
                 p.getName.stripSuffix(".parquet").stripSuffix(".csv"))
           }.flatten.distinct.sorted
-        if (seen.nonEmpty) seen
-        else checkpointedTables.getOrElse(name, Seq.empty)
-      } catch { case _: Throwable => Seq("(plan-error)") }
+        if (seen.nonEmpty) {
+          require(!checkpointedTables.contains(name),
+            s"stale checkpointedTables pin: $name's plan now yields file relations $seen — drop the pin")
+          seen
+        } else {
+          require(checkpointedTables.contains(name),
+            s"$name's plan yields no file relations and has no checkpointedTables pin — add one")
+          checkpointedTables(name)
+        }
+      } catch {
+        case e: IllegalArgumentException => throw e
+        case _: Throwable => Seq("(plan-error)")
+      }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => filter.forall(_.findFirstIn(n).isDefined))

@@ -495,7 +495,21 @@ object Dedup {
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       tau: Double, n: Int = 2): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
-    require(n >= 1, s"n must be >= 1, got $n")
+    require(n >= 1, s"n >= 1 required, got $n")
+    val (ranked, setsH) = setsimRanked(df, idCol, textCol, n)
+    prefixPairsFrom(ranked, setsH, tau)
+  }
+
+  /** τ-independent prep for the prefix-filter join: the tokenize →
+    * document-frequency → rarest-first rank pipeline ([[setsimRanked]]
+    * result `ranked`: (tok, __id, df, idx, sz)) and the verify-side sets
+    * frame (`setsH`: (__id, ts, th)). Factored out of
+    * [[prefixFilterJaccardPairs]] so [[rankedJaccardTopK]] can compute it
+    * ONCE and share it across ladder rungs — only the prefix-length filter
+    * and the candidate/verify bounds depend on τ.
+    */
+  private def setsimRanked(df: DataFrame, idCol: String, textCol: String,
+      n: Int): (DataFrame, DataFrame) = {
     val shingles =
       if (n == 1) split(col(textCol), " ") else Curation.gramsOf(col(textCol), n)
     val sets = df.select(col(idCol).cast("long").as("__id"),
@@ -506,6 +520,13 @@ object Dedup {
     val ranked = toks.join(dfreq, "tok")
       .withColumn("idx", row_number().over(w.orderBy("df", "tok")))
       .withColumn("sz", count(lit(1)).over(w))
+    val setsH = sets.withColumn("th",
+      array_distinct(transform(col("ts"), x => xxhash64(x))))
+    (ranked, setsH)
+  }
+
+  private def prefixPairsFrom(ranked: DataFrame, setsH: DataFrame,
+      tau: Double): DataFrame = {
     // Boundary math is epsilon-slacked: τ·sz in DOUBLE can land a hair
     // ABOVE the exact rational (0.8·5 = 4.0000000000000002, ceil → 5!)
     // and over-prune a pair that sits exactly on the threshold. The 1e-9
@@ -547,8 +568,6 @@ object Dedup {
     // survivors with the EXACT string sets in the oracle's own
     // division-form arithmetic, behind a checkpoint barrier so the
     // recheck can't be pushed back into the join condition.
-    val setsH = sets.withColumn("th",
-      array_distinct(transform(col("ts"), x => xxhash64(x))))
     val pass1 = cands
       .join(setsH.select(col("__id").as("doc_a"),
         col("ts").as("ta"), col("th").as("tha")), "doc_a")
@@ -590,18 +609,27 @@ object Dedup {
     * ranking pays C(block, 2) regardless. Rung counts are ≤ |ladder|
     * driver round-trips (the Bpe.train justification applies: each rung
     * depends on the last count); the final rung's verify frame is
-    * localCheckpointed inside prefixFilterJaccardPairs, so the count and
-    * the top-k projection share one materialization.
+    * localCheckpointed inside the per-τ stage, so the count and the top-k
+    * projection share one materialization. The τ-INDEPENDENT prep — the
+    * tokenize → df → rarest-first rank frame and the verify-side hashed
+    * sets — is computed once via [[setsimRanked]] and localCheckpointed
+    * here, so a full descent (the small-corpus case) re-runs only the
+    * per-rung prefix filter + candidate join + verify, not the shared
+    * tokenize/df/window pipeline per rung.
     */
   def rankedJaccardTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
       ladder: Seq[Double] = Seq(0.8, 0.4, 0.2, 0.1), n: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(n >= 1, s"n >= 1 required, got $n")
     require(ladder.nonEmpty && ladder == ladder.sortBy(-_),
       s"ladder must be a descending threshold sequence, got $ladder")
     def topK(pairs: DataFrame): DataFrame = pairs
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(k)
+    val (ranked0, setsH0) = setsimRanked(df, idCol, textCol, n)
+    val ranked = ranked0.localCheckpoint(false)
+    val setsH = setsH0.localCheckpoint(false)
     val chosen = ladder.iterator
-      .map(tau => prefixFilterJaccardPairs(df, idCol, textCol, tau, n))
+      .map(tau => prefixPairsFrom(ranked, setsH, tau))
       .zipWithIndex
       .collectFirst { case (pairs, i) if i == ladder.size - 1 || pairs.count() >= k => pairs }
     topK(chosen.get)

@@ -3,13 +3,15 @@ package graft
 import graft.operators.Dedup
 import scala.util.Random
 
-/** The thresholded edit join's PassJoin-style candidate stage (pigeonhole
-  * segment blocking) must be LOSSLESS: its output must equal the
-  * brute-force all-pairs scan filtered to dist ≤ τ, pair for pair and
-  * distance for distance. These pins cover the cases the pigeonhole proof
-  * leans on: exact dups, edits up to and past the threshold, length drift
-  * across probe-substring lengths, heads too short to partition (the
-  * fallback path), and a randomized corpus.
+/** The thresholded edit join's ED-Join candidate stage (rarest-first
+  * q-gram prefix filtering: heads within τ edits share all but ≤ τ·q
+  * distinct q-gram contents, so their τ·q+1 rarest grams must collide)
+  * must be LOSSLESS: its output must equal the brute-force all-pairs scan
+  * filtered to dist ≤ τ, pair for pair and distance for distance. These
+  * pins cover the cases the count-bound proof leans on: exact dups, edits
+  * up to and past the threshold, length drift across gram positions, heads
+  * with too few distinct grams for the bound to bite (the fallback path),
+  * and a randomized corpus.
   */
 class EditThresholdSpec extends SparkSuite {
   import spark.implicits._
@@ -61,8 +63,8 @@ class EditThresholdSpec extends SparkSuite {
   }
 
   test("candidate stage plans as equi hash joins — never a nested loop") {
-    // The point of the PassJoin candidate stage is that pair generation is
-    // an EQUI join on segment content (hash-partitionable at any scale,
+    // The point of the ED-Join candidate stage is that pair generation is
+    // an EQUI join on gram content (hash-partitionable at any scale,
     // broadcastable when one side is small); a planner fallback to
     // BroadcastNestedLoopJoin or CartesianProduct would silently
     // reintroduce the all-pairs scan this stage exists to remove.
