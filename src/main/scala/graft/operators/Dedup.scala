@@ -32,6 +32,14 @@ object Dedup {
 
   private val NumHashes = 8
 
+  /** Bucket count for the edit-join's hash-bucketed document-frequency
+    * proxy (see [[editDistancePairs]]): gram rarity is ranked by the
+    * occurrence count of the gram's xxhash64 bucket, so the frequency
+    * table is ≤ this many rows AT ANY CORPUS SIZE and always folds into
+    * one ~25 MB broadcast map row.
+    */
+  private val EditJoinDfBuckets = 1 << 20
+
   /** Parallelism for pairwise kernel stages. The fixtures are single-row-group
     * parquet (one scan task), and an O(pairs) stage must never inherit the
     * scan's partitioning — at 100 TB the same rule holds with the roles
@@ -706,7 +714,13 @@ object Dedup {
         // neither out — every block pair's full DP is its contract.)
         val q3 = 3
         val pref = dMax * q3 + 1
-        val dd = d.withColumn("__hlen", length(col("__head")))
+        // Gram building (q3 substrings + array_distinct per head) is the
+        // expensive narrow transform here — rebalance the tiny head
+        // projection first so it never inherits the scan's partitioning
+        // (the kernelParallelism rule: fixture parquet is one row group =
+        // one task; measured 0.5-0.7 s serial per branch at sf0.1).
+        val dd = d.repartition(kernelParallelism(df), col("__id"))
+          .withColumn("__hlen", length(col("__head")))
           .withColumn("__gs", when(col("__hlen") >= q3, array_distinct(expr(
             s"transform(sequence(1, __hlen - ${q3 - 1}), p -> substring(__head, p, $q3))")))
             .otherwise(array().cast("array<string>")))
@@ -714,22 +728,45 @@ object Dedup {
         // heads below that (short or highly repetitive) fall back to
         // block-local pairing below.
         val longs = dd.filter(size(col("__gs")) > dMax * q3)
-        val toks = longs.select(col("__blk"), col("__lenb"), col("__id"),
-          col("__hlen"), explode(col("__gs")).as("__g"))
-        val dfreq = toks.groupBy("__g").agg(count(lit(1)).as("__df"))
-        val prefix = toks.join(dfreq, "__g")
-          .withColumn("__rk", row_number().over(
-            Window.partitionBy("__id").orderBy(col("__df"), col("__g"))))
-          .filter(col("__rk") <= pref)
-          .select(col("__blk"), col("__lenb"), col("__g"), col("__id"), col("__hlen"))
-          .localCheckpoint(false) // both self-join legs read this frame
-        val mainCands = prefix
-          .join(prefix.select(col("__blk"), col("__lenb"), col("__g"),
-              col("__id").as("__idb"), col("__hlen").as("__hlenb")),
-            Seq("__blk", "__lenb", "__g"))
-          .filter(col("__id") < col("__idb") &&
-            abs(col("__hlen") - col("__hlenb")) <= dMax)
-          .select(col("__id").as("__ida"), col("__idb"))
+        // Rarity order via a HASH-BUCKETED df proxy, not exact per-gram
+        // df. The prefix lemma needs any one GLOBAL total order on gram
+        // contents applied consistently per doc; rarest-first is purely
+        // the collision-mass heuristic. Ranking by (occurrences of the
+        // gram's xxhash64 bucket, gram) keeps both properties — a
+        // stopword gram's bucket count ≥ its own df, so distribution
+        // heads still sort past every prefix, and a bucket collision can
+        // only make a rare gram LOOK common (weakening the heuristic for
+        // ~1/2^20 of grams, never dropping a candidate) — while bounding
+        // the frequency table at [[EditJoinDfBuckets]] rows AT ANY CORPUS
+        // SIZE. The bound makes the table explicitly broadcastable, so
+        // the df attach is a BroadcastHashJoin (O(1) hash probes — NOT a
+        // single map row + element_at, whose GetMapValue is a linear scan
+        // of the whole dictionary per gram: measured 2×1.8 s at sf0.1),
+        // and per-doc prefix selection is a hash aggregate with a
+        // per-doc array_sort + slice — no per-doc window exchange + sort
+        // (the round-9 stage paid ~2 s of sf0.1 constant there).
+        val bcounts = longs
+          .select(explode(col("__gs")).as("__g"))
+          .groupBy(pmod(xxhash64(col("__g")), lit(EditJoinDfBuckets.toLong)).as("__b"))
+          .agg(count(lit(1)).as("__df"))
+        val prefix = longs
+          .select(col("__blk"), col("__lenb"), col("__id"), col("__hlen"),
+            explode(col("__gs")).as("__g"))
+          .withColumn("__b", pmod(xxhash64(col("__g")), lit(EditJoinDfBuckets.toLong)))
+          .join(broadcast(bcounts), "__b")
+          .groupBy("__id", "__blk", "__lenb", "__hlen")
+          .agg(slice(array_sort(collect_list(struct(col("__df").as("d"), col("__g").as("g")))),
+            1, pref).as("__pg"))
+          .select(col("__blk"), col("__lenb"),
+            explode(expr("transform(__pg, x -> x.g)")).as("__g"),
+            col("__id"), col("__hlen"))
+          .cache() // both self-join legs read this frame
+        val mainCands = prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.__blk") === col("b.__blk") && col("a.__lenb") === col("b.__lenb") &&
+              col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
+              abs(col("a.__hlen") - col("b.__hlen")) <= dMax)
+          .select(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
         // Heads with ≤ τ·q distinct grams carry no prefix guarantee — pair
         // them against their whole block (a degenerate, tiny set on
         // natural text; a corpus OF such strings needs the unthresholded
