@@ -55,13 +55,22 @@ object Bench {
     * must not be invisible in the bench line.
     */
   def renderJson(results: Seq[(String, Double)], sfDir: String,
-      failures: Int = 0, flaky: Int = 0, calibration: Double = 0.0): String = {
+      failures: Int = 0, flaky: Int = 0, calibration: Double = 0.0,
+      zipf: Seq[(String, Double)] = Seq.empty): String = {
     val total = results.map(_._2).sum
     val sf = sfLabel(sfDir)
+    // Zipf-axis rows (realistic-text fixture, separate corpus — NOT part
+    // of "value": the total must stay comparable across rounds that
+    // predate the zipf block). Rendered whole; its length participates in
+    // the MaxLine fitting below via the shared template.
+    val zipfBlock =
+      if (zipf.isEmpty) ""
+      else zipf.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString(""","zipf":{""", ",", "}")
     def line(entries: Seq[(String, Double)], otherSum: Option[Double]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
         otherSum.map(s => "\"other\":" + fmt(s))
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"queries":${qs.mkString("{", ",", "}")},"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"queries":${qs.mkString("{", ",", "}")}$zipfBlock,"sf":"$sf"}"""
     }
     val bySlowest = results.sortBy { case (k, v) => (-v, k) }
     // Largest prefix of the slowest-first ordering that fits; the rest
@@ -161,15 +170,50 @@ object Bench {
         s"[bench] FLAKY $n: ${reps.count(!_._3)}/${reps.size} reps failed")
       someFailed
     }
-    val jsonLine = renderJson(results, sfDir, failures, flaky, calibration)
+    // Zipf-axis rows: the content-blocked operator family re-timed on the
+    // realistic-text fixture (Zipf(1) vocabulary, rare gram tail — see
+    // MakeZipf), so regressions on the distribution these algorithms are
+    // DESIGNED for stay visible next to the min-entropy sf rows that
+    // measure their collision-mass worst case. The fixture is generated
+    // deterministically on first use (hash-derived content, no RNG) and
+    // reused from disk after. Skippable via SPARK_GRAFT_ZIPF=0; the rows
+    // are excluded from "value" so cross-round totals stay comparable.
+    val zipfFamily = Seq("q_setsim_prefix", "q_setsim_topk", "q_dedup_minhash",
+      "q_dedup_simhash", "q_edit_threshold", "q_hybrid_rrf", "q_similarity_lsh")
+    val zipfResults: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_ZIPF").contains("0")) Seq.empty
+      else try {
+        val zipfDir = sys.env.getOrElse("SPARK_GRAFT_ZIPF_DIR",
+          "/root/repo/bench/fixtures/zipf20k")
+        if (!new java.io.File(s"$zipfDir/documents.parquet").exists())
+          MakeZipf.generate(spark, zipfDir, 20000L)
+        zipfFamily.map { name =>
+          val fn = SparkEntry.queries(name)
+          val times = (1 to math.max(1, reps)).flatMap { _ =>
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            val t0 = System.nanoTime()
+            try { fn(spark, zipfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case _: Throwable => None }
+          }
+          name -> (if (times.nonEmpty) times.min else -1.0)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] zipf block failed: ${e.getMessage}")
+        Seq.empty
+      }
+    val jsonLine = renderJson(results, sfDir, failures, flaky, calibration, zipfResults)
     // Full per-query dump (no MaxLine cap / "other" merging) for scaling
     // analysis — the stdout line stays driver-compatible, the file carries
     // every query's time for tools/scaling.py.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
       val qs = results.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val zs = zipfResults.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"queries":$qs,"sf":"${sfLabel(sfDir)}"}""")
+        s"""{"failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"queries":$qs,"zipf":$zs,"sf":"${sfLabel(sfDir)}"}""")
     }
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()

@@ -1022,59 +1022,82 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Default cap for [[minHashCalibration]]'s exact-Jaccard audit leg. */
+  val MinHashAuditPairs = 4096
+
+  /** MinHash banding calibration readout — the "is my banding honest"
+    * diagnostic run before trusting an LSH threshold at corpus scale.
+    * For every banded candidate pair (the same per-source 2×4 banding as
+    * [[minHashPairs]]), compare the signature ESTIMATE (matching slots /
+    * 8) against the exact word-set Jaccard, rolled up per estimate
+    * level. All means accumulate in exact integer micros (each pair's
+    * jaccard quantizes first), so the rollup is order-free.
+    *
+    * `auditPairs` caps the EXACT leg (the default): candidates are
+    * deterministically sampled to the k smallest md5("idA_idB") digests
+    * — a TakeOrdered, so the word-set arrays only ever ride the verify
+    * joins for k pairs REGARDLESS of banded-candidate mass. The full
+    * exact audit (auditPairs = None) is the 64×-twin shape that spilled
+    * >70 GB carrying every candidate's gs arrays (PLANS.md round 9); a
+    * calibration readout is a statistical audit, so the bounded sample
+    * is the production default and exhaustive verification is opt-in.
+    */
+  def minHashCalibration(df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      auditPairs: Option[Int] = Some(MinHashAuditPairs)): DataFrame = {
+    graft.functions.MinHashSig.register(df.sparkSession)
+    val spread = df
+      .select(col(idCol).cast("long").as("__id"), col(blockCol).as("__blk"),
+        array_distinct(split(col(textCol), " ")).as("gs"))
+      .repartition(kernelParallelism(df))
+      .withColumn("sig", expr("minhash_sig(gs)"))
+    val banded = spread.select(col("__id"), col("__blk"), col("sig"),
+      posexplode(array(
+        concat((0 until 4).map(i => col("sig").getItem(i)): _*),
+        concat((4 until 8).map(i => col("sig").getItem(i)): _*)))
+        .as(Seq("band_idx", "band_key")))
+    val a = banded.select(col("__blk"), col("band_idx"), col("band_key"),
+      col("__id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("__blk"), col("band_idx"), col("band_key"),
+      col("__id").as("id_b"), col("sig").as("sig_b"))
+    val cands = a.join(b, Seq("__blk", "band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("__blk", "id_a", "id_b", "sig_a", "sig_b").distinct()
+    val audited = auditPairs match {
+      case Some(k) => cands
+        .withColumn("__h", md5(concat_ws("_", col("id_a"), col("id_b"))))
+        .orderBy("__h").limit(k).drop("__h")
+      case None => cands
+    }
+    val sets = spread.select(col("__id"), col("gs"))
+    val paired = audited
+      .join(sets.select(col("__id").as("id_a"), col("gs").as("gs_a")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("gs").as("gs_b")), "id_b")
+      .withColumn("n_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), p => p)).cast("long"))
+      .withColumn("__i", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .withColumn("jac_micros", floor(
+        col("__i").cast("double") /
+          (size(col("gs_a")).cast("long") + size(col("gs_b")).cast("long") - col("__i"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("err_micros", abs(col("n_match") * lit(125000L) - col("jac_micros")))
+    paired.groupBy("n_match").agg(
+        count(lit(1)).as("n_pairs"),
+        (floor(sum("jac_micros").cast("double") / count(lit(1)).cast("double")
+          + lit(0.5)) / lit(1e6)).as("mean_jaccard"),
+        (floor(sum("err_micros").cast("double") / count(lit(1)).cast("double")
+          + lit(0.5)) / lit(1e6)).as("mean_abs_err"))
+      .orderBy("n_match")
+  }
+
   // ---- verify queries ------------------------------------------------------
 
   val queries: Seq[GraftQuery] = Seq(
 
-    // MinHash calibration readout: for every banded candidate pair, the
-    // signature ESTIMATE (matching slots / 8) against the exact word-set
-    // Jaccard, rolled up per estimate level — the "is my banding honest"
-    // diagnostic run before trusting an LSH threshold at corpus scale.
-    // All means accumulate in exact integer micros (each pair's jaccard
-    // quantizes first), so the rollup is order-free; candidates come from
-    // the same per-source 2×4 banding as q_dedup_minhash.
     GraftQuery(
       "q_minhash_calibration",
-      (s, dir) => {
-        graft.functions.MinHashSig.register(s)
-        val spread = Tables(s, dir, "documents")
-          .select(col("doc_id").cast("long").as("__id"), col("source").as("__blk"),
-            array_distinct(split(col("text"), " ")).as("gs"))
-          .repartition(kernelParallelism(Tables(s, dir, "documents")))
-          .withColumn("sig", expr("minhash_sig(gs)"))
-        val banded = spread.select(col("__id"), col("__blk"), col("sig"),
-          posexplode(array(
-            concat((0 until 4).map(i => col("sig").getItem(i)): _*),
-            concat((4 until 8).map(i => col("sig").getItem(i)): _*)))
-            .as(Seq("band_idx", "band_key")))
-        val a = banded.select(col("__blk"), col("band_idx"), col("band_key"),
-          col("__id").as("id_a"), col("sig").as("sig_a"))
-        val b = banded.select(col("__blk"), col("band_idx"), col("band_key"),
-          col("__id").as("id_b"), col("sig").as("sig_b"))
-        val cands = a.join(b, Seq("__blk", "band_idx", "band_key"))
-          .filter(col("id_a") < col("id_b"))
-          .select("__blk", "id_a", "id_b", "sig_a", "sig_b").distinct()
-        val sets = spread.select(col("__id"), col("gs"))
-        val paired = cands
-          .join(sets.select(col("__id").as("id_a"), col("gs").as("gs_a")), "id_a")
-          .join(sets.select(col("__id").as("id_b"), col("gs").as("gs_b")), "id_b")
-          .withColumn("n_match",
-            size(filter(zip_with(col("sig_a"), col("sig_b"),
-              (x, y) => x === y), p => p)).cast("long"))
-          .withColumn("__i", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
-          .withColumn("jac_micros", floor(
-            col("__i").cast("double") /
-              (size(col("gs_a")).cast("long") + size(col("gs_b")).cast("long") - col("__i"))
-              * lit(1e6) + lit(0.5)).cast("long"))
-          .withColumn("err_micros", abs(col("n_match") * lit(125000L) - col("jac_micros")))
-        paired.groupBy("n_match").agg(
-            count(lit(1)).as("n_pairs"),
-            (floor(sum("jac_micros").cast("double") / count(lit(1)).cast("double")
-              + lit(0.5)) / lit(1e6)).as("mean_jaccard"),
-            (floor(sum("err_micros").cast("double") / count(lit(1)).cast("double")
-              + lit(0.5)) / lit(1e6)).as("mean_abs_err"))
-          .orderBy("n_match")
-      },
+      (s, dir) => minHashCalibration(Tables(s, dir, "documents"),
+        "doc_id", "text", "source"),
       Some(s"""WITH t AS ($tokensSql),
               |sigs AS (
               |  SELECT doc_id, source,
@@ -1091,10 +1114,15 @@ object Dedup {
               |    ON a.source = b.source AND a.doc_id < b.doc_id
               |    AND (a.b0 = b.b0 OR a.b1 = b.b1)
               |),
+              |audit AS (
+              |  SELECT * FROM cands
+              |  ORDER BY md5(CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR))
+              |  LIMIT $MinHashAuditPairs
+              |),
               |sizes AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
               |inter AS (
               |  SELECT c.id_a, c.id_b, count(*) AS i
-              |  FROM cands c
+              |  FROM audit c
               |  JOIN t ta ON ta.doc_id = c.id_a
               |  JOIN t tb ON tb.doc_id = c.id_b AND tb.w = ta.w
               |  GROUP BY 1, 2
@@ -1103,7 +1131,7 @@ object Dedup {
               |  SELECT ${(0 until NumHashes).map(i => s"CASE WHEN c.a$i = c.c$i THEN 1 ELSE 0 END").mkString(" + ")} AS n_match,
               |    CAST(floor(CAST(coalesce(i.i, 0) AS DOUBLE)
               |      / (sa.sz + sb.sz - coalesce(i.i, 0)) * 1e6 + 0.5) AS BIGINT) AS jm
-              |  FROM cands c
+              |  FROM audit c
               |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
               |  JOIN sizes sa ON sa.doc_id = c.id_a
               |  JOIN sizes sb ON sb.doc_id = c.id_b

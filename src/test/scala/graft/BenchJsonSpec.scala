@@ -74,6 +74,26 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(s.contains(""""calibration_sec":1.234""") || s.contains(""""calibration_sec":1.235"""))
   }
 
+  test("zipf block renders, stays out of total, and fits the budget") {
+    val zipf = Seq("q_setsim_prefix" -> 3.21, "q_edit_threshold" -> 1.5)
+    val s = Bench.renderJson(Seq("q_a" -> 1.0), "/x", zipf = zipf)
+    parseable(s)
+    assert(s.contains(""","zipf":{"q_setsim_prefix":3.210,"q_edit_threshold":1.500}"""))
+    assert(s.contains(""""value":1.000""")) // zipf rows excluded from total
+    // no zipf given -> no block at all (older-round parsers see the old shape)
+    assert(!Bench.renderJson(Seq("q_a" -> 1.0), "/x").contains("zipf"))
+    // the real suite + the real zipf family still fits MaxLine
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val r = names.zipWithIndex.map { case (k, i) => k -> (0.1 + i * 0.05) }
+    val zfull = Seq("q_setsim_prefix", "q_setsim_topk", "q_dedup_minhash",
+      "q_dedup_simhash", "q_edit_threshold", "q_hybrid_rrf", "q_similarity_lsh")
+      .map(_ -> 123.456)
+    val full = Bench.renderJson(r, "/root/testdata/sf0.1", zipf = zfull)
+    parseable(full)
+    assert(full.length <= Bench.MaxLine, s"len=${full.length}")
+    zfull.foreach { case (k, _) => assert(full.contains("\"" + k + "\":123.456")) }
+  }
+
   test("flaky count surfaces in the line; default is zero") {
     // a query that crashed in one rep but succeeded in another must not be
     // invisible: failures stays 0 (its min is a real success) but flaky > 0
