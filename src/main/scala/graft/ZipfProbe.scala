@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Zipf-axis diagnostics: output/candidate masses for the content-blocked
+  * family on a fixture dir (dev probe backing the PLANS.md adjudications).
+  * Usage: runMain graft.ZipfProbe <sfDir>
+  */
+object ZipfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/zipfscale/z5k")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables(spark, sfDir, "documents")
+    val pairs = operators.Dedup.simHashPairs(docs, "doc_id", "text", "source", 3)
+    println(s"[zipfprobe] simhash pairs total = ${pairs.count()}")
+    println(s"[zipfprobe] simhash hamming-0 pairs = ${pairs.filter(col("hamming") === 0).count()}")
+    graft.functions.SimHash16.register(spark)
+    val sigs = docs.select(col("source").as("b"),
+      expr("simhash16(array_distinct(split(text, ' ')))").as("s"))
+    val g = sigs.groupBy("b", "s").count()
+    println(s"[zipfprobe] distinct (block, sig) groups = ${g.count()}")
+    g.orderBy(col("count").desc).show(5, false)
+    spark.stop()
+  }
+}

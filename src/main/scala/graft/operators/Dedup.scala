@@ -428,16 +428,86 @@ object Dedup {
 
   /** [[simHashPairs]] with the block key retained — consumers that exploit
     * the pairs-are-intra-block invariant (e.g. [[nearDupClusters]]) key on it.
+    *
+    * NOT a block-population self-join (the round-10 Zipf-axis finding: a
+    * corpus with a FIXED block-key cardinality — 8 sources at any size,
+    * the realistic shape — made the raw `a.__blk = b.__blk, id < id` join
+    * block-quadratic: exponent 1.09 at 64×; the earlier clean-corpus
+    * fixture hid it by growing the block COUNT with the corpus). Instead:
+    *
+    *   1. COLLAPSE to distinct (block, signature) groups — hamming
+    *      depends only on the signatures, and the 16-bit signature space
+    *      caps groups at 2^16 per block AT ANY CORPUS SIZE (the same
+    *      collapse [[nearDupClusters]] already uses for its edge set).
+    *   2. Pair GROUPS via pigeonhole chunk banding: split the 16 bits
+    *      into maxHamming+1 chunks — ≤ maxHamming differing bits cannot
+    *      touch every chunk, so two in-range signatures must agree on
+    *      some chunk verbatim; the candidate join is an equi-join on
+    *      (block, chunk idx, chunk value), collision-bound like the
+    *      MinHash band join, and a multi-chunk double-hit is kept only
+    *      at the pair's FIRST equal chunk (the minHashPairs band-0
+    *      trick) — no distinct shuffle.
+    *   3. EXPAND group pairs back to member pairs — linear in the
+    *      OUTPUT, which is the pair-listing contract.
     */
   private def simHashPairsBlocked(df: DataFrame, idCol: String, textCol: String, blockCol: String,
       maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val sigs = simHashSigs(df, idCol, textCol, blockCol)
-    sigs.as("a").join(sigs.as("b"),
-        col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
+    val members = sigs
+    // same-signature pairs: every member pair of one group, hamming 0.
+    // Tiled, not a raw equi-join — a g-member exact-dup group emits
+    // C(g,2) rows and without tiling they all land the one task owning
+    // the (block, signature) key (the minHashPairs band-bucket failure).
+    val same = tiledSelfPairs(members, Seq("__blk", "simhash"), "__id", Seq.empty,
+        MaxTileRows)
+      .select(col("__blk"), least(col("__id"), col("__id__b")).as("doc_a"),
+        greatest(col("__id"), col("__id__b")).as("doc_b"),
+        col("simhash").as("sim_a"), lit(0).as("hamming"))
+    val groups = sigs.select("__blk", "simhash").distinct()
+    val n = math.min(maxHamming + 1, 16)
+    def chunkOf(c: Column, i: Int): Column = {
+      val lo = 16 * i / n
+      val hi = 16 * (i + 1) / n
+      shiftright(c, lo).bitwiseAND(lit((1 << (hi - lo)) - 1))
+    }
+    // cross-group pairs (sa < sb numerically; hamming >= 1 so disjoint
+    // from `same`). maxHamming >= 16 admits every 16-bit pair and the
+    // pigeonhole bound cannot cover it — group all-pairs within the block
+    // is the honest (still signature-space-bounded) fallback there.
+    val gp0 =
+      if (maxHamming >= 16)
+        groups.as("a").join(groups.as("b"),
+          col("a.__blk") === col("b.__blk") && col("a.simhash") < col("b.simhash"))
+      else {
+        val chunks = groups.select(col("__blk"), col("simhash"),
+          posexplode(array((0 until n).map(i => chunkOf(col("simhash"), i)): _*))
+            .as(Seq("__ci", "__cv")))
+        val firstEq = (0 until n).foldRight(lit(-1): Column) { (i, rest) =>
+          when(chunkOf(col("a.simhash"), i) === chunkOf(col("b.simhash"), i), lit(i))
+            .otherwise(rest)
+        }
+        chunks.as("a").join(chunks.as("b"),
+            col("a.__blk") === col("b.__blk") && col("a.__ci") === col("b.__ci") &&
+              col("a.__cv") === col("b.__cv") && col("a.simhash") < col("b.simhash"))
+          .filter(col("a.__ci") === firstEq)
+      }
+    val gp = gp0
       .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.__blk").as("__blk"), col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("hamming"))
+      .select(col("a.__blk").as("__blk"), col("a.simhash").as("__sa"),
+        col("b.simhash").as("__sb"), col("hamming"))
+    val cross = gp
+      .join(members.select(col("__blk"), col("simhash").as("__sa"),
+        col("__id").as("__ma")), Seq("__blk", "__sa"))
+      .join(members.select(col("__blk"), col("simhash").as("__sb"),
+        col("__id").as("__mb")), Seq("__blk", "__sb"))
+      .select(col("__blk"),
+        least(col("__ma"), col("__mb")).as("doc_a"),
+        greatest(col("__ma"), col("__mb")).as("doc_b"),
+        when(col("__ma") < col("__mb"), col("__sa")).otherwise(col("__sb")).as("sim_a"),
+        col("hamming"))
+    same.union(cross)
   }
 
   /** Per-doc SimHash signatures (__blk, __id, simhash), shared by the pair
