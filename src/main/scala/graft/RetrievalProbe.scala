@@ -51,13 +51,13 @@ object RetrievalProbe {
     if (sys.env.get("RETRIEVAL_PROBE_EXACT").contains("1"))
       time(s"hybrid_rrf mod=$mod exact")(
         drain(operators.Retrieval.hybridRrf(docs, emb, col("doc_id") % mod === 0,
-          maxDfFrac = None)))
-    // df-capped lexical leg (the production default): on the synthetic
-    // fixtures every term is near-universal, so the cap removes (almost)
-    // the whole posting mass — this isolates the dense-leg + fusion cost.
-    time(s"hybrid_rrf mod=$mod df<=0.5")(
-      drain(operators.Retrieval.hybridRrf(docs, emb, col("doc_id") % mod === 0,
-        maxDfFrac = Some(0.5))))
+          maxDfFrac = None, maxQueryTerms = None)))
+    // Production defaults (df cap + rarest-32 query-term budget): on the
+    // min-entropy fixtures every term is near-universal, so the df cap
+    // removes (almost) the whole posting mass; on the Zipf fixtures the
+    // term budget is what bounds the fan-out.
+    time(s"hybrid_rrf mod=$mod production")(
+      drain(operators.Retrieval.hybridRrf(docs, emb, col("doc_id") % mod === 0)))
     time("importance_weights")(
       drain(operators.Retrieval.importanceWeights(docs, col("lang") === "en")))
   }

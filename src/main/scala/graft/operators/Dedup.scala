@@ -755,49 +755,95 @@ object Dedup {
       substring(col(textCol), 1, prefixLen).as("__head"))
     maxDist match {
       case Some(dMax) =>
-        // Thresholded mode — the production near-dup shape. Two pieces:
-        //
-        // CANDIDATES via rarest-first q-gram prefix filtering (the ED-Join
-        // family, Xiao/Wang/Lin VLDB'08), not the block-quadratic
-        // self-join: the (block, length-bucket) key has BOUNDED
-        // cardinality, so at 100 TB its blocks grow linearly with the
-        // corpus and Σ C(block,2) candidates quadratically (measured:
-        // exponent 1.10 at 64× on the clean-corpus axis). The count bound:
-        // each of the ≤ τ edits destroys at most q of a head's DISTINCT
-        // q-gram contents, so two heads within τ edits share all but ≤ τ·q
-        // gram contents — and by the standard prefix-filter lemma (the
-        // prefixFilterJaccardPairs machinery), under a GLOBAL rarest-first
-        // (df asc, gram) total order each side's first τ·q+1 grams must
-        // collide. Each doc therefore emits only its τ·q+1 RAREST grams;
-        // the candidate equi-join runs on gram content within the original
-        // block keys, and rarest-first is what makes it survive a Zipfian
-        // stopword head — common grams sit past every prefix, so collision
-        // mass concentrates on the rare tail (an earlier PassJoin
-        // segment-blocking variant of this stage ground to multi-minute
-        // spill on a Zipf(1) corpus exactly because aligned common-word
-        // fragments collided block-wide).
-        //
-        // VERIFY via the 3-arg levenshtein — the BANDED DP (2τ+1 diagonal
-        // band, early exit the moment the band minimum exceeds τ, -1 above
-        // threshold): rejecting a false candidate costs ~(τ+1)·(2τ+1)
-        // cells instead of len². (The unthresholded ranking below has
-        // neither out — every block pair's full DP is its contract.)
+        val heads = d.select(col("__id"), col("__head"))
+        editThresholdCandidates(df, d, dMax)
+          .join(heads.select(col("__id").as("__ida"), col("__head").as("__ha")), "__ida")
+          .join(heads.select(col("__id").as("__idb"), col("__head").as("__hb")), "__idb")
+          .select(col("__ida").as("doc_a"), col("__idb").as("doc_b"),
+            levenshtein(col("__ha"), col("__hb"), dMax).as("dist"))
+          .filter(col("dist") >= 0)
+      case None =>
+        val joined = tiledSelfPairs(d, Seq("__blk", "__lenb"), "__id", Seq("__head"), maxTileRows)
+        joined.select(least(col("__id"), col("__id__b")).as("doc_a"),
+          greatest(col("__id"), col("__id__b")).as("doc_b"),
+          levenshtein(col("__head"), col("__head__b")).as("dist"))
+    }
+  }
+
+  /** Candidate stage of the thresholded edit join (package-visible so the
+    * scaling probes can count candidate mass without paying the verify
+    * DP). `d` is the prepared (__id, __blk, __lenb, __head) frame built by
+    * [[editDistancePairs]]; output is the DISTINCT (__ida < __idb)
+    * candidate pair set. Two pieces:
+    *
+    * CANDIDATES via rarest-first q-gram prefix filtering (the ED-Join
+    * family, Xiao/Wang/Lin VLDB'08), not the block-quadratic
+    * self-join: the (block, length-bucket) key has BOUNDED
+    * cardinality, so at 100 TB its blocks grow linearly with the
+    * corpus and Σ C(block,2) candidates quadratically (measured:
+    * exponent 1.10 at 64× on the clean-corpus axis). The count bound:
+    * each of the ≤ τ edits destroys at most q of a head's DISTINCT
+    * q-gram contents, so two heads within τ edits share all but ≤ τ·q
+    * gram contents — and by the standard prefix-filter lemma (the
+    * prefixFilterJaccardPairs machinery), under a GLOBAL rarest-first
+    * (df asc, gram) total order each side's first τ·q+1 grams must
+    * collide. Each doc therefore emits only its τ·q+1 RAREST grams;
+    * the candidate equi-join runs on gram content within the original
+    * block keys, and rarest-first is what makes it survive a Zipfian
+    * stopword head — common grams sit past every prefix, so collision
+    * mass concentrates on the rare tail (an earlier PassJoin
+    * segment-blocking variant of this stage ground to multi-minute
+    * spill on a Zipf(1) corpus exactly because aligned common-word
+    * fragments collided block-wide).
+    *
+    * PLUS the ED-Join LOCATION filter (round 10): a character q-gram
+    * space over a bounded alphabet SATURATES — 60-char lowercase heads
+    * have ≤ ~27³ ≈ 20k possible trigrams, so past ~100k docs every gram
+    * content is common and content collisions alone grow quadratically
+    * (the repaired Zipf fixture measured exponent 1.02 at 64× on the
+    * τ=8 stress contract). Positions break the degeneracy: a prefix
+    * content match only survives if SOME occurrence pair sits within τ
+    * positions. Losslessness: ≤ τ·q gram OCCURRENCES per side overlap
+    * an edit; every other occurrence keeps its content and shifts by at
+    * most the net indel balance ≤ τ. Let c* be the globally RAREST
+    * surviving content — at most τ·q contents can be fully destroyed on
+    * either side (each needs ≥ 1 destroyed occurrence), so fewer than
+    * τ·q+1 contents of either gram set can outrank c*, putting c* in
+    * BOTH τ·q+1 prefixes with an occurrence pair within τ. The filter
+    * sits in the join condition, so far-position collisions are dropped
+    * at the hash probe and never reach the pair-distinct exchange.
+    *
+    * (VERIFY, in [[editDistancePairs]], is the 3-arg levenshtein — the
+    * BANDED DP: 2τ+1 diagonal band, early exit the moment the band
+    * minimum exceeds τ, -1 above threshold — so rejecting a false
+    * candidate costs ~(τ+1)·(2τ+1) cells instead of len².)
+    */
+  private[graft] def editThresholdCandidates(df: DataFrame, d: DataFrame,
+      dMax: Int): DataFrame = {
         val q3 = 3
         val pref = dMax * q3 + 1
-        // Gram building (q3 substrings + array_distinct per head) is the
-        // expensive narrow transform here — rebalance the tiny head
-        // projection first so it never inherits the scan's partitioning
-        // (the kernelParallelism rule: fixture parquet is one row group =
-        // one task; measured 0.5-0.7 s serial per branch at sf0.1).
+        // Gram building (q3 substrings per head) is the expensive narrow
+        // transform here — rebalance the tiny head projection first so it
+        // never inherits the scan's partitioning (the kernelParallelism
+        // rule: fixture parquet is one row group = one task; measured
+        // 0.5-0.7 s serial per branch at sf0.1). Grams carry their
+        // 1-based POSITIONS for the location filter; __ng is the
+        // distinct-CONTENT count the prefix bound needs.
         val dd = d.repartition(kernelParallelism(df), col("__id"))
           .withColumn("__hlen", length(col("__head")))
-          .withColumn("__gs", when(col("__hlen") >= q3, array_distinct(expr(
-            s"transform(sequence(1, __hlen - ${q3 - 1}), p -> substring(__head, p, $q3))")))
-            .otherwise(array().cast("array<string>")))
+          .withColumn("__gps", when(col("__hlen") >= q3, expr(
+            s"""transform(sequence(1, __hlen - ${q3 - 1}),
+               |  p -> struct(substring(__head, p, $q3) AS g, p AS p))""".stripMargin))
+            .otherwise(array().cast("array<struct<g:string,p:int>>")))
+          .withColumn("__dist", array_distinct(expr("transform(__gps, x -> x.g)")))
+          .withColumn("__ng", size(col("__dist")))
         // The count bound needs MORE than τ·q distinct grams to bite;
         // heads below that (short or highly repetitive) fall back to
-        // block-local pairing below.
-        val longs = dd.filter(size(col("__gs")) > dMax * q3)
+        // block-local pairing below. (Deliberately NOT cached: the two
+        // consumers re-derive the gram transform, but caching measured
+        // no win at sf0.1 and the materialized gram arrays cost real
+        // memory at the 64×/head=200 corner.)
+        val longs = dd.filter(col("__ng") > dMax * q3)
         // Rarity order via a HASH-BUCKETED df proxy, not exact per-gram
         // df. The prefix lemma needs any one GLOBAL total order on gram
         // contents applied consistently per doc; rarest-first is purely
@@ -815,33 +861,50 @@ object Dedup {
         // and per-doc prefix selection is a hash aggregate with a
         // per-doc array_sort + slice — no per-doc window exchange + sort
         // (the round-9 stage paid ~2 s of sf0.1 constant there).
-        val bcounts = longs
-          .select(explode(col("__gs")).as("__g"))
-          .groupBy(pmod(xxhash64(col("__g")), lit(EditJoinDfBuckets.toLong)).as("__b"))
-          .agg(count(lit(1)).as("__df"))
-        val prefix = longs
-          .select(col("__blk"), col("__lenb"), col("__id"), col("__hlen"),
-            explode(col("__gs")).as("__g"))
+        // Prefix CONTENTS first, positions second: the position lists the
+        // location filter needs are computed for the ≤ τ·q+1 PREFIX grams
+        // only, via a join-back on __id. Building them for EVERY gram up
+        // front is O(grams²) filter scans per doc (39k at head=200 —
+        // measured 2-3× on the long-head probe corners), and the
+        // join-back is exchange-free: the per-doc prefix aggregate and
+        // the gram frame both inherit the kernelParallelism hash
+        // partitioning on __id.
+        val dgl = longs
+          .select(col("__id"), explode(col("__dist")).as("__g"))
           .withColumn("__b", pmod(xxhash64(col("__g")), lit(EditJoinDfBuckets.toLong)))
+        val bcounts = dgl
+          .groupBy("__b")
+          .agg(count(lit(1)).as("__df"))
+        val prefContents = dgl
           .join(broadcast(bcounts), "__b")
-          .groupBy("__id", "__blk", "__lenb", "__hlen")
+          .groupBy("__id")
           .agg(slice(array_sort(collect_list(struct(col("__df").as("d"), col("__g").as("g")))),
             1, pref).as("__pg"))
-          .select(col("__blk"), col("__lenb"),
-            explode(expr("transform(__pg, x -> x.g)")).as("__g"),
-            col("__id"), col("__hlen"))
+          .select(col("__id"), expr("transform(__pg, x -> x.g)").as("__pgs"))
+        val prefix = longs
+          .select(col("__blk"), col("__lenb"), col("__id"), col("__hlen"), col("__gps"))
+          .join(prefContents, "__id")
+          .select(col("__blk"), col("__lenb"), col("__id"), col("__hlen"),
+            explode(expr(
+              """transform(__pgs, g -> struct(g AS g,
+                |  transform(filter(__gps, y -> y.g = g), y -> y.p) AS ps))"""
+                .stripMargin)).as("__gp"))
+          .select(col("__blk"), col("__lenb"), col("__gp.g").as("__g"),
+            col("__gp.ps").as("__ps"), col("__id"), col("__hlen"))
           .cache() // both self-join legs read this frame
         val mainCands = prefix.as("a")
           .join(prefix.as("b"),
             col("a.__blk") === col("b.__blk") && col("a.__lenb") === col("b.__lenb") &&
               col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
-              abs(col("a.__hlen") - col("b.__hlen")) <= dMax)
+              abs(col("a.__hlen") - col("b.__hlen")) <= dMax &&
+              exists(col("a.__ps"), pa =>
+                exists(col("b.__ps"), pb => abs(pa - pb) <= lit(dMax))))
           .select(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
         // Heads with ≤ τ·q distinct grams carry no prefix guarantee — pair
         // them against their whole block (a degenerate, tiny set on
         // natural text; a corpus OF such strings needs the unthresholded
         // kernel anyway).
-        val shorts = dd.filter(size(col("__gs")) <= dMax * q3)
+        val shorts = dd.filter(col("__ng") <= dMax * q3)
           .select(col("__blk"), col("__lenb"), col("__id").as("__ids"),
             col("__hlen").as("__hlens"))
         val shortCands = dd.join(shorts, Seq("__blk", "__lenb"))
@@ -849,19 +912,7 @@ object Dedup {
             abs(col("__hlen") - col("__hlens")) <= dMax)
           .select(least(col("__id"), col("__ids")).as("__ida"),
             greatest(col("__id"), col("__ids")).as("__idb"))
-        val heads = dd.select(col("__id"), col("__head"))
         mainCands.union(shortCands).distinct()
-          .join(heads.select(col("__id").as("__ida"), col("__head").as("__ha")), "__ida")
-          .join(heads.select(col("__id").as("__idb"), col("__head").as("__hb")), "__idb")
-          .select(col("__ida").as("doc_a"), col("__idb").as("doc_b"),
-            levenshtein(col("__ha"), col("__hb"), dMax).as("dist"))
-          .filter(col("dist") >= 0)
-      case None =>
-        val joined = tiledSelfPairs(d, Seq("__blk", "__lenb"), "__id", Seq("__head"), maxTileRows)
-        joined.select(least(col("__id"), col("__id__b")).as("doc_a"),
-          greatest(col("__id"), col("__id__b")).as("doc_b"),
-          levenshtein(col("__head"), col("__head__b")).as("dist"))
-    }
   }
 
   /** Near-dup clustering: connected components over the SimHash near-dup

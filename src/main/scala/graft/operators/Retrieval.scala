@@ -74,10 +74,27 @@ object Retrieval {
     * such terms loses its lexical rank, and two candidates separated only
     * by stop-word mass may swap adjacent ranks. Pass `maxDfFrac = None`
     * for exact textbook BM25 (what the verify query pins against DuckDB).
+    *
+    * `maxQueryTerms`: the df cap alone does not bound candidate mass on a
+    * ZIPFIAN corpus — queries here are whole documents (~60+ distinct
+    * terms), and with p(rank r) ∝ 1/r the Σ_w |queries∋w|·df(w) mass is
+    * dominated by MID-frequency terms that sit well under any df
+    * fraction a stop-word cap can honestly use (measured: the round-10
+    * zipf-64× fixture disk-killed the uncapped leg). The standard IR
+    * answer for document-as-query (Lucene MoreLikeThis: maxQueryTerms=25)
+    * is to score only each query's most DISCRIMINATIVE terms: keep the
+    * `t` rarest (df asc, term) terms per query — deterministic, and
+    * exactly the terms carrying the idf mass — before the posting
+    * fan-out, bounding candidates at |queries|·t·max-df. DEFAULT =
+    * Some(32) (queries here average ~60-90 distinct terms, so this keeps
+    * the top third of the idf signal). Ranking contract: scores omit the
+    * query's commonest terms' sub-idf contributions, same class of
+    * approximation as the df cap. Pass None for the exact leg.
     */
   def hybridRrf(docs: DataFrame, emb: DataFrame, queryPred: Column,
       topPerLeg: Int = 20, topOut: Int = 5,
-      maxDfFrac: Option[Double] = Some(0.5)): DataFrame = {
+      maxDfFrac: Option[Double] = Some(0.5),
+      maxQueryTerms: Option[Int] = Some(32)): DataFrame = {
     // The query-id set: small by construction (queries ≪ corpus), carried
     // as a broadcast side into both legs.
     val queryIds = docs.where(queryPred).select(col("doc_id").as("__qid"))
@@ -113,9 +130,17 @@ object Retrieval {
     val dfreq = maxDfFrac
       .fold(dfreqAll)(f => dfreqAll.where(col("df") <= lit(f) * col("n_docs")))
       .select("w", "df", "idf")
-    val qTerms = tf.join(broadcast(queryIds), col("doc_id") === col("__qid"), "left_semi")
+    val qTermsAll = tf.join(broadcast(queryIds), col("doc_id") === col("__qid"), "left_semi")
       .select(col("doc_id").as("query_id"), col("w")).distinct()
       .join(broadcast(dfreq), "w")
+    // The per-query term budget runs over the QUERY-side frame
+    // (|queries|·terms rows — tiny next to the posting fan-out it bounds);
+    // rarest-first with the term as tie-break keeps it deterministic.
+    val qTerms = maxQueryTerms.fold(qTermsAll) { t =>
+      val wq = Window.partitionBy("query_id").orderBy(col("df").asc, col("w").asc)
+      qTermsAll.withColumn("__tr", row_number().over(wq))
+        .where(col("__tr") <= t).drop("__tr")
+    }
     // The BM25 length norm is per-(doc, term): hoist it out of the fan-out
     // too (tf is |docs|·|terms-per-doc| rows; the candidate mass below is
     // |queries| times that).
@@ -269,12 +294,14 @@ object Retrieval {
     // Hybrid search: every 100th document is a query; BM25 and exact-cosine
     // top-20 lists fused by RRF, top-5 per query. The oracle replays the
     // identical quantized-integer pipeline in SQL — EXACT BM25, so the
-    // verify query opts out of the production df-prune default.
+    // verify query opts out of the production df-prune and query-term-cap
+    // defaults (the capped production path has its own oracle row below).
     GraftQuery(
       "q_hybrid_rrf",
       (s, dir) => hybridRrf(
         Tables(s, dir, "documents"), Tables(s, dir, "embeddings"),
-        queryPred = col("doc_id") % 100 === 0, maxDfFrac = None),
+        queryPred = col("doc_id") % 100 === 0, maxDfFrac = None,
+        maxQueryTerms = None),
       Some(s"""WITH toks AS (
               |  SELECT doc_id, string_split(text, ' ') AS ws,
               |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -286,6 +313,80 @@ object Retrieval {
               |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
               |qterms AS (
               |  SELECT DISTINCT doc_id AS query_id, w FROM tf WHERE doc_id % 100 = 0),
+              |contrib AS (
+              |  SELECT q.query_id, tf.doc_id,
+              |    CAST(floor(
+              |      (ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * (tf * 2.2)) /
+              |        (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+              |      * 1e6 + 0.5) AS BIGINT) AS c_micros
+              |  FROM qterms q JOIN tf USING (w) JOIN dfq USING (w) CROSS JOIN stats
+              |  WHERE tf.doc_id <> q.query_id),
+              |lex AS (
+              |  SELECT query_id, doc_id, sum(c_micros) AS lex_micros
+              |  FROM contrib GROUP BY 1, 2),
+              |lex_top AS (
+              |  SELECT query_id, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY lex_micros DESC, doc_id) AS BIGINT) AS r_lex
+              |  FROM lex QUALIFY r_lex <= 20),
+              |prep AS (
+              |  SELECT vec_id, $quantizedSql AS q FROM embeddings),
+              |normed AS (
+              |  SELECT vec_id, q, list_dot_product(q, q) AS nrm FROM prep),
+              |dense AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+              |    CAST(floor(list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) * 1e6 + 0.5) AS BIGINT) AS cos_micros
+              |  FROM normed a JOIN normed b ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id),
+              |dense_top AS (
+              |  SELECT query_id, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, doc_id) AS BIGINT) AS r_dense
+              |  FROM dense QUALIFY r_dense <= 20),
+              |fused AS (
+              |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+              |    coalesce(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+              |    coalesce(CAST(floor(1e6 / (60.0 + l.r_lex)) AS BIGINT), 0) +
+              |      coalesce(CAST(floor(1e6 / (60.0 + d.r_dense)) AS BIGINT), 0) AS rrf_micros
+              |  FROM lex_top l FULL OUTER JOIN dense_top d
+              |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+              |SELECT query_id,
+              |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_micros DESC, doc_id) AS BIGINT) AS rank,
+              |  doc_id, CAST(rrf_micros AS DOUBLE) / 1e6 AS rrf, r_lex, r_dense
+              |FROM fused QUALIFY rank <= 5
+              |ORDER BY query_id, rank""".stripMargin),
+    ),
+
+    // The PRODUCTION hybrid-search path, oracle-pinned: same fusion, but
+    // the lexical leg runs under both scale guards — the df-fraction cap
+    // (terms in > half the corpus never reach the posting fan-out) and
+    // the per-query rarest-32-terms budget (document-as-query on a
+    // Zipfian corpus is otherwise posting-mass-quadratic; see
+    // [[hybridRrf]]). The oracle replays both guards exactly: df cap on
+    // the term dictionary, then row_number over (df asc, w) per query.
+    // The dense leg stays the exact scan here — its production variants
+    // (sign-LSH / IVF / multi-probe / PQ) have their own oracle rows.
+    GraftQuery(
+      "q_hybrid_rrf_capped",
+      (s, dir) => hybridRrf(
+        Tables(s, dir, "documents"), Tables(s, dir, "embeddings"),
+        queryPred = col("doc_id") % 100 === 0),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS ws,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              |  FROM documents),
+              |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM toks),
+              |tf AS (
+              |  SELECT doc_id, dl, w, count(*) AS tf
+              |  FROM (SELECT doc_id, dl, unnest(ws) AS w FROM toks) GROUP BY 1, 2, 3),
+              |dfq0 AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+              |dfq AS (
+              |  SELECT w, df FROM dfq0 CROSS JOIN stats
+              |  WHERE df <= 0.5 * n_docs),
+              |qterms AS (
+              |  SELECT query_id, w FROM (
+              |    SELECT q.query_id, q.w,
+              |      row_number() OVER (PARTITION BY q.query_id ORDER BY d.df ASC, q.w ASC) AS tr
+              |    FROM (SELECT DISTINCT doc_id AS query_id, w FROM tf WHERE doc_id % 100 = 0) q
+              |    JOIN dfq d USING (w))
+              |  WHERE tr <= 32),
               |contrib AS (
               |  SELECT q.query_id, tf.doc_id,
               |    CAST(floor(

@@ -103,6 +103,30 @@ class RetrievalSpec extends SparkSuite {
     assert(default(2L), "rare-term doc keeps its lexical rank under the default")
   }
 
+  test("hybridRrf: maxQueryTerms keeps only the query's rarest terms in the fan-out") {
+    // Query terms by rarity: 'rare' (df 2) < 'mid' (df 3) < 'the' (df 4).
+    // With a 1-term budget only 'rare' scores, so doc 2 (reachable only
+    // via 'mid') loses its lexical rank; with the budget lifted (None, df
+    // cap also off) it keeps it. Deterministic rarest-first: df asc, term.
+    val docs = docsDf(
+      (0L, "rare mid the", "en"),
+      (1L, "rare the mid", "en"),
+      (2L, "mid junk the", "en"),
+      (3L, "junk junk the", "en"))
+    val emb = embDf(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.5f, 0.5f)),
+      (2L, Seq(0f, 1f)), (3L, Seq(-1f, 0f)))
+    def lexRanked(t: Option[Int]) =
+      Retrieval.hybridRrf(docs, emb, col("doc_id") === 0, topPerLeg = 10, topOut = 4,
+        maxDfFrac = None, maxQueryTerms = t)
+        .collect().map(r => r.getLong(2) -> !r.isNullAt(4)).toMap
+    val capped = lexRanked(Some(1))
+    val exact = lexRanked(None)
+    assert(capped(1L), "doc sharing the rarest term keeps its lexical rank under the budget")
+    assert(capped.get(2L).forall(!_), s"budget=1: mid-term-only doc has no lexical rank: $capped")
+    assert(exact(2L), "no budget: the mid-frequency term still scores")
+  }
+
   test("importanceWeights: target-like docs weigh higher; selection is exact-k") {
     // Target (lang=en) docs use 'good'; others use 'bad'. A doc full of
     // 'good' tokens must out-weigh a doc full of 'bad' tokens.
