@@ -180,7 +180,7 @@ object Bench {
     // are excluded from "value" so cross-round totals stay comparable.
     val zipfFamily = Seq("q_setsim_prefix", "q_setsim_topk", "q_dedup_minhash",
       "q_dedup_simhash", "q_edit_threshold", "q_hybrid_rrf", "q_hybrid_rrf_capped",
-      "q_similarity_lsh")
+      "q_hybrid_rrf_lsh", "q_similarity_lsh")
     val zipfResults: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_ZIPF").contains("0")) Seq.empty
       else try {

@@ -90,11 +90,22 @@ object Retrieval {
     * the top third of the idf signal). Ranking contract: scores omit the
     * query's commonest terms' sub-idf contributions, same class of
     * approximation as the df cap. Pass None for the exact leg.
+    *
+    * `denseLsh`: replace the exact-cosine dense leg (a broadcast
+    * nested-loop over queries × corpus — the correctness baseline, and
+    * quadratic when the query set grows with the corpus) with the
+    * sign-LSH bucketed scan: both sides bucket by [[Similarity]]'s 8
+    * integer hyperplane sign bits and candidates come from a bucket
+    * EQUI-join, so a query scores only its own bucket's ~1/256 of the
+    * corpus. Recall contract is sign-LSH's: a near neighbor across a
+    * hyperplane is missed (q_similarity_multiprobe's probing is the
+    * recall-raising variant); ranks among scored candidates are exact.
     */
   def hybridRrf(docs: DataFrame, emb: DataFrame, queryPred: Column,
       topPerLeg: Int = 20, topOut: Int = 5,
       maxDfFrac: Option[Double] = Some(0.5),
-      maxQueryTerms: Option[Int] = Some(32)): DataFrame = {
+      maxQueryTerms: Option[Int] = Some(32),
+      denseLsh: Boolean = false): DataFrame = {
     // The query-id set: small by construction (queries ≪ corpus), carried
     // as a broadcast side into both legs.
     val queryIds = docs.where(queryPred).select(col("doc_id").as("__qid"))
@@ -165,14 +176,24 @@ object Retrieval {
       .where(col("r_lex") <= topPerLeg)
       .select("query_id", "doc_id", "r_lex")
 
-    // ---- dense leg: exact cosine, query side broadcast ----
-    val prep = emb
+    // ---- dense leg: exact cosine (query side broadcast) or, with
+    // denseLsh, a sign-LSH bucket equi-join — the corpus is still never
+    // shuffled ON DATA (the bucket column is derived map-side and the
+    // query side stays the broadcast build) ----
+    val prep0 = emb
       .withColumn("q", quantized(col("embedding")))
       .withColumn("nrm", Similarity.dot(col("q"), col("q")))
-      .select(col("vec_id"), col("q"), col("nrm"))
+    val prep =
+      if (denseLsh) prep0.withColumn("__bkt", Similarity.lshBucket(col("q")))
+        .select(col("vec_id"), col("q"), col("nrm"), col("__bkt"))
+      else prep0.select(col("vec_id"), col("q"), col("nrm"))
     val queriesE = prep.join(broadcast(queryIds), col("vec_id") === col("__qid"), "left_semi")
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qnrm"))
-    val dense = prep.crossJoin(broadcast(queriesE))
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("q", "qq").withColumnRenamed("nrm", "qnrm")
+    val densePairs =
+      if (denseLsh) prep.join(broadcast(queriesE), Seq("__bkt"))
+      else prep.crossJoin(broadcast(queriesE))
+    val dense = densePairs
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         Similarity.dot(col("q"), col("qq")).cast("double") /
@@ -410,6 +431,81 @@ object Retrieval {
               |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
               |    CAST(floor(list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) * 1e6 + 0.5) AS BIGINT) AS cos_micros
               |  FROM normed a JOIN normed b ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id),
+              |dense_top AS (
+              |  SELECT query_id, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, doc_id) AS BIGINT) AS r_dense
+              |  FROM dense QUALIFY r_dense <= 20),
+              |fused AS (
+              |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+              |    coalesce(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+              |    coalesce(CAST(floor(1e6 / (60.0 + l.r_lex)) AS BIGINT), 0) +
+              |      coalesce(CAST(floor(1e6 / (60.0 + d.r_dense)) AS BIGINT), 0) AS rrf_micros
+              |  FROM lex_top l FULL OUTER JOIN dense_top d
+              |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+              |SELECT query_id,
+              |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_micros DESC, doc_id) AS BIGINT) AS rank,
+              |  doc_id, CAST(rrf_micros AS DOUBLE) / 1e6 AS rrf, r_lex, r_dense
+              |FROM fused QUALIFY rank <= 5
+              |ORDER BY query_id, rank""".stripMargin),
+    ),
+
+    // The FULLY production-shaped hybrid row: lexical leg under both
+    // scale guards AND the dense leg through the sign-LSH bucket
+    // equi-join (a query scores its own bucket only) — the deployment
+    // shape end-to-end, oracle-pinned: DuckDB replays the df cap, the
+    // per-query term budget, and the 8-hyperplane bucket arithmetic
+    // (shared SQL with q_similarity_lsh's oracle).
+    GraftQuery(
+      "q_hybrid_rrf_lsh",
+      (s, dir) => hybridRrf(
+        Tables(s, dir, "documents"), Tables(s, dir, "embeddings"),
+        queryPred = col("doc_id") % 100 === 0, denseLsh = true),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS ws,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              |  FROM documents),
+              |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM toks),
+              |tf AS (
+              |  SELECT doc_id, dl, w, count(*) AS tf
+              |  FROM (SELECT doc_id, dl, unnest(ws) AS w FROM toks) GROUP BY 1, 2, 3),
+              |dfq0 AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+              |dfq AS (
+              |  SELECT w, df FROM dfq0 CROSS JOIN stats
+              |  WHERE df <= 0.5 * n_docs),
+              |qterms AS (
+              |  SELECT query_id, w FROM (
+              |    SELECT q.query_id, q.w,
+              |      row_number() OVER (PARTITION BY q.query_id ORDER BY d.df ASC, q.w ASC) AS tr
+              |    FROM (SELECT DISTINCT doc_id AS query_id, w FROM tf WHERE doc_id % 100 = 0) q
+              |    JOIN dfq d USING (w))
+              |  WHERE tr <= 32),
+              |contrib AS (
+              |  SELECT q.query_id, tf.doc_id,
+              |    CAST(floor(
+              |      (ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * (tf * 2.2)) /
+              |        (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+              |      * 1e6 + 0.5) AS BIGINT) AS c_micros
+              |  FROM qterms q JOIN tf USING (w) JOIN dfq USING (w) CROSS JOIN stats
+              |  WHERE tf.doc_id <> q.query_id),
+              |lex AS (
+              |  SELECT query_id, doc_id, sum(c_micros) AS lex_micros
+              |  FROM contrib GROUP BY 1, 2),
+              |lex_top AS (
+              |  SELECT query_id, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY lex_micros DESC, doc_id) AS BIGINT) AS r_lex
+              |  FROM lex QUALIFY r_lex <= 20),
+              |prep AS (
+              |  SELECT vec_id, $quantizedSql AS q FROM embeddings),
+              |normed AS (
+              |  SELECT vec_id, q, list_dot_product(q, q) AS nrm,
+              |${Similarity.lshBucketSql}
+              |    AS bucket
+              |  FROM prep),
+              |dense AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+              |    CAST(floor(list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) * 1e6 + 0.5) AS BIGINT) AS cos_micros
+              |  FROM normed a JOIN normed b
+              |    ON a.vec_id % 100 = 0 AND a.bucket = b.bucket AND b.vec_id <> a.vec_id),
               |dense_top AS (
               |  SELECT query_id, doc_id,
               |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, doc_id) AS BIGINT) AS r_dense

@@ -225,6 +225,15 @@ object Similarity {
       when(dot(q, planeArray(pl)) > 0, lit(1L << pl)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** DuckDB replay of [[lshBucket]] over a quantized list column named
+    * `q` — shared with the hybrid-retrieval oracle (Retrieval.scala), so
+    * the bucket arithmetic is written exactly once per engine.
+    */
+  private[operators] def lshBucketSql: String =
+    (0 until NumPlanes).map(pl =>
+      s"(CASE WHEN list_dot_product(q, ${planeSqlList(pl)}) > 0 THEN ${1L << pl} ELSE 0 END)")
+      .mkString(" +\n")
+
   /** Sign-LSH top-k: bucket by hyperplane sign bits, tiled kernel per bucket.
     *
     * The bucket bits are computed in one primitive pass over the quantized

@@ -127,6 +127,29 @@ class RetrievalSpec extends SparkSuite {
     assert(exact(2L), "no budget: the mid-frequency term still scores")
   }
 
+  test("hybridRrf denseLsh: dense ranks only ever pair same-bucket vectors") {
+    // Property on the real sf0.001 fixture: every output row with a dense
+    // rank must connect two vectors in the SAME sign-LSH bucket (the
+    // exact leg would also admit cross-bucket neighbors). Buckets are
+    // recomputed here via the public Similarity column helpers.
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    val out = operators.Retrieval.hybridRrf(docs, emb,
+      col("doc_id") % 100 === 0, denseLsh = true)
+    val buckets = emb.select(col("vec_id"),
+      operators.Similarity.lshBucket(
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long")))
+        .as("bkt"))
+    val denseRows = out.where(col("r_dense").isNotNull)
+      .join(buckets.select(col("vec_id").as("query_id"), col("bkt").as("qb")), "query_id")
+      .join(buckets.select(col("vec_id").as("doc_id"), col("bkt").as("db")), "doc_id")
+    assert(denseRows.count() > 0, "fixture must produce some dense-leg ranks")
+    assert(denseRows.where(col("qb") =!= col("db")).count() == 0,
+      "a dense rank must never cross sign-LSH buckets")
+  }
+
   test("importanceWeights: target-like docs weigh higher; selection is exact-k") {
     // Target (lang=en) docs use 'good'; others use 'bad'. A doc full of
     // 'good' tokens must out-weigh a doc full of 'bad' tokens.
