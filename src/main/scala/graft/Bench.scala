@@ -56,7 +56,8 @@ object Bench {
     */
   def renderJson(results: Seq[(String, Double)], sfDir: String,
       failures: Int = 0, flaky: Int = 0, calibration: Double = 0.0,
-      zipf: Seq[(String, Double)] = Seq.empty): String = {
+      zipf: Seq[(String, Double)] = Seq.empty,
+      calibrationCpu: Double = 0.0): String = {
     val total = results.map(_._2).sum
     val sf = sfLabel(sfDir)
     // Zipf-axis rows (realistic-text fixture, separate corpus — NOT part
@@ -70,7 +71,7 @@ object Bench {
     def line(entries: Seq[(String, Double)], otherSum: Option[Double]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
         otherSum.map(s => "\"other\":" + fmt(s))
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"queries":${qs.mkString("{", ",", "}")}$zipfBlock,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"calibration_cpu_sec":${fmt(calibrationCpu)},"queries":${qs.mkString("{", ",", "}")}$zipfBlock,"sf":"$sf"}"""
     }
     val bySlowest = results.sortBy { case (k, v) => (-v, k) }
     // Largest prefix of the slowest-first ordering that fits; the rest
@@ -125,6 +126,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibration = math.min(calibrateOnce(), calibrateOnce())
+    // Second, CPU-BOUND probe (round 11): the shuffle probe above tracks
+    // exchange/serialization speed but under-measures drift for
+    // codegen-bound queries — the round-10 adjudication found driver-
+    // artifact times on UNTOUCHED CPU-heavy queries (triangles, psi)
+    // inflated ~1.3× while calibration_sec moved only 1.10× (the same-
+    // session r9/r10 worktree A/B in BENCH.md proved the code identical).
+    // One stage, no exchange past the 32-row final agg, pure whole-stage
+    // codegen: xxhash64 over a range, modular sum. Pinned forever, like
+    // the shuffle probe; cross-round ratios should consult BOTH constants
+    // and trust neither alone when they disagree.
+    def calibrateCpuOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 27)
+        .selectExpr("xxhash64(id) % 1000003 AS h")
+        .agg(org.apache.spark.sql.functions.sum("h")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibrationCpu = math.min(calibrateCpuOnce(), calibrateCpuOnce())
     // Two reps, report per-query MIN: a single cold pass is hostage to the
     // shared driver box's noise (round 3 recorded a phantom 1.48× "regression"
     // spread across untouched queries; a clean local re-run was 1.0×). The min
@@ -204,7 +223,8 @@ object Bench {
         System.err.println(s"[bench] zipf block failed: ${e.getMessage}")
         Seq.empty
       }
-    val jsonLine = renderJson(results, sfDir, failures, flaky, calibration, zipfResults)
+    val jsonLine = renderJson(results, sfDir, failures, flaky, calibration,
+      zipfResults, calibrationCpu)
     // Full per-query dump (no MaxLine cap / "other" merging) for scaling
     // analysis — the stdout line stays driver-compatible, the file carries
     // every query's time for tools/scaling.py.
@@ -214,7 +234,7 @@ object Bench {
       val zs = zipfResults.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"queries":$qs,"zipf":$zs,"sf":"${sfLabel(sfDir)}"}""")
+        s"""{"failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"calibration_cpu_sec":${fmt(calibrationCpu)},"queries":$qs,"zipf":$zs,"sf":"${sfLabel(sfDir)}"}""")
     }
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()

@@ -123,17 +123,23 @@ object SuiteScale {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val good = times.filter(_._2).map(_._1)
-      val sec = if (good.nonEmpty) good.min else -times.map(_._1).max
-      println(f"[suitescale] $name%-28s ${fmt(sec)}")
-      (name, sec, inputTables(name))
+      // a query with no successful rep publishes the slowest FAILING rep's
+      // wall time plus an EXPLICIT failed flag (round-10 ADVICE: the old
+      // negated-seconds sentinel forced every consumer of the committed
+      // dumps to know the sign convention; old dumps keep it, so readers
+      // accept either encoding)
+      val failed = good.isEmpty
+      val sec = if (good.nonEmpty) good.min else times.map(_._1).max
+      println(f"[suitescale] $name%-28s ${fmt(sec)}${if (failed) " FAILED" else ""}")
+      (name, sec, failed, inputTables(name))
     }
     spark.stop()
     val mode = if (countMode) "count" else "full"
-    val body = results.map { case (n, s, ts) =>
-      s"""  "$n": {"sec": ${fmt(s)}, "tables": [${ts.map("\"" + _ + "\"").mkString(", ")}]}"""
+    val body = results.map { case (n, s, f, ts) =>
+      s"""  "$n": {"sec": ${fmt(s)}, "failed": $f, "tables": [${ts.map("\"" + _ + "\"").mkString(", ")}]}"""
     }.mkString(",\n")
     val doc = s"""{\n"sf": "${Bench.sfLabel(sfDir)}", "mode": "$mode", "reps": $reps, "shuffle": $parts,\n"queries": {\n$body\n}}\n"""
     Files.write(Paths.get(outJson), doc.getBytes(StandardCharsets.UTF_8))
-    println(s"[suitescale] wrote $outJson (${results.count(_._2 < 0)} failures)")
+    println(s"[suitescale] wrote $outJson (${results.count(_._3)} failures)")
   }
 }

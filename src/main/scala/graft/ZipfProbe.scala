@@ -26,10 +26,9 @@ object ZipfProbe {
       // number the location filter exists to bound on a saturated
       // character-trigram space. Also times the full query for context.
       val tau = if (args.length > 2) args(2).toInt else 8
-      val d = docs.select(col("doc_id").cast("long").as("__id"),
-        col("source").cast("string").as("__blk"),
-        expr("length(text) div 50").as("__lenb"),
-        substring(col("text"), 1, 60).as("__head"))
+      // the SAME projection the production query builds (shared helper —
+      // round-10 ADVICE: hardcoded literals here silently diverged)
+      val d = operators.Dedup.editHeadFrame(docs, "doc_id", "text", "source")
       val t0 = System.nanoTime()
       val nCands = operators.Dedup.editThresholdCandidates(docs, d, tau).count()
       val tc = (System.nanoTime() - t0) / 1e9

@@ -750,9 +750,7 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String, blockCol: String,
       prefixLen: Int = 60, lenBucket: Int = 50, maxTileRows: Long = MaxTileRows,
       maxDist: Option[Int] = None): DataFrame = {
-    val d = df.select(col(idCol).cast("long").as("__id"), col(blockCol).cast("string").as("__blk"),
-      expr(s"length($textCol) div $lenBucket").as("__lenb"),
-      substring(col(textCol), 1, prefixLen).as("__head"))
+    val d = editHeadFrame(df, idCol, textCol, blockCol, prefixLen, lenBucket)
     maxDist match {
       case Some(dMax) =>
         val heads = d.select(col("__id"), col("__head"))
@@ -770,10 +768,20 @@ object Dedup {
     }
   }
 
+  /** The (__id, __blk, __lenb, __head) projection the thresholded edit
+    * join runs on — package-visible (round-10 ADVICE) so probes measure
+    * the SAME projection [[editDistancePairs]] builds instead of
+    * re-hardcoding its prefixLen/lenBucket defaults. */
+  private[graft] def editHeadFrame(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, prefixLen: Int = 60, lenBucket: Int = 50): DataFrame =
+    df.select(col(idCol).cast("long").as("__id"), col(blockCol).cast("string").as("__blk"),
+      expr(s"length($textCol) div $lenBucket").as("__lenb"),
+      substring(col(textCol), 1, prefixLen).as("__head"))
+
   /** Candidate stage of the thresholded edit join (package-visible so the
     * scaling probes can count candidate mass without paying the verify
     * DP). `d` is the prepared (__id, __blk, __lenb, __head) frame built by
-    * [[editDistancePairs]]; output is the DISTINCT (__ida < __idb)
+    * [[editHeadFrame]]; output is the DISTINCT (__ida < __idb)
     * candidate pair set. Two pieces:
     *
     * CANDIDATES via rarest-first q-gram prefix filtering (the ED-Join

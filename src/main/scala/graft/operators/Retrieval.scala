@@ -44,8 +44,10 @@ object Retrieval {
 
   /** transform(vec, x -> round-half-up(x*1000) as bigint) — the same int
     * quantization [[Similarity]] uses, so dot products are exact integers.
+    * Package-visible (round-10 ADVICE) so RetrievalSpec's bucket-gating
+    * property pins THIS quantizer instead of re-implementing it inline.
     */
-  private def quantized(vecCol: Column): Column =
+  private[graft] def quantized(vecCol: Column): Column =
     transform(vecCol, x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
 
   private val quantizedSql =

@@ -74,6 +74,14 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(s.contains(""""calibration_sec":1.234""") || s.contains(""""calibration_sec":1.235"""))
   }
 
+  test("cpu calibration constant surfaces alongside the shuffle one") {
+    val s = Bench.renderJson(Seq("q_a" -> 1.0), "/x", calibration = 0.5,
+      calibrationCpu = 0.321)
+    parseable(s)
+    assert(s.contains(""""calibration_sec":0.500"""))
+    assert(s.contains(""""calibration_cpu_sec":0.321"""))
+  }
+
   test("zipf block renders, stays out of total, and fits the budget") {
     val zipf = Seq("q_setsim_prefix" -> 3.21, "q_edit_threshold" -> 1.5)
     val s = Bench.renderJson(Seq("q_a" -> 1.0), "/x", zipf = zipf)

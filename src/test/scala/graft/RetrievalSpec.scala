@@ -139,8 +139,7 @@ class RetrievalSpec extends SparkSuite {
       col("doc_id") % 100 === 0, denseLsh = true)
     val buckets = emb.select(col("vec_id"),
       operators.Similarity.lshBucket(
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long")))
+        operators.Retrieval.quantized(col("embedding")))
         .as("bkt"))
     val denseRows = out.where(col("r_dense").isNotNull)
       .join(buckets.select(col("vec_id").as("query_id"), col("bkt").as("qb")), "query_id")

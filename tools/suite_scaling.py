@@ -12,7 +12,8 @@ Usage: suite_scaling.py base.json scaled.json factor [axis]
 
 Exponent = log(t_k / t_1) / log(k). Queries with t_1 < 0.15 s sit at the
 timing floor; their exponents are printed but flagged '~'. Failures
-(negative sec from SuiteScale) are reported and excluded from totals.
+("failed": true — or negative sec in pre-round-11 dumps) are reported
+and excluded from totals.
 """
 import json
 import math
@@ -39,7 +40,8 @@ def main():
         if axis == "corpus" and not is_corpus:
             continue
         t1, tk = base[q]["sec"], scaled[q]["sec"]
-        if t1 < 0 or tk < 0:
+        if (base[q].get("failed") or scaled[q].get("failed")
+                or t1 < 0 or tk < 0):  # negative sec = pre-r11 sentinel
             failures.append(q)
             continue
         exp = math.log(max(tk, 1e-3) / max(t1, 1e-3)) / math.log(k)
