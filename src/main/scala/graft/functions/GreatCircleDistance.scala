@@ -73,6 +73,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KmvSketch.fullBuilder))
     e.injectFunction((BoundedSetAgg.identifier, BoundedSetAgg.info,
       BoundedSetAgg.builder))
+    e.injectFunction((SortedIntersectAtLeast.identifier,
+      SortedIntersectAtLeast.info, SortedIntersectAtLeast.builder))
     e.injectOptimizerRule(_ => ZeroDistanceFold)
     // whole-operator tier: broadcast interval-index join replacing the
     // BNLJ plan for banded-dimension range joins (graft.plans)

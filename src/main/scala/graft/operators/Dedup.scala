@@ -828,99 +828,138 @@ object Dedup {
     */
   private[graft] def editThresholdCandidates(df: DataFrame, d: DataFrame,
       dMax: Int): DataFrame = {
-        val q3 = 3
-        val pref = dMax * q3 + 1
-        // Gram building (q3 substrings per head) is the expensive narrow
-        // transform here — rebalance the tiny head projection first so it
-        // never inherits the scan's partitioning (the kernelParallelism
-        // rule: fixture parquet is one row group = one task; measured
-        // 0.5-0.7 s serial per branch at sf0.1). Grams carry their
-        // 1-based POSITIONS for the location filter; __ng is the
-        // distinct-CONTENT count the prefix bound needs.
-        val dd = d.repartition(kernelParallelism(df), col("__id"))
-          .withColumn("__hlen", length(col("__head")))
-          .withColumn("__gps", when(col("__hlen") >= q3, expr(
-            s"""transform(sequence(1, __hlen - ${q3 - 1}),
-               |  p -> struct(substring(__head, p, $q3) AS g, p AS p))""".stripMargin))
-            .otherwise(array().cast("array<struct<g:string,p:int>>")))
-          .withColumn("__dist", array_distinct(expr("transform(__gps, x -> x.g)")))
-          .withColumn("__ng", size(col("__dist")))
-        // The count bound needs MORE than τ·q distinct grams to bite;
-        // heads below that (short or highly repetitive) fall back to
-        // block-local pairing below. (Deliberately NOT cached: the two
-        // consumers re-derive the gram transform, but caching measured
-        // no win at sf0.1 and the materialized gram arrays cost real
-        // memory at the 64×/head=200 corner.)
-        val longs = dd.filter(col("__ng") > dMax * q3)
-        // Rarity order via a HASH-BUCKETED df proxy, not exact per-gram
-        // df. The prefix lemma needs any one GLOBAL total order on gram
-        // contents applied consistently per doc; rarest-first is purely
-        // the collision-mass heuristic. Ranking by (occurrences of the
-        // gram's xxhash64 bucket, gram) keeps both properties — a
-        // stopword gram's bucket count ≥ its own df, so distribution
-        // heads still sort past every prefix, and a bucket collision can
-        // only make a rare gram LOOK common (weakening the heuristic for
-        // ~1/2^20 of grams, never dropping a candidate) — while bounding
-        // the frequency table at [[EditJoinDfBuckets]] rows AT ANY CORPUS
-        // SIZE. The bound makes the table explicitly broadcastable, so
-        // the df attach is a BroadcastHashJoin (O(1) hash probes — NOT a
-        // single map row + element_at, whose GetMapValue is a linear scan
-        // of the whole dictionary per gram: measured 2×1.8 s at sf0.1),
-        // and per-doc prefix selection is a hash aggregate with a
-        // per-doc array_sort + slice — no per-doc window exchange + sort
-        // (the round-9 stage paid ~2 s of sf0.1 constant there).
-        // Prefix CONTENTS first, positions second: the position lists the
-        // location filter needs are computed for the ≤ τ·q+1 PREFIX grams
-        // only, via a join-back on __id. Building them for EVERY gram up
-        // front is O(grams²) filter scans per doc (39k at head=200 —
-        // measured 2-3× on the long-head probe corners), and the
-        // join-back is exchange-free: the per-doc prefix aggregate and
-        // the gram frame both inherit the kernelParallelism hash
-        // partitioning on __id.
-        val dgl = longs
-          .select(col("__id"), explode(col("__dist")).as("__g"))
-          .withColumn("__b", pmod(xxhash64(col("__g")), lit(EditJoinDfBuckets.toLong)))
-        val bcounts = dgl
-          .groupBy("__b")
-          .agg(count(lit(1)).as("__df"))
-        val prefContents = dgl
-          .join(broadcast(bcounts), "__b")
-          .groupBy("__id")
-          .agg(slice(array_sort(collect_list(struct(col("__df").as("d"), col("__g").as("g")))),
-            1, pref).as("__pg"))
-          .select(col("__id"), expr("transform(__pg, x -> x.g)").as("__pgs"))
-        val prefix = longs
-          .select(col("__blk"), col("__lenb"), col("__id"), col("__hlen"), col("__gps"))
-          .join(prefContents, "__id")
-          .select(col("__blk"), col("__lenb"), col("__id"), col("__hlen"),
-            explode(expr(
-              """transform(__pgs, g -> struct(g AS g,
-                |  transform(filter(__gps, y -> y.g = g), y -> y.p) AS ps))"""
-                .stripMargin)).as("__gp"))
-          .select(col("__blk"), col("__lenb"), col("__gp.g").as("__g"),
-            col("__gp.ps").as("__ps"), col("__id"), col("__hlen"))
-          .cache() // both self-join legs read this frame
-        val mainCands = prefix.as("a")
-          .join(prefix.as("b"),
-            col("a.__blk") === col("b.__blk") && col("a.__lenb") === col("b.__lenb") &&
-              col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
-              abs(col("a.__hlen") - col("b.__hlen")) <= dMax &&
-              exists(col("a.__ps"), pa =>
-                exists(col("b.__ps"), pb => abs(pa - pb) <= lit(dMax))))
-          .select(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
-        // Heads with ≤ τ·q distinct grams carry no prefix guarantee — pair
-        // them against their whole block (a degenerate, tiny set on
-        // natural text; a corpus OF such strings needs the unthresholded
-        // kernel anyway).
-        val shorts = dd.filter(col("__ng") <= dMax * q3)
-          .select(col("__blk"), col("__lenb"), col("__id").as("__ids"),
-            col("__hlen").as("__hlens"))
-        val shortCands = dd.join(shorts, Seq("__blk", "__lenb"))
-          .filter(col("__id") =!= col("__ids") &&
-            abs(col("__hlen") - col("__hlens")) <= dMax)
-          .select(least(col("__id"), col("__ids")).as("__ida"),
-            greatest(col("__id"), col("__ids")).as("__idb"))
-        mainCands.union(shortCands).distinct()
+    // (`df` — the ORIGINAL corpus frame — is consulted only for
+    // kernelParallelism sizing; every column read comes from `d`.)
+    graft.functions.SortedIntersectAtLeast.register(df.sparkSession)
+    val q3 = 3
+    val pref = dMax * q3 + 1
+    // Gram building (q3 substrings per head) is the expensive narrow
+    // transform here — rebalance the tiny head projection first so it
+    // never inherits the scan's partitioning (the kernelParallelism
+    // rule: fixture parquet is one row group = one task; measured
+    // 0.5-0.7 s serial per branch at sf0.1). Grams carry their
+    // 1-based POSITIONS for the location filter; __ng is the
+    // distinct-CONTENT count the prefix bound needs. __sig is the
+    // SORTED DISTINCT int-hash gram signature the COUNT filter below
+    // intersects — ints, not the 3-char strings, so the per-candidate
+    // merge scan compares primitives (a hash collision can only merge
+    // two grams, and the count bound is stated on the HASHED set sizes,
+    // so collisions never drop a true candidate — see the filter note).
+    val dd = d.repartition(kernelParallelism(df), col("__id"))
+      .withColumn("__hlen", length(col("__head")))
+      .withColumn("__gps", when(col("__hlen") >= q3, expr(
+        s"""transform(sequence(1, __hlen - ${q3 - 1}),
+           |  p -> struct(substring(__head, p, $q3) AS g, p AS p))""".stripMargin))
+        .otherwise(array().cast("array<struct<g:string,p:int>>")))
+      .withColumn("__dist", array_distinct(expr("transform(__gps, x -> x.g)")))
+      .withColumn("__ng", size(col("__dist")))
+      .withColumn("__sig", array_sort(array_distinct(expr("transform(__dist, g -> hash(g))"))))
+      .withColumn("__nsig", size(col("__sig")))
+    // The count bound needs MORE than τ·q distinct grams to bite;
+    // heads below that (short or highly repetitive) fall back to
+    // block-local pairing below. (Deliberately NOT cached: the two
+    // consumers re-derive the gram transform, but caching measured
+    // no win at sf0.1 and the materialized gram arrays cost real
+    // memory at the 64×/head=200 corner.)
+    val longs = dd.filter(col("__ng") > dMax * q3)
+    // Rarity order via a HASH-BUCKETED df proxy, not exact per-gram
+    // df. The prefix lemma needs any one GLOBAL total order on gram
+    // contents applied consistently per doc; rarest-first is purely
+    // the collision-mass heuristic. Ranking by (occurrences of the
+    // gram's xxhash64 bucket, gram) keeps both properties — a
+    // stopword gram's bucket count ≥ its own df, so distribution
+    // heads still sort past every prefix, and a bucket collision can
+    // only make a rare gram LOOK common (weakening the heuristic for
+    // ~1/2^20 of grams, never dropping a candidate) — while bounding
+    // the frequency table at [[EditJoinDfBuckets]] rows AT ANY CORPUS
+    // SIZE. The bound makes the table explicitly broadcastable, so
+    // the df attach is a BroadcastHashJoin (O(1) hash probes — NOT a
+    // single map row + element_at, whose GetMapValue is a linear scan
+    // of the whole dictionary per gram: measured 2×1.8 s at sf0.1),
+    // and per-doc prefix selection is a hash aggregate with a
+    // per-doc array_sort + slice — no per-doc window exchange + sort
+    // (the round-9 stage paid ~2 s of sf0.1 constant there).
+    // Prefix CONTENTS first, positions second: the position lists the
+    // location filter needs are computed for the ≤ τ·q+1 PREFIX grams
+    // only, via a join-back on __id. Building them for EVERY gram up
+    // front is O(grams²) filter scans per doc (39k at head=200 —
+    // measured 2-3× on the long-head probe corners), and the
+    // join-back is exchange-free: the per-doc prefix aggregate and
+    // the gram frame both inherit the kernelParallelism hash
+    // partitioning on __id.
+    val dgl = longs
+      .select(col("__id"), explode(col("__dist")).as("__g"))
+      .withColumn("__b", pmod(xxhash64(col("__g")), lit(EditJoinDfBuckets.toLong)))
+    val bcounts = dgl
+      .groupBy("__b")
+      .agg(count(lit(1)).as("__df"))
+    val prefContents = dgl
+      .join(broadcast(bcounts), "__b")
+      .groupBy("__id")
+      .agg(slice(array_sort(collect_list(struct(col("__df").as("d"), col("__g").as("g")))),
+        1, pref).as("__pg"))
+      .select(col("__id"), expr("transform(__pg, x -> x.g)").as("__pgs"))
+    // Deliberately NOT cached (the r10 stage cached the exploded frame):
+    // with __sig on every exploded row, a doc's signature materializes
+    // τ·q+1 times over in the columnar cache build — the τ=8/head=200
+    // probe corner OOMed an 8 GiB heap building ~200 MB blocks × 32
+    // concurrent tasks. Measured alternatives (sf0.1 / z320k-τ8 full
+    // drain): exploded cache 1.99/23.5 but OOM at head=200·64×;
+    // repartition-then-cache 2.64/28.8; per-doc cache + re-explode
+    // 3.79/30.7; NO cache 2.69/22.6 and every probe corner improves —
+    // the two self-join legs re-derive the frame, and the join's own
+    // shuffle files are disk-backed and safe at any size.
+    val prefix = longs
+      .select(col("__blk"), col("__lenb"), col("__id"), col("__hlen"), col("__gps"),
+        col("__sig"), col("__nsig"))
+      .join(prefContents, "__id")
+      .select(col("__blk"), col("__lenb"), col("__id"), col("__hlen"),
+        col("__sig"), col("__nsig"),
+        explode(expr(
+          """transform(__pgs, g -> struct(g AS g,
+            |  transform(filter(__gps, y -> y.g = g), y -> y.p) AS ps))"""
+            .stripMargin)).as("__gp"))
+      .select(col("__blk"), col("__lenb"), col("__gp.g").as("__g"),
+        col("__gp.ps").as("__ps"), col("__id"), col("__hlen"),
+        col("__sig"), col("__nsig"))
+    // The conjunctive COUNT filter (round 11), third in the post-probe
+    // conjunction after the cheap scalar guards and the location filter:
+    // ed(a,b) ≤ τ destroys ≤ τ·q distinct gram CONTENTS per side, so the
+    // full distinct gram sets must share ≥ max(|A|,|B|) − τ·q contents.
+    // Stated on the HASHED signature sizes it stays lossless (shared
+    // contents hash into both signatures, and a side's within-set
+    // collisions can only shrink its own size term at least as much as
+    // the shared term), and near the 58-gram ceiling the bound is
+    // brutal — a saturated-alphabet collision pair shares common grams
+    // but not ~34 of them — so it prunes the candidate mass AT THE HASH
+    // PROBE, before the pair-distinct exchange the τ=8 stress corner is
+    // bound by (64.7M candidate rows for 80 true pairs, PLANS.md round
+    // 10). sorted_intersect_atleast is the codegen merge-scan kernel
+    // with two-sided early exit; array_intersect would re-hash one side
+    // per evaluated row.
+    val mainCands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__lenb") === col("b.__lenb") &&
+          col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
+          abs(col("a.__hlen") - col("b.__hlen")) <= dMax &&
+          exists(col("a.__ps"), pa =>
+            exists(col("b.__ps"), pb => abs(pa - pb) <= lit(dMax))) &&
+          expr(s"sorted_intersect_atleast(a.__sig, b.__sig, " +
+            s"greatest(a.__nsig, b.__nsig) - ${dMax * q3})"))
+      .select(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
+    // Heads with ≤ τ·q distinct grams carry no prefix guarantee — pair
+    // them against their whole block (a degenerate, tiny set on
+    // natural text; a corpus OF such strings needs the unthresholded
+    // kernel anyway).
+    val shorts = dd.filter(col("__ng") <= dMax * q3)
+      .select(col("__blk"), col("__lenb"), col("__id").as("__ids"),
+        col("__hlen").as("__hlens"))
+    val shortCands = dd.join(shorts, Seq("__blk", "__lenb"))
+      .filter(col("__id") =!= col("__ids") &&
+        abs(col("__hlen") - col("__hlens")) <= dMax)
+      .select(least(col("__id"), col("__ids")).as("__ida"),
+        greatest(col("__id"), col("__ids")).as("__idb"))
+    mainCands.union(shortCands).distinct()
   }
 
   /** Near-dup clustering: connected components over the SimHash near-dup
