@@ -4,6 +4,7 @@ import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -362,20 +363,82 @@ object Similarity {
     * neighbor_id, rank, adc).
     */
   def pqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      maxTileRows: Long = MaxTileRows): DataFrame = {
+      maxTileRows: Long = MaxTileRows, normalize: Boolean = false,
+      lloydRounds: Int = 0, codes: Int = PqCodes): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val e = df.select(col(idCol).cast("long").as("__id"), quantized(vecCol).as("q"))
+    // `normalize`: quantize the UNIT vector instead of the raw one. ADC
+    // approximates L2, and on unit vectors L2 ranking IS cosine ranking
+    // (d² = 2 − 2cos, monotone) — without it, PQ against a cosine ground
+    // truth measures metric mismatch as much as quantization loss
+    // (RecallProbe z5k: recall@10 0.12 raw). The registered q_ann_pq
+    // keeps normalize=false so its DuckDB oracle replay is unchanged;
+    // the production/recall path opts in.
+    val rawQ =
+      if (!normalize) quantized(vecCol)
+      else {
+        val nrm = sqrt(aggregate(transform(col(vecCol).cast("array<double>"),
+          x => x * x), lit(0.0d), (a, x) => a + x))
+        when(nrm > 0, transform(col(vecCol).cast("array<double>"),
+          x => floor(x / nrm * lit(1000.0) + lit(0.5)).cast(LongType)))
+          .otherwise(quantized(vecCol))
+      }
+    val e = df.select(col(idCol).cast("long").as("__id"), rawQ.as("q"))
       .filter(size(col("q")) === Dim)
     // codebook[sub][code][j]: subvectors of the PqCodes lowest-id vectors
-    val cb: Array[Array[Array[Long]]] = {
-      val base = e.orderBy("__id").limit(PqCodes).collect()
+    // (the deterministic init), optionally refined by `lloydRounds` of
+    // per-subspace k-means. Each round is DISTRIBUTED: one map-side
+    // assignment pass against the broadcast-closure codebook, one
+    // (sub, code)-keyed aggregate of exact decimal per-dimension sums —
+    // the corpus never collects, only the PqSubs·PqCodes·PqSubDim mean
+    // table does (bounded at any corpus size, the Geo-dimension class).
+    // Means round half-up in decimal, so refinement is deterministic
+    // under any partitioning; empty clusters keep their previous
+    // codeword.
+    var cb: Array[Array[Array[Long]]] = {
+      val base = e.orderBy("__id").limit(codes).collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
         .sortBy(_._1).map(_._2)
       Array.tabulate(PqSubs)(sub =>
         base.map(_.slice(sub * PqSubDim, (sub + 1) * PqSubDim)))
     }
     val nCodes = if (cb.isEmpty) 0 else cb(0).length
+    if (nCodes > 0) {
+      var round = 0
+      while (round < lloydRounds) {
+        val cbCur = cb
+        val assigned = e.as[(Long, Array[Long])].flatMap { case (_, q) =>
+          Iterator.tabulate(PqSubs) { sub =>
+            var bestC = 0
+            var bestD = Long.MaxValue
+            var c = 0
+            while (c < nCodes) {
+              var d = 0L
+              var j = 0
+              while (j < PqSubDim) {
+                val t = q(sub * PqSubDim + j) - cbCur(sub)(c)(j); d += t * t; j += 1
+              }
+              if (d < bestD) { bestD = d; bestC = c }
+              c += 1
+            }
+            (sub, bestC, q.slice(sub * PqSubDim, (sub + 1) * PqSubDim))
+          }
+        }.toDF("sub", "code", "sv")
+        val meanCols: Seq[Column] = (0 until PqSubDim).map(j =>
+          floor(sum(col("sv")(j).cast(DecimalType(38, 0))) /
+            count(lit(1)) + lit(0.5)).cast(LongType).as(s"m$j"))
+        val means = assigned.groupBy("sub", "code")
+          .agg(meanCols.head, meanCols.drop(1): _*)
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            Array.tabulate(PqSubDim)(j => r.getLong(2 + j))).toMap
+        cb = Array.tabulate(PqSubs)(sub => Array.tabulate(nCodes)(c =>
+          means.getOrElse((sub, c), cbCur(sub)(c))))
+        round += 1
+      }
+    }
+    // stable snapshot for executor closures (cb is a var above)
+    val cbF = cb
     // map-side encode: corpus rows shrink to PqSubs codes
     val enc = e.as[(Long, Array[Long])].map { case (id, q) =>
       val codes = new Array[Long](PqSubs)
@@ -388,7 +451,7 @@ object Similarity {
           var d = 0L
           var j = 0
           while (j < PqSubDim) {
-            val t = q(sub * PqSubDim + j) - cb(sub)(c)(j); d += t * t; j += 1
+            val t = q(sub * PqSubDim + j) - cbF(sub)(c)(j); d += t * t; j += 1
           }
           if (d < bestD) { bestD = d; bestC = c }
           c += 1
@@ -406,7 +469,7 @@ object Similarity {
         var d = 0L
         var j = 0
         while (j < PqSubDim) {
-          val t = qv(sub * PqSubDim + j) - cb(sub)(c)(j); d += t * t; j += 1
+          val t = qv(sub * PqSubDim + j) - cbF(sub)(c)(j); d += t * t; j += 1
         }
         d
       }
@@ -499,6 +562,31 @@ object Similarity {
       .select(col("__id").as("vec_id"), col("__bucket").as("cluster"),
         when(col("__dup").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
       .orderBy("vec_id")
+  }
+
+  /** Mean per-query recall of an approximate neighbor listing against an
+    * exact one: for each query in `exact`, the fraction of its exact
+    * neighbors that `approx` also returned; queries `approx` missed
+    * entirely count 0 (never dropped — an ANN variant must not improve
+    * its recall by answering fewer queries). Output: one row
+    * (n_queries, recall). Inputs are (qCol, nCol) listings already
+    * truncated to their k (both sides' top-k as produced by the
+    * operators under comparison) — the join is on (query, neighbor), so
+    * the whole metric is one shuffle-bounded equi-join plus two
+    * aggregates, usable at any corpus size. Backing for the round-11
+    * recall-floor contracts (RecallSpec, PLANS.md): a future "faster"
+    * ANN change cannot silently trade recall away.
+    */
+  def recallVs(exact: DataFrame, approx: DataFrame,
+      qCol: String, nCol: String): DataFrame = {
+    val e = exact.select(col(qCol).cast("long").as("__q"),
+      col(nCol).cast("long").as("__n"))
+    val a = approx.select(col(qCol).cast("long").as("__q"),
+      col(nCol).cast("long").as("__n"), lit(1L).as("__hit"))
+    e.join(a, Seq("__q", "__n"), "left")
+      .groupBy("__q")
+      .agg((sum(coalesce(col("__hit"), lit(0L))) / count(lit(1))).as("__r"))
+      .agg(count(lit(1)).as("n_queries"), avg("__r").as("recall"))
   }
 
   // ---- verify queries ------------------------------------------------------

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Recall floors for the ANN production shapes against exact ground truth
+  * on the committed z5k Zipf fixture (VERDICT r10 #3): the approximate
+  * operators are hash-green on their OWN contracts (bucket-gated / ADC),
+  * so without these floors a future "faster" change could silently trade
+  * recall away. Floors sit ~10-15% under the round-11 measured values
+  * (PLANS.md table) — headroom for tie-break jitter, not for regressions:
+  *   hybrid_lsh@20 0.824, pq_shortlist50_c256@10 0.826,
+  *   pq_norm_lloyd4_c256@10 0.410, multiprobe@10 0.430 vs lsh@10 0.144.
+  * recallVs itself is pinned by construction cases first, so a floor
+  * can't pass because the metric broke.
+  */
+class RecallSpec extends SparkSuite {
+
+  private val fixture = "/root/repo/bench/fixtures/z5k"
+  private lazy val docs = Tables(spark, fixture, "documents")
+  private lazy val emb = Tables(spark, fixture, "embeddings")
+  private lazy val exact10 = operators.Similarity
+    .bruteForceTopK(emb, "vec_id", "embedding", 10)
+    .localCheckpoint(false)
+
+  private def recall(exact: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame,
+      q: String = "query_id", n: String = "neighbor_id"): Double =
+    operators.Similarity.recallVs(exact, approx, q, n).collect()(0).getDouble(1)
+
+  test("recallVs: construction cases") {
+    val s = spark
+    import s.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("q", "n")
+    // full overlap -> 1.0; missing one of q=1's two -> (0.5 + 1.0)/2
+    assert(recall(exact, exact, "q", "n") == 1.0)
+    val partial = Seq((1L, 10L), (2L, 20L)).toDF("q", "n")
+    assert(math.abs(recall(exact, partial, "q", "n") - 0.75) < 1e-12)
+    // a query approx answered for which exact has no row must not count
+    val extra = partial.union(Seq((9L, 90L)).toDF("q", "n"))
+    assert(math.abs(recall(exact, extra, "q", "n") - 0.75) < 1e-12)
+    // a query approx SKIPPED counts 0, not dropped: per-query recalls are
+    // (q=1 -> 0/2, q=2 -> 1/1), mean 0.5 — NOT the global hit fraction 1/3
+    val skipped = Seq((2L, 20L)).toDF("q", "n")
+    assert(math.abs(recall(exact, skipped, "q", "n") - 0.5) < 1e-12)
+  }
+
+  test("hybrid denseLsh keeps recall@20 >= 0.75 of the exact-dense hybrid") {
+    val qp = col("doc_id") % 100 === 0
+    val exactH = operators.Retrieval.hybridRrf(docs, emb, qp, topOut = 20)
+    val lshH = operators.Retrieval.hybridRrf(docs, emb, qp, topOut = 20,
+      denseLsh = true)
+    val r = recall(exactH, lshH, "query_id", "doc_id")
+    assert(r >= 0.75, f"hybrid_lsh recall@20 $r%.3f fell below the 0.75 floor")
+  }
+
+  test("PQ shortlist-50 (normalized, lloyd4, 256 codes) finds >= 0.7 of exact top-10") {
+    val r = recall(exact10, operators.Similarity.pqTopK(
+      emb, "vec_id", "embedding", 50,
+      normalize = true, lloydRounds = 4, codes = 256))
+    assert(r >= 0.7, f"pq shortlist recall@10 $r%.3f fell below the 0.7 floor")
+  }
+
+  test("PQ direct top-10 (normalized, lloyd4, 256 codes) holds >= 0.3; raw ADC >= 0.08") {
+    val tuned = recall(exact10, operators.Similarity.pqTopK(
+      emb, "vec_id", "embedding", 10,
+      normalize = true, lloydRounds = 4, codes = 256))
+    assert(tuned >= 0.3, f"tuned pq recall@10 $tuned%.3f fell below the 0.3 floor")
+    val raw = recall(exact10,
+      operators.Similarity.pqTopK(emb, "vec_id", "embedding", 10))
+    assert(raw >= 0.08, f"raw pq recall@10 $raw%.3f fell below the 0.08 floor")
+  }
+
+  test("multi-probe LSH recall@10 >= 0.35 and beats single-bucket LSH") {
+    val multi = recall(exact10, operators.Similarity
+      .signLshTopKMultiProbe(emb, "vec_id", "embedding", 10))
+    val single = recall(exact10, operators.Similarity
+      .signLshTopK(emb, "vec_id", "embedding", 10))
+    assert(multi >= 0.35, f"multiprobe recall@10 $multi%.3f fell below the 0.35 floor")
+    assert(multi > single,
+      f"multi-probe ($multi%.3f) must beat single-bucket ($single%.3f)")
+  }
+}
