@@ -199,7 +199,11 @@ object Bench {
     // are excluded from "value" so cross-round totals stay comparable.
     val zipfFamily = Seq("q_setsim_prefix", "q_setsim_topk", "q_dedup_minhash",
       "q_dedup_simhash", "q_edit_threshold", "q_hybrid_rrf", "q_hybrid_rrf_capped",
-      "q_hybrid_rrf_lsh", "q_similarity_lsh")
+      "q_hybrid_rrf_lsh", "q_similarity_lsh",
+      // round 11: the graph rows on the SKEWED-DEGREE fixture tables
+      // (zipf part/supplier popularity — the sf fixtures are near-uniform,
+      // so the hub pre-filter's routing had no standing regression row)
+      "q_triangles", "q_pagerank")
     val zipfResults: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_ZIPF").contains("0")) Seq.empty
       else try {
@@ -207,6 +211,8 @@ object Bench {
           "/root/repo/bench/fixtures/zipf20k")
         if (!new java.io.File(s"$zipfDir/documents.parquet").exists())
           MakeZipf.generate(spark, zipfDir, 20000L)
+        if (!new java.io.File(s"$zipfDir/orders.parquet").exists())
+          MakeZipf.generateGraph(spark, zipfDir, 20000L)
         zipfFamily.map { name =>
           val fn = SparkEntry.queries(name)
           val times = (1 to math.max(1, reps)).flatMap { _ =>

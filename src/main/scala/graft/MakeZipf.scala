@@ -94,7 +94,46 @@ object MakeZipf {
     println(s"[makezipf] wrote $out: $nDocs docs (+ 0.4x embeddings), vocab $vocab")
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Skewed-degree graph fixture for the zipf bench axis (VERDICT r10 #5):
+    * `orders`/`lineitem` tables shaped so q_triangles / q_pagerank read
+    * them unchanged, with ZIPF part and supplier popularity — so the
+    * co-purchase item key and the pagerank in-degree both carry genuine
+    * hubs (the driver's sf fixtures are near-uniform, which leaves the
+    * hub pre-filter's routing untested by the standing bench). One order
+    * per customer, `linesPerOrder` lines; part rank ∝ ~1/r over a 2n-part
+    * universe (rank-1 degree ≈ 0.07·L·n ≫ the operator's hotDegree=512
+    * at n=20k), supplier rank over n/10. All hash-deterministic — no RNG.
+    */
+  def generateGraph(spark: SparkSession, out: String, nCustomers: Long,
+      linesPerOrder: Int = 5): Unit = {
+    val parts = math.max(2L, nCustomers * 2)
+    val supps = math.max(2L, nCustomers / 10)
+    spark.range(nCustomers)
+      .select(col("id").as("o_orderkey"), col("id").as("o_custkey"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+    // rank = max(1, floor(U^u)) — the same inverse-CDF head-correct form
+    // the text generator uses
+    def zipfRank(universe: Long, salt: String) = expr(
+      s"""cast(greatest(1.0, floor(pow($universe,
+         |  (pmod(xxhash64(o, j, '$salt'), 1000000000) + 0.5) / 1000000000.0)))
+         |AS BIGINT)""".stripMargin)
+    spark.range(nCustomers)
+      .select(col("id").as("o"), explode(expr(s"sequence(1, $linesPerOrder)")).as("j"))
+      .select(col("o").as("l_orderkey"),
+        zipfRank(parts, "part").as("l_partkey"),
+        zipfRank(supps, "supp").as("l_suppkey"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    println(s"[makezipf] wrote $out graph: $nCustomers customers x " +
+      s"$linesPerOrder lines, $parts parts, $supps suppliers (zipf)")
+  }
+
+  /** `runMain graft.MakeZipf <outDir> <nDocs> [vocab]` generates text +
+    * embeddings + graph; `runMain graft.MakeZipf graph <outDir> <n>`
+    * generates ONLY the graph tables (so committed text fixtures aren't
+    * rewritten byte-for-byte-identical but file-churned). */
+  def main(args0: Array[String]): Unit = {
+    val graphOnly = args0.headOption.contains("graph")
+    val args = if (graphOnly) args0.drop(1) else args0
     val out = args(0)
     val nDocs = args(1).toLong
     val vocab = if (args.length > 2) args(2).toLong else 50000L
@@ -105,7 +144,8 @@ object MakeZipf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, out, nDocs, vocab)
+    if (!graphOnly) generate(spark, out, nDocs, vocab)
+    generateGraph(spark, out, nDocs)
     spark.stop()
   }
 }

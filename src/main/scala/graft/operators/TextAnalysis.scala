@@ -1089,7 +1089,10 @@ object TextAnalysis {
       .select("doc_id", "n_bigrams", "avg_nll")
     val perDoc = (if (nTypes <= maxDriverTypes) {
         val m = buildKnModel(c12.collect())
-        val scoreU = udf((text: String) => m.avgNll(text))
+        // broadcast, not closure-shipped: per-task closure deserialization
+        // of a large model dominates small batches (see perplexityGate)
+        val bc = df.sparkSession.sparkContext.broadcast(m)
+        val scoreU = udf((text: String) => bc.value.avgNll(text))
         base.select(col("doc_id"),
             (size(split(col("__text"), " ")) - 1).cast(LongType).as("n_bigrams"),
             scoreU(col("__text")).as("avg_nll"))

@@ -140,7 +140,13 @@ object CorpusStream {
   def perplexityGate(docs: DataFrame,
       model: graft.operators.TextAnalysis.KnModel,
       maxAvgNll: Double): DataFrame = {
-    val score = udf((text: String) => model.avgNll(text))
+    // BROADCAST the frozen model, never closure-ship it: a task closure
+    // deserializes per task per micro-batch, and at a realistic model
+    // size that dominates the whole trigger (round-11 zipf20k stress:
+    // a 918k-bigram-type model cost 6.9 s/batch on 625-doc batches —
+    // broadcast, the executor pays one deserialization per process).
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val score = udf((text: String) => bc.value.avgNll(text))
     docs.withColumn("avg_nll", score(col("text")))
       .filter(col("avg_nll").isNull || col("avg_nll") <= maxAvgNll)
   }

@@ -15,7 +15,14 @@ import org.apache.spark.sql.functions._
   */
 class RecallSpec extends SparkSuite {
 
-  private val fixture = "/root/repo/bench/fixtures/z5k"
+  // the z5k fixture is deterministic (hash-derived, no RNG) and
+  // gitignored — generate it on first use, same as Bench's zipf block
+  private lazy val fixture = {
+    val dir = "/root/repo/bench/fixtures/z5k"
+    if (!new java.io.File(s"$dir/documents.parquet").exists())
+      MakeZipf.generate(spark, dir, 5000L)
+    dir
+  }
   private lazy val docs = Tables(spark, fixture, "documents")
   private lazy val emb = Tables(spark, fixture, "embeddings")
   private lazy val exact10 = operators.Similarity
