@@ -199,7 +199,7 @@ object Bench {
     // are excluded from "value" so cross-round totals stay comparable.
     val zipfFamily = Seq("q_setsim_prefix", "q_setsim_topk", "q_dedup_minhash",
       "q_dedup_simhash", "q_edit_threshold", "q_hybrid_rrf", "q_hybrid_rrf_capped",
-      "q_hybrid_rrf_lsh", "q_similarity_lsh",
+      "q_hybrid_rrf_lsh", "q_similarity_lsh", "q_ann_ivfpq",
       // round 11: the graph rows on the SKEWED-DEGREE fixture tables
       // (zipf part/supplier popularity — the sf fixtures are near-uniform,
       // so the hub pre-filter's routing had no standing regression row)

@@ -34,8 +34,11 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     def report(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
       val r = df.collect()(0)
-      println(f"[recallprobe] $label: recall ${r.getDouble(1)}%.4f over ${r.getLong(0)} queries")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[recallprobe] $label: recall ${r.getDouble(1)}%.4f over " +
+        f"${r.getLong(0)} queries ($sec%.1f s incl. ground-truth reuse)")
     }
 
     val docs = Tables(spark, sfDir, "documents")
@@ -93,6 +96,12 @@ object RecallProbe {
           normalize = true, lloydRounds = 4, codes = 256),
         "query_id", "neighbor_id"))
     }
+    // the round-11 bucketed scale path: coarse cells + residual PQ +
+    // exact rerank; candidate mass = nprobe/nlist of the corpus
+    report("ivfpq@10", operators.Similarity.recallVs(exact10,
+      operators.Similarity.ivfPqTopK(emb, "vec_id", "embedding", 10,
+        shortlist = 50, nlist = 64, nprobe = 8, codes = 256, lloydRounds = 4),
+      "query_id", "neighbor_id"))
     if (!pqOnly) {
       report("lsh@10", operators.Similarity.recallVs(exact10,
         operators.Similarity.signLshTopK(emb, "vec_id", "embedding", 10),

@@ -338,6 +338,86 @@ object Similarity {
   private val PqSubDim = 8
   private val PqCodes = 16  // codewords per subspace
 
+  /** Nearest codeword of subspace `sub` for vector `q` (squared L2,
+    * lowest index on ties) — the assignment kernel shared by training,
+    * encoding, and the ADC query LUT. */
+  private def nearestSubCode(q: Array[Long], sub: Int,
+      cw: Array[Array[Long]]): Int = {
+    var bestC = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cw.length) {
+      var d = 0L
+      var j = 0
+      while (j < PqSubDim) {
+        val t = q(sub * PqSubDim + j) - cw(c)(j); d += t * t; j += 1
+      }
+      if (d < bestD) { bestD = d; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
+  /** PQ-encode one vector: the per-subspace nearest-codeword indices. */
+  private def pqEncode(q: Array[Long], cb: Array[Array[Array[Long]]]): Array[Long] = {
+    val out = new Array[Long](PqSubs)
+    var sub = 0
+    while (sub < PqSubs) { out(sub) = nearestSubCode(q, sub, cb(sub)).toLong; sub += 1 }
+    out
+  }
+
+  /** Deterministic PQ codebook over any (id, vector) frame (raw vectors
+    * for [[pqTopK]], coarse-cell RESIDUALS for [[ivfPqTopK]]):
+    * codebook[sub][code][j] initializes to the subvectors of the `codes`
+    * lowest-id vectors, then `lloydRounds` of per-subspace k-means. Each
+    * round is DISTRIBUTED: one map-side assignment pass against the
+    * broadcast-closure codebook, one (sub, code)-keyed aggregate of
+    * exact decimal per-dimension sums — the corpus never collects, only
+    * the PqSubs·codes·PqSubDim mean table does (bounded at any corpus
+    * size, the Geo-dimension class). Means round half-up in decimal, so
+    * refinement is deterministic under any partitioning; empty clusters
+    * keep their previous codeword.
+    */
+  private def trainPqCodebook(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      codes: Int, lloydRounds: Int): Array[Array[Array[Long]]] = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    var cb: Array[Array[Array[Long]]] = {
+      // order by the id — the frame's first column, whatever its name
+      // (tuple datasets say _1, pqPrepare frames say __id)
+      val base = vecs.orderBy(col(vecs.columns.head)).limit(codes)
+        .collect().sortBy(_._1).map(_._2)
+      Array.tabulate(PqSubs)(sub =>
+        base.map(_.slice(sub * PqSubDim, (sub + 1) * PqSubDim)))
+    }
+    val nCodes = if (cb.isEmpty) 0 else cb(0).length
+    if (nCodes > 0) {
+      var round = 0
+      while (round < lloydRounds) {
+        val cbCur = cb
+        val assigned = vecs.flatMap { case (_, q) =>
+          Iterator.tabulate(PqSubs) { sub =>
+            (sub, nearestSubCode(q, sub, cbCur(sub)),
+              q.slice(sub * PqSubDim, (sub + 1) * PqSubDim))
+          }
+        }.toDF("sub", "code", "sv")
+        val meanCols: Seq[Column] = (0 until PqSubDim).map(j =>
+          floor(sum(col("sv")(j).cast(DecimalType(38, 0))) /
+            count(lit(1)) + lit(0.5)).cast(LongType).as(s"m$j"))
+        val means = assigned.groupBy("sub", "code")
+          .agg(meanCols.head, meanCols.drop(1): _*)
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            Array.tabulate(PqSubDim)(j => r.getLong(2 + j))).toMap
+        cb = Array.tabulate(PqSubs)(sub => Array.tabulate(nCodes)(c =>
+          means.getOrElse((sub, c), cbCur(sub)(c))))
+        round += 1
+      }
+    }
+    cb
+  }
+
   /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
     * for Nearest Neighbor Search"): the corpus is ENCODED once — each
     * 64-dim quantized vector becomes [[PqSubs]] sub-codes, the index of
@@ -362,18 +442,17 @@ object Similarity {
     * index, everywhere in exact integer math. Output: (query_id,
     * neighbor_id, rank, adc).
     */
-  def pqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      maxTileRows: Long = MaxTileRows, normalize: Boolean = false,
-      lloydRounds: Int = 0, codes: Int = PqCodes): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
-    // `normalize`: quantize the UNIT vector instead of the raw one. ADC
-    // approximates L2, and on unit vectors L2 ranking IS cosine ranking
-    // (d² = 2 − 2cos, monotone) — without it, PQ against a cosine ground
-    // truth measures metric mismatch as much as quantization loss
-    // (RecallProbe z5k: recall@10 0.12 raw). The registered q_ann_pq
-    // keeps normalize=false so its DuckDB oracle replay is unchanged;
-    // the production/recall path opts in.
+  /** (id, quantized vector) frame, Dim-length rows only. `normalize`:
+    * quantize the UNIT vector instead of the raw one. ADC approximates
+    * L2, and on unit vectors L2 ranking IS cosine ranking (d² = 2−2cos,
+    * monotone) — without it, PQ against a cosine ground truth measures
+    * metric mismatch as much as quantization loss (RecallProbe z5k:
+    * recall@10 0.12 raw). The registered oracle rows keep
+    * normalize=false so the DuckDB replays stay on the established
+    * exact-integer quantization; the production/recall paths opt in.
+    */
+  private def pqPrepare(df: DataFrame, idCol: String, vecCol: String,
+      normalize: Boolean): DataFrame = {
     val rawQ =
       if (!normalize) quantized(vecCol)
       else {
@@ -383,83 +462,22 @@ object Similarity {
           x => floor(x / nrm * lit(1000.0) + lit(0.5)).cast(LongType)))
           .otherwise(quantized(vecCol))
       }
-    val e = df.select(col(idCol).cast("long").as("__id"), rawQ.as("q"))
+    df.select(col(idCol).cast("long").as("__id"), rawQ.as("q"))
       .filter(size(col("q")) === Dim)
-    // codebook[sub][code][j]: subvectors of the PqCodes lowest-id vectors
-    // (the deterministic init), optionally refined by `lloydRounds` of
-    // per-subspace k-means. Each round is DISTRIBUTED: one map-side
-    // assignment pass against the broadcast-closure codebook, one
-    // (sub, code)-keyed aggregate of exact decimal per-dimension sums —
-    // the corpus never collects, only the PqSubs·PqCodes·PqSubDim mean
-    // table does (bounded at any corpus size, the Geo-dimension class).
-    // Means round half-up in decimal, so refinement is deterministic
-    // under any partitioning; empty clusters keep their previous
-    // codeword.
-    var cb: Array[Array[Array[Long]]] = {
-      val base = e.orderBy("__id").limit(codes).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-        .sortBy(_._1).map(_._2)
-      Array.tabulate(PqSubs)(sub =>
-        base.map(_.slice(sub * PqSubDim, (sub + 1) * PqSubDim)))
-    }
-    val nCodes = if (cb.isEmpty) 0 else cb(0).length
-    if (nCodes > 0) {
-      var round = 0
-      while (round < lloydRounds) {
-        val cbCur = cb
-        val assigned = e.as[(Long, Array[Long])].flatMap { case (_, q) =>
-          Iterator.tabulate(PqSubs) { sub =>
-            var bestC = 0
-            var bestD = Long.MaxValue
-            var c = 0
-            while (c < nCodes) {
-              var d = 0L
-              var j = 0
-              while (j < PqSubDim) {
-                val t = q(sub * PqSubDim + j) - cbCur(sub)(c)(j); d += t * t; j += 1
-              }
-              if (d < bestD) { bestD = d; bestC = c }
-              c += 1
-            }
-            (sub, bestC, q.slice(sub * PqSubDim, (sub + 1) * PqSubDim))
-          }
-        }.toDF("sub", "code", "sv")
-        val meanCols: Seq[Column] = (0 until PqSubDim).map(j =>
-          floor(sum(col("sv")(j).cast(DecimalType(38, 0))) /
-            count(lit(1)) + lit(0.5)).cast(LongType).as(s"m$j"))
-        val means = assigned.groupBy("sub", "code")
-          .agg(meanCols.head, meanCols.drop(1): _*)
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) ->
-            Array.tabulate(PqSubDim)(j => r.getLong(2 + j))).toMap
-        cb = Array.tabulate(PqSubs)(sub => Array.tabulate(nCodes)(c =>
-          means.getOrElse((sub, c), cbCur(sub)(c))))
-        round += 1
-      }
-    }
-    // stable snapshot for executor closures (cb is a var above)
-    val cbF = cb
+  }
+
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxTileRows: Long = MaxTileRows, normalize: Boolean = false,
+      lloydRounds: Int = 0, codes: Int = PqCodes): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val e = pqPrepare(df, idCol, vecCol, normalize)
+    val eDs = e.as[(Long, Array[Long])]
+    val cbF = trainPqCodebook(eDs, codes, lloydRounds)
+    val nCodes = if (cbF.isEmpty) 0 else cbF(0).length
     // map-side encode: corpus rows shrink to PqSubs codes
-    val enc = e.as[(Long, Array[Long])].map { case (id, q) =>
-      val codes = new Array[Long](PqSubs)
-      var sub = 0
-      while (sub < PqSubs) {
-        var bestC = 0
-        var bestD = Long.MaxValue
-        var c = 0
-        while (c < nCodes) {
-          var d = 0L
-          var j = 0
-          while (j < PqSubDim) {
-            val t = q(sub * PqSubDim + j) - cbF(sub)(c)(j); d += t * t; j += 1
-          }
-          if (d < bestD) { bestD = d; bestC = c }
-          c += 1
-        }
-        codes(sub) = bestC.toLong
-        sub += 1
-      }
-      (0L, id, 0L, codes)
+    val enc = eDs.map { case (id, q) =>
+      (0L, id, 0L, pqEncode(q, cbF))
     }.toDF("__bucket", "__id", "nrm", "q")
     val qPrep = e.select(lit(0L).as("__bucket"), col("__id"),
       lit(0L).as("nrm"), col("q"))
@@ -506,6 +524,224 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("cos").cast("long").as("adc"))
       .orderBy("query_id", "rank")
+  }
+
+  // ---- IVF-PQ (IVFADC + exact rerank) -------------------------------------
+
+  /** Full-dimension squared L2 between a vector and a centroid. */
+  private def coarseD2(q: Array[Long], c: Array[Long]): Long = {
+    var d = 0L
+    var j = 0
+    while (j < q.length) { val t = q(j) - c(j); d += t * t; j += 1 }
+    d
+  }
+
+  /** Deterministic coarse quantizer: `nlist` lowest-id vectors refined by
+    * `lloydRounds` of FULL-dimension k-means — the same distributed
+    * discipline as [[trainPqCodebook]] (map-side argmin vs the broadcast
+    * centroids, one cid-keyed decimal-mean aggregate per round; only the
+    * nlist·Dim mean table collects). Ties to the lowest cid everywhere.
+    */
+  private def trainCoarseCentroids(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      nlist: Int, lloydRounds: Int): Array[Array[Long]] = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    var cents: Array[Array[Long]] =
+      vecs.orderBy(col(vecs.columns.head)).limit(nlist)
+        .collect().sortBy(_._1).map(_._2)
+    if (cents.nonEmpty) {
+      var round = 0
+      while (round < lloydRounds) {
+        val cur = cents
+        val assigned = vecs.map { case (_, q) =>
+          var bestC = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < cur.length) {
+            val d = coarseD2(q, cur(c))
+            if (d < bestD) { bestD = d; bestC = c }
+            c += 1
+          }
+          (bestC, q)
+        }.toDF("cid", "v")
+        val meanCols: Seq[Column] = (0 until Dim).map(j =>
+          floor(sum(col("v")(j).cast(DecimalType(38, 0))) /
+            count(lit(1)) + lit(0.5)).cast(LongType).as(s"m$j"))
+        val means = assigned.groupBy("cid")
+          .agg(meanCols.head, meanCols.drop(1): _*)
+          .collect()
+          .map(r => r.getInt(0) -> Array.tabulate(Dim)(j => r.getLong(1 + j))).toMap
+        cents = Array.tabulate(cur.length)(c => means.getOrElse(c, cur(c)))
+        round += 1
+      }
+    }
+    cents
+  }
+
+  /** The trained IVF-PQ index parameters: coarse centroids + the RESIDUAL
+    * codebook. Package-visible so the q_ann_ivfpq oracle generator can
+    * emit the identical (deterministic) model as SQL literals. */
+  private[operators] final case class IvfPqModel(
+      cents: Array[Array[Long]], cb: Array[Array[Array[Long]]])
+
+  private[operators] def ivfPqModel(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, codes: Int, lloydRounds: Int, normalize: Boolean): IvfPqModel = {
+    val s = df.sparkSession
+    import s.implicits._
+    modelFromPrepared(pqPrepare(df, idCol, vecCol, normalize)
+      .as[(Long, Array[Long])]
+      .localCheckpoint(false), // coarse rounds + residual rounds re-read it
+      nlist, codes, lloydRounds)
+  }
+
+  private def modelFromPrepared(
+      e: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      nlist: Int, codes: Int, lloydRounds: Int): IvfPqModel = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cents = trainCoarseCentroids(e, nlist, lloydRounds)
+    val residuals = e.map { case (id, q) =>
+      var bestC = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val d = coarseD2(q, cents(c))
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      val r = new Array[Long](q.length)
+      var j = 0
+      while (j < q.length) { r(j) = q(j) - cents(bestC)(j); j += 1 }
+      (id, r)
+    }
+    IvfPqModel(cents, trainPqCodebook(residuals, codes, lloydRounds))
+  }
+
+  /** IVF-PQ ANN with exact rerank — the bucketed SCALE path for
+    * approximate cosine top-k (Jégou et al. 2011 §IV, IVFADC, plus the
+    * standard exact-rerank tail). Where [[pqTopK]] ADC-scans the whole
+    * corpus per query (per-tile partials grow with tiles × shortlist —
+    * the measured 64× OOM corner in PLANS.md round 11), this one:
+    *
+    *   1. assigns every vector to its nearest of `nlist` coarse
+    *      centroids and PQ-encodes the RESIDUAL (8 sub-codes per row);
+    *   2. probes each query's `nprobe` nearest cells through the tiled
+    *      bucket scan — a cell EQUI-join, so a query scores only
+    *      ~nprobe/nlist of the corpus, and the per-cell ADC uses the
+    *      query's residual vs THAT cell's centroid, which keeps
+    *      cross-cell distances comparable exactly (‖q−n‖² =
+    *      ‖(q−c)−(n−c)‖² for the same c);
+    *   3. keeps a `shortlist` per query by ADC and reranks it with the
+    *      EXACT integer cosine of the true quantized vectors — so the
+    *      output ranking is exact over whatever the index retrieved,
+    *      and recall is purely a retrieval property (RecallProbe).
+    *
+    * At 100 TB: training collects only the bounded mean tables, the
+    * corpus shuffles as (cell, 8 codes) rows, candidate mass is
+    * nprobe/nlist of n per query, and the rerank join touches
+    * queries × shortlist rows. Ties break (adc, neighbor_id) then
+    * (cos desc, neighbor_id) — deterministic under any partitioning.
+    * Output: (query_id, neighbor_id, rank, cos), rank ≤ k.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int = 50, nlist: Int = 64, nprobe: Int = 8,
+      codes: Int = PqCodes, lloydRounds: Int = 4, normalize: Boolean = true,
+      maxTileRows: Long = MaxTileRows): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(nprobe >= 1 && nlist >= 1, s"need nlist/nprobe >= 1")
+    val s = df.sparkSession
+    import s.implicits._
+    // ONE prepared, materialized frame feeds training, corpus encode,
+    // query probes, and the rerank vector joins
+    val e = pqPrepare(df, idCol, vecCol, normalize).as[(Long, Array[Long])]
+      .localCheckpoint(false)
+    val m = modelFromPrepared(e, nlist, codes, lloydRounds)
+    val cents = m.cents
+    val cb = m.cb
+    val nCodes = if (cb.isEmpty) 0 else cb(0).length
+    val probe = math.min(nprobe, math.max(1, cents.length))
+    // corpus: (cell, id, residual codes)
+    val cPrep = e.map { case (id, q) =>
+      var bestC = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val d = coarseD2(q, cents(c))
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      val r = new Array[Long](q.length)
+      var j = 0
+      while (j < q.length) { r(j) = q(j) - cents(bestC)(j); j += 1 }
+      (bestC.toLong, id, 0L, pqEncode(r, cb))
+    }.toDF("__bucket", "__id", "nrm", "q")
+    // queries: nprobe nearest cells, the query's residual PER PROBED CELL
+    val qPrep = e.flatMap { case (id, q) =>
+      val ds = Array.tabulate(cents.length)(c => (coarseD2(q, cents(c)), c))
+      java.util.Arrays.sort(ds, Ordering.Tuple2[Long, Int])
+      Iterator.range(0, probe).map { i =>
+        val c = ds(i)._2
+        val r = new Array[Long](q.length)
+        var j = 0
+        while (j < q.length) { r(j) = q(j) - cents(c)(j); j += 1 }
+        (c.toLong, id, 0L, r)
+      }
+    }.toDF("__bucket", "__id", "nrm", "q")
+    // per-(query, cell-tile) ADC top-shortlist; a (query, neighbor) pair
+    // exists in exactly one cell (the neighbor's), so no cross-cell dups
+    val partials = tiledPairScan2(qPrep, cPrep, (qid, _, qres, corpus) => {
+      val lut = Array.tabulate(PqSubs, nCodes) { (sub, c) =>
+        var d = 0L
+        var j = 0
+        while (j < PqSubDim) {
+          val t = qres(sub * PqSubDim + j) - cb(sub)(c)(j); d += t * t; j += 1
+        }
+        d
+      }
+      val top = new Array[(Long, Long)](shortlist)
+      var filled = 0
+      var i = 0
+      while (i < corpus.length) {
+        val (nid, _, ncodes) = corpus(i)
+        if (nid != qid && ncodes.length == PqSubs) {
+          var adc = 0L
+          var sub = 0
+          while (sub < PqSubs) { adc += lut(sub)(ncodes(sub).toInt); sub += 1 }
+          var pos = filled
+          while (pos > 0 && {
+            val (pid, padc) = top(pos - 1)
+            padc > adc || (padc == adc && pid > nid)
+          }) pos -= 1
+          if (pos < shortlist) {
+            var mm = math.min(filled, shortlist - 1)
+            while (mm > pos) { top(mm) = top(mm - 1); mm -= 1 }
+            top(pos) = (nid, adc)
+            if (filled < shortlist) filled += 1
+          }
+        }
+        i += 1
+      }
+      Iterator.range(0, filled).map(r => (qid, top(r)._1, top(r)._2.toDouble))
+    }, maxTileRows)
+    val swin = Window.partitionBy("query_id").orderBy(col("cos"), col("neighbor_id"))
+    val short = partials.withColumn("__r", row_number().over(swin))
+      .filter(col("__r") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // exact rerank: true quantized vectors, exact integer dot/norms —
+    // identical cosine math to [[bruteForceTopK]]/oracleFor
+    val vframe = e.toDF("__vid", "__vq")
+      .withColumn("__vn", dot(col("__vq"), col("__vq")))
+    val rer = short
+      .join(vframe.select(col("__vid").as("query_id"),
+        col("__vq").as("__qa"), col("__vn").as("__na")), "query_id")
+      .join(vframe.select(col("__vid").as("neighbor_id"),
+        col("__vq").as("__qb"), col("__vn").as("__nb")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("__qa"), col("__qb")).cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+          .as("cos"))
+    mergeTopK(rer, k)
   }
 
   /** Semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
@@ -748,6 +984,102 @@ object Similarity {
     // The oracle replays codebook build, encode (min (d2, code) per
     // subspace) and the ADC sum in exact integer arithmetic via list
     // slices — every d2 term uses |a|² − 2a·b + |b|², all < 2^53.
+    // IVF-PQ with exact rerank — the bucketed scale path. Registered with
+    // small deterministic parameters (nlist=16, nprobe=4, codes=16,
+    // lloyd=2, shortlist=20, k=3, normalize=false so the replay stays on
+    // the established integer quantization); the ORACLE is generated at
+    // verify time (q_bpe_tokens pattern): the trained centroids +
+    // residual codebook — deterministic, decimal-mean Lloyd — embed as
+    // VALUES literals, and DuckDB independently replays assignment,
+    // residual encoding, ADC over the probed cells, the shortlist cut,
+    // and the exact-cosine rerank.
+    GraftQuery(
+      "q_ann_ivfpq",
+      (s, dir) => ivfPqTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding", 3,
+        shortlist = 20, nlist = 16, nprobe = 4, codes = 16, lloydRounds = 2,
+        normalize = false),
+      None,
+      oracleGen = Some((s, dir) => {
+        val m = ivfPqModel(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          nlist = 16, codes = 16, lloydRounds = 2, normalize = false)
+        def arr(a: Array[Long]) = a.mkString("[", ", ", "]")
+        val centRows = m.cents.zipWithIndex
+          .map { case (cv, cid) => s"($cid, ${arr(cv)})" }.mkString(",\n    ")
+        val cbRows = (for {
+          sub <- m.cb.indices
+          code <- m.cb(sub).indices
+        } yield s"($sub, $code, ${arr(m.cb(sub)(code))})").mkString(",\n    ")
+        s"""WITH prep AS (
+           |  SELECT vec_id, $quantizedSql AS q FROM embeddings
+           |  WHERE len(embedding) = 64
+           |),
+           |cents(cid, cv) AS (VALUES
+           |    $centRows),
+           |cdist AS (
+           |  SELECT p.vec_id, p.q, c.cid, c.cv,
+           |    CAST(list_dot_product(p.q, p.q) - 2 * list_dot_product(p.q, c.cv)
+           |      + list_dot_product(c.cv, c.cv) AS BIGINT) AS d2
+           |  FROM prep p CROSS JOIN cents c),
+           |cells AS (
+           |  SELECT vec_id, q, cid, cv,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |  FROM cdist),
+           |corp AS (
+           |  SELECT vec_id, cid,
+           |    list_transform(range(1, 65), j -> q[j] - cv[j]) AS res
+           |  FROM cells WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id, cid,
+           |    list_transform(range(1, 65), j -> q[j] - cv[j]) AS res
+           |  FROM cells WHERE rn <= 4),
+           |subs AS (SELECT s FROM generate_series(0, 7) AS t(s)),
+           |cb(sub, code, cq) AS (VALUES
+           |    $cbRows),
+           |cslices AS (
+           |  SELECT c.vec_id, c.cid, su.s AS sub, c.res[su.s*8+1 : su.s*8+8] AS sq
+           |  FROM corp c CROSS JOIN subs su),
+           |enc AS (
+           |  SELECT vec_id, cid, sub, code FROM (
+           |    SELECT sl.vec_id, sl.cid, sl.sub, cb.code,
+           |      row_number() OVER (PARTITION BY sl.vec_id, sl.sub ORDER BY
+           |        CAST(list_dot_product(sl.sq, sl.sq)
+           |          - 2 * list_dot_product(sl.sq, cb.cq)
+           |          + list_dot_product(cb.cq, cb.cq) AS BIGINT), cb.code) AS rn
+           |    FROM cslices sl JOIN cb ON sl.sub = cb.sub) WHERE rn = 1),
+           |qslices AS (
+           |  SELECT p.vec_id, p.cid, su.s AS sub, p.res[su.s*8+1 : su.s*8+8] AS sq
+           |  FROM probes p CROSS JOIN subs su),
+           |adc AS (
+           |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |    CAST(sum(list_dot_product(q.sq, q.sq)
+           |      - 2 * list_dot_product(q.sq, cb.cq)
+           |      + list_dot_product(cb.cq, cb.cq)) AS BIGINT) AS adc
+           |  FROM qslices q
+           |  JOIN enc e ON e.cid = q.cid AND e.sub = q.sub AND e.vec_id <> q.vec_id
+           |  JOIN cb ON cb.sub = e.sub AND cb.code = e.code
+           |  GROUP BY 1, 2),
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+           |    FROM adc) WHERE rn <= 20),
+           |rer AS (
+           |  SELECT sh.query_id, sh.neighbor_id,
+           |    list_dot_product(a.q, b.q)
+           |      / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) AS rawcos
+           |  FROM short sh
+           |  JOIN prep a ON a.vec_id = sh.query_id
+           |  JOIN prep b ON b.vec_id = sh.neighbor_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id) AS rank,
+           |    floor(rawcos * 1e6 + 0.5) / 1e6 AS cos
+           |  FROM rer)
+           |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin
+      }),
+    ),
+
     GraftQuery(
       "q_ann_pq",
       (s, dir) => pqTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding", 3),

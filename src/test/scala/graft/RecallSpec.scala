@@ -77,6 +77,27 @@ class RecallSpec extends SparkSuite {
     assert(raw >= 0.08, f"raw pq recall@10 $raw%.3f fell below the 0.08 floor")
   }
 
+  test("ivfPqTopK degenerates to EXACT bruteForceTopK when nothing is pruned") {
+    // nprobe = nlist (every cell probed) and shortlist >= corpus: the ADC
+    // stage retrieves everything and the exact rerank must then reproduce
+    // bruteForceTopK row for row — rank, neighbor, and rounded cosine.
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(spark, dir, "embeddings")
+    val exact = operators.Similarity.bruteForceTopK(e, "vec_id", "embedding", 3)
+    val ivf = operators.Similarity.ivfPqTopK(e, "vec_id", "embedding", 3,
+      shortlist = 1000, nlist = 4, nprobe = 4, codes = 8, lloydRounds = 1,
+      normalize = false)
+    assert(ivf.exceptAll(exact).count() == 0 && exact.exceptAll(ivf).count() == 0,
+      "exhaustive IVF-PQ (+ exact rerank) must equal the brute-force ranking")
+  }
+
+  test("IVF-PQ (nprobe 8/64, shortlist 50) recall@10 >= 0.55 on z5k") {
+    val r = recall(exact10, operators.Similarity.ivfPqTopK(
+      emb, "vec_id", "embedding", 10,
+      shortlist = 50, nlist = 64, nprobe = 8, codes = 256, lloydRounds = 4))
+    assert(r >= 0.55, f"ivfpq recall@10 $r%.3f fell below the 0.55 floor")
+  }
+
   test("multi-probe LSH recall@10 >= 0.35 and beats single-bucket LSH") {
     val multi = recall(exact10, operators.Similarity
       .signLshTopKMultiProbe(emb, "vec_id", "embedding", 10))
