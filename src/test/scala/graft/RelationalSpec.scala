@@ -12,12 +12,19 @@ class RelationalSpec extends SparkSuite {
     assert(names.distinct.size == names.size, "duplicate query names")
     // full oracle coverage: even the sequential stateful fold is
     // hash-checked (recursive-CTE replay, Stateful.statefulOracleSql).
-    // The ONLY sanctioned exception is the BPE trainer — an iterative
-    // argmax loop no SQL can express; it is pinned by BpeSpec's
-    // serial-reference equivalence instead. Anything else oracle-less
-    // is a regression.
-    assert(SparkEntry.all.filter(_.oracle.isEmpty).map(_.name) == Seq("q_bpe_tokens"),
-      s"oracle-less: ${SparkEntry.all.filter(_.oracle.isEmpty).map(_.name)}")
+    // A query may carry its oracle either statically (`oracle`) or as a
+    // verify-time generator (`oracleGen` — fixture-derived constants
+    // embedded as literals; the driver hash-checks those identically).
+    // NO query may lack both, and the generator list is pinned so a new
+    // oracle-less query can't hide behind it.
+    val noOracle = SparkEntry.all
+      .filter(q => q.oracle.isEmpty && q.oracleGen.isEmpty).map(_.name)
+    assert(noOracle.isEmpty, s"queries with NO oracle of either kind: $noOracle")
+    val generated = SparkEntry.all.filter(_.oracleGen.isDefined).map(_.name).sorted
+    assert(generated == Seq("q_ann_ivfpq", "q_bpe_tokens"),
+      s"verify-time-generated oracles changed: $generated")
+    assert(SparkEntry.all.forall(q => q.oracle.isEmpty || q.oracleGen.isEmpty),
+      "a query must not carry both a static and a generated oracle")
     SparkEntry.all.foreach { q =>
       val n = q.fn(spark, dir).count()
       assert(n > 0, s"${q.name} returned no rows")
