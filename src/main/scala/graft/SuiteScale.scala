@@ -60,6 +60,7 @@ object SuiteScale {
     // their table sets are pinned here (from the builder source) instead.
     val checkpointedTables: Map[String, Seq[String]] = Map(
       "q_ab_test" -> Seq("events"),
+      "q_ann_ivfpq" -> Seq("embeddings"),
       "q_benford" -> Seq("orders"),
       "q_contrastive_pairs" -> Seq("documents"),
       "q_dedup_embedding" -> Seq("embeddings"),
