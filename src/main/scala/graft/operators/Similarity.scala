@@ -580,12 +580,15 @@ object Similarity {
   }
 
   /** The trained IVF-PQ index parameters: coarse centroids + the RESIDUAL
-    * codebook. Package-visible so the q_ann_ivfpq oracle generator can
-    * emit the identical (deterministic) model as SQL literals. */
-  private[operators] final case class IvfPqModel(
+    * codebook. Public so a production pipeline can train once
+    * ([[ivfPqModel]]), persist the encoded index ([[ivfPqEncode]] →
+    * parquet), and serve queries later ([[ivfPqQueryTopK]]); also lets
+    * the q_ann_ivfpq oracle generator emit the identical (deterministic)
+    * model as SQL literals. */
+  final case class IvfPqModel(
       cents: Array[Array[Long]], cb: Array[Array[Array[Long]]])
 
-  private[operators] def ivfPqModel(df: DataFrame, idCol: String, vecCol: String,
+  def ivfPqModel(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, codes: Int, lloydRounds: Int, normalize: Boolean): IvfPqModel = {
     val s = df.sparkSession
     import s.implicits._
@@ -644,25 +647,29 @@ object Similarity {
     * (cos desc, neighbor_id) — deterministic under any partitioning.
     * Output: (query_id, neighbor_id, rank, cos), rank ≤ k.
     */
-  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      shortlist: Int = 50, nlist: Int = 64, nprobe: Int = 8,
-      codes: Int = PqCodes, lloydRounds: Int = 4, normalize: Boolean = true,
-      maxTileRows: Long = MaxTileRows): DataFrame = {
-    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    require(nprobe >= 1 && nlist >= 1, s"need nlist/nprobe >= 1")
+  /** Encode a vector table against a trained [[IvfPqModel]]: one map-side
+    * pass → (cell, vec_id, codes). This IS the persistable index — a
+    * production pipeline writes it to parquet once (8 sub-codes per
+    * row instead of 64 coordinates) and serves [[ivfPqQueryTopK]] against
+    * it; the corpus itself is only ever re-read for the exact rerank. */
+  def ivfPqEncode(df: DataFrame, idCol: String, vecCol: String, m: IvfPqModel,
+      normalize: Boolean = true): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    // ONE prepared, materialized frame feeds training, corpus encode,
-    // query probes, and the rerank vector joins
-    val e = pqPrepare(df, idCol, vecCol, normalize).as[(Long, Array[Long])]
-      .localCheckpoint(false)
-    val m = modelFromPrepared(e, nlist, codes, lloydRounds)
+    encodePrepared(pqPrepare(df, idCol, vecCol, normalize)
+      .as[(Long, Array[Long])], m)
+      .select(col("__bucket").as("cell"), col("__id").as("vec_id"),
+        col("q").as("codes"))
+  }
+
+  private def encodePrepared(
+      e: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      m: IvfPqModel): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
     val cents = m.cents
     val cb = m.cb
-    val nCodes = if (cb.isEmpty) 0 else cb(0).length
-    val probe = math.min(nprobe, math.max(1, cents.length))
-    // corpus: (cell, id, residual codes)
-    val cPrep = e.map { case (id, q) =>
+    e.map { case (id, q) =>
       var bestC = 0
       var bestD = Long.MaxValue
       var c = 0
@@ -676,8 +683,62 @@ object Similarity {
       while (j < q.length) { r(j) = q(j) - cents(bestC)(j); j += 1 }
       (bestC.toLong, id, 0L, pqEncode(r, cb))
     }.toDF("__bucket", "__id", "nrm", "q")
+  }
+
+  /** Serve top-k queries against a persisted [[ivfPqEncode]] index:
+    * `queries` probe their `nprobe` nearest cells, ADC-rank that slice of
+    * the index, and the per-query `shortlist` reranks by exact cosine
+    * against `corpus` (the true-vector table the index was built from —
+    * at 100 TB this is the only stage that touches full vectors, as a
+    * k-bounded lookup join). `queries` may be any vector table; a corpus
+    * row whose id EQUALS a query id is treated as the query itself and
+    * excluded. Output: (query_id, neighbor_id, rank, cos). */
+  def ivfPqQueryTopK(index: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: IvfPqModel,
+      shortlist: Int = 50, nprobe: Int = 8, normalize: Boolean = true,
+      maxTileRows: Long = MaxTileRows): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    val cPrep = index.select(col("cell").cast("long").as("__bucket"),
+      col("vec_id").cast("long").as("__id"), lit(0L).as("nrm"),
+      col("codes").as("q"))
+    queryTopKPrepared(cPrep,
+      pqPrepare(corpus, idCol, vecCol, normalize).as[(Long, Array[Long])],
+      pqPrepare(queries, idCol, vecCol, normalize).as[(Long, Array[Long])],
+      k, m, shortlist, nprobe, maxTileRows)
+  }
+
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int = 50, nlist: Int = 64, nprobe: Int = 8,
+      codes: Int = PqCodes, lloydRounds: Int = 4, normalize: Boolean = true,
+      maxTileRows: Long = MaxTileRows): DataFrame = {
+    require(nlist >= 1, s"need nlist >= 1, got $nlist")
+    val s = df.sparkSession
+    import s.implicits._
+    // ONE prepared, materialized frame feeds training, corpus encode,
+    // query probes, and the rerank vector joins
+    val e = pqPrepare(df, idCol, vecCol, normalize).as[(Long, Array[Long])]
+      .localCheckpoint(false)
+    val m = modelFromPrepared(e, nlist, codes, lloydRounds)
+    queryTopKPrepared(encodePrepared(e, m), e, e, k, m, shortlist, nprobe,
+      maxTileRows)
+  }
+
+  private def queryTopKPrepared(cPrep: DataFrame,
+      corpusVecs: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      queryVecs: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      k: Int, m: IvfPqModel, shortlist: Int, nprobe: Int,
+      maxTileRows: Long): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
+    val s = cPrep.sparkSession
+    import s.implicits._
+    val cents = m.cents
+    val cb = m.cb
+    val nCodes = if (cb.isEmpty) 0 else cb(0).length
+    val probe = math.min(nprobe, math.max(1, cents.length))
     // queries: nprobe nearest cells, the query's residual PER PROBED CELL
-    val qPrep = e.flatMap { case (id, q) =>
+    val qPrep = queryVecs.flatMap { case (id, q) =>
       val ds = Array.tabulate(cents.length)(c => (coarseD2(q, cents(c)), c))
       java.util.Arrays.sort(ds, Ordering.Tuple2[Long, Int])
       Iterator.range(0, probe).map { i =>
@@ -729,13 +790,15 @@ object Similarity {
       .filter(col("__r") <= shortlist)
       .select("query_id", "neighbor_id")
     // exact rerank: true quantized vectors, exact integer dot/norms —
-    // identical cosine math to [[bruteForceTopK]]/oracleFor
-    val vframe = e.toDF("__vid", "__vq")
-      .withColumn("__vn", dot(col("__vq"), col("__vq")))
+    // identical cosine math to [[bruteForceTopK]]/oracleFor. Query
+    // vectors come from the query table, neighbor vectors from the
+    // corpus table (the same frame in the self-join convenience form).
+    def vframe(ds: org.apache.spark.sql.Dataset[(Long, Array[Long])]) =
+      ds.toDF("__vid", "__vq").withColumn("__vn", dot(col("__vq"), col("__vq")))
     val rer = short
-      .join(vframe.select(col("__vid").as("query_id"),
+      .join(vframe(queryVecs).select(col("__vid").as("query_id"),
         col("__vq").as("__qa"), col("__vn").as("__na")), "query_id")
-      .join(vframe.select(col("__vid").as("neighbor_id"),
+      .join(vframe(corpusVecs).select(col("__vid").as("neighbor_id"),
         col("__vq").as("__qb"), col("__vn").as("__nb")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("__qa"), col("__qb")).cast("double") /

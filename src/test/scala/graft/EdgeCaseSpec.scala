@@ -248,10 +248,16 @@ class EdgeCaseSpec extends SparkSuite {
     val empty = vecs()
     assert(Similarity.bruteForceTopK(empty, "vec_id", "embedding", 3).count() == 0)
     assert(Similarity.nearDupPairs(empty, "vec_id", "embedding", 0.5).count() == 0)
+    assert(Similarity.pqTopK(empty, "vec_id", "embedding", 3).count() == 0)
+    assert(Similarity.ivfPqTopK(empty, "vec_id", "embedding", 3,
+      shortlist = 5, nlist = 4, nprobe = 2, codes = 4, lloydRounds = 1).count() == 0)
     val one = vecs((1L, Array.fill(64)(0.5f), 0L))
     assert(Similarity.bruteForceTopK(one, "vec_id", "embedding", 3).count() == 0)
     assert(Similarity.signLshTopK(one, "vec_id", "embedding", 3).count() == 0)
     assert(Similarity.nearDupPairs(one, "vec_id", "embedding", 0.5).count() == 0)
+    // one vector: it IS the codebook/centroid; still no self-neighbor
+    assert(Similarity.ivfPqTopK(one, "vec_id", "embedding", 3,
+      shortlist = 5, nlist = 4, nprobe = 2, codes = 4, lloydRounds = 1).count() == 0)
   }
 
   test("minHashPairs maxBandBucket: oversized band buckets pruned, small ones intact") {

@@ -91,6 +91,27 @@ class RecallSpec extends SparkSuite {
       "exhaustive IVF-PQ (+ exact rerank) must equal the brute-force ranking")
   }
 
+  test("split index/query API reproduces the monolithic ivfPqTopK exactly") {
+    // the production shape: train once, persist the (cell, vec_id, codes)
+    // index, serve queries later — must equal the self-join convenience
+    // form row for row (same model, same parameters)
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(spark, dir, "embeddings")
+    val mono = operators.Similarity.ivfPqTopK(e, "vec_id", "embedding", 3,
+      shortlist = 20, nlist = 8, nprobe = 3, codes = 16, lloydRounds = 2)
+    val m = operators.Similarity.ivfPqModel(e, "vec_id", "embedding",
+      nlist = 8, codes = 16, lloydRounds = 2, normalize = true)
+    // round-trip the index through parquet — the persistable contract
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    operators.Similarity.ivfPqEncode(e, "vec_id", "embedding", m)
+      .write.mode("overwrite").parquet(idxDir)
+    val split = operators.Similarity.ivfPqQueryTopK(
+      spark.read.parquet(idxDir), e, e, "vec_id", "embedding", 3, m,
+      shortlist = 20, nprobe = 3)
+    assert(split.exceptAll(mono).count() == 0 && mono.exceptAll(split).count() == 0,
+      "persisted-index serving must equal the monolithic form")
+  }
+
   test("IVF-PQ (nprobe 8/64, shortlist 50) recall@10 >= 0.55 on z5k") {
     val r = recall(exact10, operators.Similarity.ivfPqTopK(
       emb, "vec_id", "embedding", 10,
