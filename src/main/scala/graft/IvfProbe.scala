@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Build-vs-serve split for the IVF-PQ index (the production cost story:
+  * the index is trained + encoded ONCE, queries are a separate job).
+  * Times each phase on a fixture dir with the production parameters the
+  * recall program measured (nlist=64, nprobe=8, codes=256, lloyd=4).
+  * Usage: runMain graft.IvfProbe <fixtureDir> [k]
+  */
+object IvfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/bench/fixtures/z5k")
+    val k = if (args.length > 1) args(1).toInt else 10
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables(spark, sfDir, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+
+    val t0 = System.nanoTime()
+    val m = operators.Similarity.ivfPqModel(emb, "vec_id", "embedding",
+      nlist = 64, codes = 256, lloydRounds = 4, normalize = true)
+    val tTrain = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", m)
+      .write.mode("overwrite").parquet(idxDir)
+    val tEncode = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val out = operators.Similarity.ivfPqQueryTopK(
+      spark.read.parquet(idxDir), emb, emb, "vec_id", "embedding", k, m,
+      shortlist = 50, nprobe = 8)
+    val n = out.agg(sum(xxhash64(out.columns.toIndexedSeq.map(col): _*)
+      .cast("decimal(38,0)"))).head()
+    val tServe = (System.nanoTime() - t2) / 1e9
+    println(f"[ivfprobe] train $tTrain%.2f s, encode+write $tEncode%.2f s, " +
+      f"serve(all-queries top-$k) $tServe%.2f s (drain=$n)")
+    spark.stop()
+  }
+}

@@ -102,4 +102,42 @@ class EditThresholdSpec extends SparkSuite {
     check(docs, 8)
     check(docs, 3)
   }
+
+  test("randomized corpus, non-default head length (count-filter bound at 120 chars)") {
+    // the round-11 count filter's bound is stated on the HEAD's distinct
+    // gram sets; exercise it away from the default prefixLen=60 so a
+    // length-dependent mistake (e.g. using raw instead of hashed set
+    // sizes) could not hide behind the default geometry
+    val rnd = new Random(7)
+    val alphabet = "abcdefgh "
+    def randDoc(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val i = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur = cur.updated(i, alphabet(rnd.nextInt(alphabet.length)))
+          case 1 => cur = cur.take(i) + alphabet(rnd.nextInt(alphabet.length)) + cur.drop(i)
+          case _ if cur.nonEmpty => cur = cur.take(i) + cur.drop(i + 1)
+          case _ => ()
+        }
+      }
+      cur
+    }
+    val seeds = (0 until 8).map(_ => randDoc(100 + rnd.nextInt(60)))
+    val docs = (0 until 70).map { i =>
+      val s = seeds(rnd.nextInt(seeds.length))
+      (i.toLong, mutate(s, rnd.nextInt(8)), s"s${rnd.nextInt(2)}")
+    }.toDF("doc_id", "text", "source")
+    def checkAt(tau: Int): Unit = {
+      val thresholded = Dedup.editDistancePairs(docs, "doc_id", "text", "source",
+        prefixLen = 120, maxDist = Some(tau))
+      val brute = Dedup.editDistancePairs(docs, "doc_id", "text", "source",
+        prefixLen = 120)
+        .filter(org.apache.spark.sql.functions.col("dist") <= tau)
+      assert(canon(thresholded) == canon(brute))
+    }
+    checkAt(5)
+    checkAt(2)
+  }
 }
