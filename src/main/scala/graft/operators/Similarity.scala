@@ -469,6 +469,9 @@ object Similarity {
   def pqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       maxTileRows: Long = MaxTileRows, normalize: Boolean = false,
       lloydRounds: Int = 0, codes: Int = PqCodes): DataFrame = {
+    // codes = 0 with a nonempty corpus would hand the ADC kernel an empty
+    // LUT to index with code 0 — refuse up front
+    require(codes >= 1, s"need codes >= 1, got $codes")
     val s = df.sparkSession
     import s.implicits._
     val e = pqPrepare(df, idCol, vecCol, normalize)
@@ -713,6 +716,7 @@ object Similarity {
       codes: Int = PqCodes, lloydRounds: Int = 4, normalize: Boolean = true,
       maxTileRows: Long = MaxTileRows): DataFrame = {
     require(nlist >= 1, s"need nlist >= 1, got $nlist")
+    require(codes >= 1, s"need codes >= 1, got $codes")
     val s = df.sparkSession
     import s.implicits._
     // ONE prepared, materialized frame feeds training, corpus encode,
@@ -741,7 +745,10 @@ object Similarity {
     val qPrep = queryVecs.flatMap { case (id, q) =>
       val ds = Array.tabulate(cents.length)(c => (coarseD2(q, cents(c)), c))
       java.util.Arrays.sort(ds, Ordering.Tuple2[Long, Int])
-      Iterator.range(0, probe).map { i =>
+      // ds can be SHORTER than `probe` when the model was trained on a
+      // frame smaller than nlist (or empty, with external queries) —
+      // probing every cell there is the exhaustive case, not an error
+      Iterator.range(0, math.min(probe, ds.length)).map { i =>
         val c = ds(i)._2
         val r = new Array[Long](q.length)
         var j = 0

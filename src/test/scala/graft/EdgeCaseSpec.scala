@@ -258,6 +258,14 @@ class EdgeCaseSpec extends SparkSuite {
     // one vector: it IS the codebook/centroid; still no self-neighbor
     assert(Similarity.ivfPqTopK(one, "vec_id", "embedding", 3,
       shortlist = 5, nlist = 4, nprobe = 2, codes = 4, lloydRounds = 1).count() == 0)
+    // a model trained on an EMPTY frame serving nonempty queries: no
+    // cells to probe -> empty result, not an index-out-of-bounds
+    val emptyModel = Similarity.ivfPqModel(empty, "vec_id", "embedding",
+      nlist = 4, codes = 4, lloydRounds = 1, normalize = true)
+    assert(Similarity.ivfPqQueryTopK(
+      Similarity.ivfPqEncode(empty, "vec_id", "embedding", emptyModel),
+      empty, one, "vec_id", "embedding", 3, emptyModel,
+      shortlist = 5, nprobe = 2).count() == 0)
   }
 
   test("minHashPairs maxBandBucket: oversized band buckets pruned, small ones intact") {
