@@ -25,6 +25,31 @@ object IvfProbe {
     val emb = Tables(spark, sfDir, "embeddings")
     val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
 
+    // nprobe sweep mode: recall@k + serve time per probe width — the
+    // serving knob's measured curve (SPARK_IVF_SWEEP=1)
+    if (sys.env.get("SPARK_IVF_SWEEP").contains("1")) {
+      val shortlist = sys.env.getOrElse("SPARK_IVF_SHORTLIST", "50").toInt
+      val probes = sys.env.getOrElse("SPARK_IVF_NPROBES", "2,4,8,16,32")
+        .split(",").map(_.trim.toInt).toSeq
+      val m = operators.Similarity.ivfPqModel(emb, "vec_id", "embedding",
+        nlist = 64, codes = 256, lloydRounds = 4, normalize = true)
+      val idx = operators.Similarity.ivfPqEncode(emb, "vec_id", "embedding", m)
+        .localCheckpoint(false)
+      val exact = operators.Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", k).localCheckpoint(false)
+      probes.foreach { np =>
+        val t = System.nanoTime()
+        val got = operators.Similarity.ivfPqQueryTopK(idx, emb, emb,
+          "vec_id", "embedding", k, m, shortlist = shortlist, nprobe = np)
+        val r = operators.Similarity.recallVs(exact, got,
+          "query_id", "neighbor_id").collect()(0)
+        println(f"[ivfprobe] nprobe=$np%2d shortlist=$shortlist: " +
+          f"recall@$k ${r.getDouble(1)}%.4f, serve ${(System.nanoTime() - t) / 1e9}%.1f s")
+      }
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val m = operators.Similarity.ivfPqModel(emb, "vec_id", "embedding",
       nlist = 64, codes = 256, lloydRounds = 4, normalize = true)
