@@ -110,13 +110,21 @@ object Bench {
         .selectExpr("row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn")
         .count()
     }
-    // Box calibration: one FIXED synthetic workload (sf-independent —
-    // shuffle agg + sort over a generated range), timed min-of-2 after
-    // warmup and published as `calibration_sec`. Cross-round bench ratios
-    // divide by this to separate host-speed drift from plan regressions
-    // (round 8 burned a day's adjudication on a uniform ~1.5× host
-    // slowdown that isolated probes showed was not code). The workload
-    // must NEVER change across rounds or the constant loses meaning.
+    // Box calibration: one FIXED synthetic workload (sf-independent),
+    // timed min-of-2 after warmup and published as `calibration_sec`.
+    // Cross-round bench ratios divide by this to separate host-speed
+    // drift from plan regressions (round 8 burned a day's adjudication on
+    // a uniform ~1.5× host slowdown that isolated probes showed was not
+    // code). The workload must NEVER change across rounds or the constant
+    // loses meaning. What ACTUALLY executes under the .count() drain
+    // (round-12 plan audit): Catalyst prunes the unused sum/count columns
+    // and eliminates the sort below the count aggregate, leaving a
+    // keys-only distinct-style aggregate — Range → (id % 9973) → partial
+    // HashAggregate → hash Exchange on k → final HashAggregate → count.
+    // That is still a genuine 32 M-row shuffle probe (the Exchange on k
+    // survives), which is exactly what this constant is for; the code is
+    // kept byte-identical to rounds 8-11 so the published series stays
+    // comparable, and this comment (not the code) was corrected.
     def calibrateOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(1L << 25).selectExpr("id % 9973 AS k", "id AS v")
@@ -132,15 +140,24 @@ object Bench {
     // artifact times on UNTOUCHED CPU-heavy queries (triangles, psi)
     // inflated ~1.3× while calibration_sec moved only 1.10× (the same-
     // session r9/r10 worktree A/B in BENCH.md proved the code identical).
-    // One stage, no exchange past the 32-row final agg, pure whole-stage
-    // codegen: xxhash64 over a range, modular sum. Pinned forever, like
-    // the shuffle probe; cross-round ratios should consult BOTH constants
-    // and trust neither alone when they disagree.
+    // One stage, no exchange past the 1-row final agg, pure whole-stage
+    // codegen: xxhash64 over a range, modular sum. Cross-round ratios
+    // should consult BOTH constants and trust neither alone when they
+    // disagree.
+    // RE-PINNED in round 12 (ADVICE r11): the round-11 drain was
+    // `.agg(sum("h")).count()`, and count-over-aggregate let Catalyst
+    // prune the sum AND the xxhash64 projection — the executed plan was
+    // an empty-Project codegen loop over Range, so the two published
+    // r11 values of calibration_cpu_sec (~0.18 s) measured nothing and
+    // are VOID for normalization (BENCH.md records this). The .head()
+    // drain below keeps the hash+sum alive (plan audited: Project emits
+    // xxhash64(id)%1000003, HashAggregate sums it); round 12 is the
+    // first round of the real constant. Pinned forever FROM r12.
     def calibrateCpuOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(1L << 27)
         .selectExpr("xxhash64(id) % 1000003 AS h")
-        .agg(org.apache.spark.sql.functions.sum("h")).count()
+        .agg(org.apache.spark.sql.functions.sum("h")).head()
       (System.nanoTime() - t0) / 1e9
     }
     val calibrationCpu = math.min(calibrateCpuOnce(), calibrateCpuOnce())
@@ -213,9 +230,17 @@ object Bench {
           MakeZipf.generate(spark, zipfDir, 20000L)
         if (!new java.io.File(s"$zipfDir/orders.parquet").exists())
           MakeZipf.generateGraph(spark, zipfDir, 20000L)
+        // Floor the zipf block at min-of-2 even if SPARK_GRAFT_REPS=1:
+        // the r11 driver artifact carried a 4.3× single-pass swing on
+        // untouched code (q_similarity_lsh 0.83 s in builder sessions vs
+        // 3.66 s in the driver window), so single-pass zipf rows are
+        // noise, not signal. The main suite keeps honoring REPS (its
+        // total must stay comparable across rounds); the zipf rows are
+        // excluded from "value", so extra reps here change no headline.
+        val zipfReps = math.max(2, reps)
         zipfFamily.map { name =>
           val fn = SparkEntry.queries(name)
-          val times = (1 to math.max(1, reps)).flatMap { _ =>
+          val times = (1 to zipfReps).flatMap { _ =>
             spark.catalog.clearCache()
             spark.sparkContext.getPersistentRDDs.values
               .foreach(_.unpersist(blocking = false))

@@ -587,9 +587,17 @@ object Similarity {
     * ([[ivfPqModel]]), persist the encoded index ([[ivfPqEncode]] →
     * parquet), and serve queries later ([[ivfPqQueryTopK]]); also lets
     * the q_ann_ivfpq oracle generator emit the identical (deterministic)
-    * model as SQL literals. */
+    * model as SQL literals.
+    *
+    * `normalize` records the quantization the model was TRAINED under and
+    * is the single source of truth for it: [[ivfPqEncode]] and
+    * [[ivfPqQueryTopK]] read it from here rather than taking their own
+    * parameter (ADVICE r11 — independent defaults let a model trained
+    * with normalize=false be served normalized, silently mixing the two
+    * quantizations into garbage neighbors with no error). */
   final case class IvfPqModel(
-      cents: Array[Array[Long]], cb: Array[Array[Array[Long]]])
+      cents: Array[Array[Long]], cb: Array[Array[Array[Long]]],
+      normalize: Boolean)
 
   def ivfPqModel(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, codes: Int, lloydRounds: Int, normalize: Boolean): IvfPqModel = {
@@ -598,12 +606,13 @@ object Similarity {
     modelFromPrepared(pqPrepare(df, idCol, vecCol, normalize)
       .as[(Long, Array[Long])]
       .localCheckpoint(false), // coarse rounds + residual rounds re-read it
-      nlist, codes, lloydRounds)
+      nlist, codes, lloydRounds, normalize)
   }
 
   private def modelFromPrepared(
       e: org.apache.spark.sql.Dataset[(Long, Array[Long])],
-      nlist: Int, codes: Int, lloydRounds: Int): IvfPqModel = {
+      nlist: Int, codes: Int, lloydRounds: Int,
+      normalize: Boolean): IvfPqModel = {
     val s = e.sparkSession
     import s.implicits._
     val cents = trainCoarseCentroids(e, nlist, lloydRounds)
@@ -621,7 +630,7 @@ object Similarity {
       while (j < q.length) { r(j) = q(j) - cents(bestC)(j); j += 1 }
       (id, r)
     }
-    IvfPqModel(cents, trainPqCodebook(residuals, codes, lloydRounds))
+    IvfPqModel(cents, trainPqCodebook(residuals, codes, lloydRounds), normalize)
   }
 
   /** IVF-PQ ANN with exact rerank — the bucketed SCALE path for
@@ -655,11 +664,11 @@ object Similarity {
     * production pipeline writes it to parquet once (8 sub-codes per
     * row instead of 64 coordinates) and serves [[ivfPqQueryTopK]] against
     * it; the corpus itself is only ever re-read for the exact rerank. */
-  def ivfPqEncode(df: DataFrame, idCol: String, vecCol: String, m: IvfPqModel,
-      normalize: Boolean = true): DataFrame = {
+  def ivfPqEncode(df: DataFrame, idCol: String, vecCol: String,
+      m: IvfPqModel): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    encodePrepared(pqPrepare(df, idCol, vecCol, normalize)
+    encodePrepared(pqPrepare(df, idCol, vecCol, m.normalize)
       .as[(Long, Array[Long])], m)
       .select(col("__bucket").as("cell"), col("__id").as("vec_id"),
         col("q").as("codes"))
@@ -698,7 +707,7 @@ object Similarity {
     * excluded. Output: (query_id, neighbor_id, rank, cos). */
   def ivfPqQueryTopK(index: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, m: IvfPqModel,
-      shortlist: Int = 50, nprobe: Int = 8, normalize: Boolean = true,
+      shortlist: Int = 50, nprobe: Int = 8,
       maxTileRows: Long = MaxTileRows): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
@@ -706,8 +715,8 @@ object Similarity {
       col("vec_id").cast("long").as("__id"), lit(0L).as("nrm"),
       col("codes").as("q"))
     queryTopKPrepared(cPrep,
-      pqPrepare(corpus, idCol, vecCol, normalize).as[(Long, Array[Long])],
-      pqPrepare(queries, idCol, vecCol, normalize).as[(Long, Array[Long])],
+      pqPrepare(corpus, idCol, vecCol, m.normalize).as[(Long, Array[Long])],
+      pqPrepare(queries, idCol, vecCol, m.normalize).as[(Long, Array[Long])],
       k, m, shortlist, nprobe, maxTileRows)
   }
 
@@ -723,7 +732,7 @@ object Similarity {
     // query probes, and the rerank vector joins
     val e = pqPrepare(df, idCol, vecCol, normalize).as[(Long, Array[Long])]
       .localCheckpoint(false)
-    val m = modelFromPrepared(e, nlist, codes, lloydRounds)
+    val m = modelFromPrepared(e, nlist, codes, lloydRounds, normalize)
     queryTopKPrepared(encodePrepared(e, m), e, e, k, m, shortlist, nprobe,
       maxTileRows)
   }
