@@ -57,7 +57,8 @@ object Bench {
   def renderJson(results: Seq[(String, Double)], sfDir: String,
       failures: Int = 0, flaky: Int = 0, calibration: Double = 0.0,
       zipf: Seq[(String, Double)] = Seq.empty,
-      calibrationCpu: Double = 0.0): String = {
+      calibrationCpu: Double = 0.0,
+      streamBlock: String = ""): String = {
     val total = results.map(_._2).sum
     val sf = sfLabel(sfDir)
     // Zipf-axis rows (realistic-text fixture, separate corpus — NOT part
@@ -71,7 +72,7 @@ object Bench {
     def line(entries: Seq[(String, Double)], otherSum: Option[Double]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
         otherSum.map(s => "\"other\":" + fmt(s))
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"calibration_cpu_sec":${fmt(calibrationCpu)},"queries":${qs.mkString("{", ",", "}")}$zipfBlock,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"calibration_cpu_sec":${fmt(calibrationCpu)},"queries":${qs.mkString("{", ",", "}")}$zipfBlock$streamBlock,"sf":"$sf"}"""
     }
     val bySlowest = results.sortBy { case (k, v) => (-v, k) }
     // Largest prefix of the slowest-first ordering that fits; the rest
@@ -254,8 +255,27 @@ object Bench {
         System.err.println(s"[bench] zipf block failed: ${e.getMessage}")
         Seq.empty
       }
+    // Standing streaming row (VERDICT r11 #5): ONE fixed-shape scenario —
+    // the stream-static snapshot near-dup guard (10k-doc stream, half of
+    // them exact dups of the 5k-doc snapshot at sf0.1; 10 micro-batches,
+    // 8 state partitions) — warm + measured run through StreamBench's
+    // production wiring, published every round so the streaming guards
+    // have a regression axis like the zipf block gave the content family.
+    // It runs LAST (after all batch queries) and is the JVM's only
+    // streaming pair, honoring StreamBench's one-scenario-per-JVM finding.
+    // Skippable via SPARK_GRAFT_STREAM=0; excluded from "value".
+    val streamBlock: String =
+      if (sys.env.get("SPARK_GRAFT_STREAM").contains("0")) ""
+      else try {
+        val st = StreamBench.snapDedupStats(spark, sfDir,
+          batches = 10, copies = 2, parts = 8)
+        s""","stream":{"snap_dedup_docs_per_sec":${fmt(st.recordsPerSec)},"batch_sec_p50":${fmt(st.batchSecP50)},"state_rows":${st.stateRows},"state_bytes":${st.stateBytes}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream row failed: ${e.getMessage}")
+        ""
+      }
     val jsonLine = renderJson(results, sfDir, failures, flaky, calibration,
-      zipfResults, calibrationCpu)
+      zipfResults, calibrationCpu, streamBlock)
     // Full per-query dump (no MaxLine cap / "other" merging) for scaling
     // analysis — the stdout line stays driver-compatible, the file carries
     // every query's time for tools/scaling.py.
@@ -265,7 +285,7 @@ object Bench {
       val zs = zipfResults.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"calibration_cpu_sec":${fmt(calibrationCpu)},"queries":$qs,"zipf":$zs,"sf":"${sfLabel(sfDir)}"}""")
+        s"""{"failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"calibration_cpu_sec":${fmt(calibrationCpu)},"queries":$qs,"zipf":$zs$streamBlock,"sf":"${sfLabel(sfDir)}"}""")
     }
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()

@@ -75,6 +75,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BoundedSetAgg.builder))
     e.injectFunction((SortedIntersectAtLeast.identifier,
       SortedIntersectAtLeast.info, SortedIntersectAtLeast.builder))
+    e.injectFunction((TopMinPairs.identifier, TopMinPairs.info,
+      TopMinPairs.builder))
     e.injectOptimizerRule(_ => ZeroDistanceFold)
     // whole-operator tier: broadcast interval-index join replacing the
     // BNLJ plan for banded-dimension range joins (graft.plans)

@@ -1,0 +1,155 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded m-smallest buffer over (value, id) pairs, ordered by
+  * (value asc, id asc) — the shortlist-cut state. Pairs are kept sorted in
+  * fixed m-slot parallel primitive arrays: O(log m) position probe +
+  * O(m) insert, O(m·m') merge, and a ≤(4+16m)-byte serialized form
+  * regardless of how many candidates streamed through. The bound is the
+  * point at 100 TB: a per-query shortlist over billions of ADC candidates
+  * shuffles m pairs per (partition, query) instead of every per-tile
+  * partial row through a global sort exchange (see
+  * [[graft.operators.Similarity.ivfPqQueryTopK]] — replacing the
+  * row_number window with this aggregate is the round-12 fix for the
+  * measured per-tile partial mass ceiling in PLANS.md).
+  */
+final class TopMinBuffer(val m: Int) {
+  val vals = new Array[Double](m)
+  val ids = new Array[Long](m)
+  var size = 0
+
+  def add(v: Double, id: Long): Unit = {
+    if (size == m && (v > vals(m - 1) || (v == vals(m - 1) && id >= ids(m - 1)))) return
+    // first index whose (value, id) orders after the candidate
+    var lo = 0
+    var hi = size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (vals(mid) < v || (vals(mid) == v && ids(mid) < id)) lo = mid + 1 else hi = mid
+    }
+    val keep = if (size < m) size else m - 1 // full: worst slot falls off
+    System.arraycopy(vals, lo, vals, lo + 1, keep - lo)
+    System.arraycopy(ids, lo, ids, lo + 1, keep - lo)
+    vals(lo) = v
+    ids(lo) = id
+    if (size < m) size += 1
+  }
+
+  def merge(other: TopMinBuffer): Unit = {
+    var i = 0
+    while (i < other.size) { add(other.vals(i), other.ids(i)); i += 1 }
+  }
+}
+
+/** `top_min_pairs(valueCol, idCol, m)` — a Catalyst
+  * [[TypedImperativeAggregate]] producing the group's m smallest
+  * (value, id) pairs by (value asc, id asc) as
+  * `array<struct<id: bigint, v: double>>`, in that order. Exactly the rows
+  * `row_number() OVER (ORDER BY value, id) <= m` keeps, but as a bounded,
+  * mergeable aggregate: partials combine map-side, so the exchange carries
+  * one ≤m-pair state per (partition, group) instead of every input row,
+  * and no sort ever runs. Rows where either argument is null are skipped
+  * (a null ADC/candidate-id is a non-candidate, matching the window
+  * formulation where NULLS LAST would push them past any real pair).
+  */
+case class TopMinPairs(
+    value: Expression,
+    id: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[TopMinBuffer] {
+
+  override def children: Seq[Expression] = Seq(value, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "top_min_pairs"
+
+  override def createAggregationBuffer(): TopMinBuffer = new TopMinBuffer(m)
+
+  override def update(buffer: TopMinBuffer, input: InternalRow): TopMinBuffer = {
+    val v = value.eval(input)
+    val i = id.eval(input)
+    if (v != null && i != null)
+      buffer.add(v.asInstanceOf[Double], i.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: TopMinBuffer, other: TopMinBuffer): TopMinBuffer = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: TopMinBuffer): Any =
+    new GenericArrayData(Array.tabulate[Any](buffer.size)(i =>
+      new GenericInternalRow(Array[Any](buffer.ids(i), buffer.vals(i)))))
+
+  override def serialize(buffer: TopMinBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buffer.size)
+    bb.putInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) {
+      bb.putDouble(buffer.vals(i)); bb.putLong(buffer.ids(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopMinBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new TopMinBuffer(m)
+    // serialized form is already (value, id)-sorted: bulk restore
+    var i = 0
+    while (i < n) { buf.vals(i) = bb.getDouble(); buf.ids(i) = bb.getLong(); i += 1 }
+    buf.size = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopMinPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopMinPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(value = newChildren(0), id = newChildren(1))
+}
+
+object TopMinPairs {
+  val identifier: FunctionIdentifier = FunctionIdentifier("top_min_pairs")
+  val info: ExpressionInfo = new ExpressionInfo(classOf[TopMinPairs].getName, "top_min_pairs")
+
+  // arity/type checked at resolution (builder-coercion pattern shared with
+  // KmvSketch — ExpectsInputTypes is private[sql] in Spark 4)
+  val builder: Seq[Expression] => Expression = {
+    case Seq(v, i, Literal(mv: Int, IntegerType)) =>
+      require(mv > 0 && mv <= (1 << 20), s"top_min_pairs m must be in [1, 2^20], got $mv")
+      val vd = v.dataType match {
+        case DoubleType => v
+        case FloatType | LongType | IntegerType | ShortType | ByteType | _: DecimalType =>
+          Cast(v, DoubleType)
+        case other => throw new IllegalArgumentException(
+          s"top_min_pairs expects a numeric value column, got ${other.simpleString}")
+      }
+      val il = i.dataType match {
+        case LongType => i
+        case IntegerType | ShortType | ByteType => Cast(i, LongType)
+        case other => throw new IllegalArgumentException(
+          s"top_min_pairs expects an integral id column, got ${other.simpleString}")
+      }
+      TopMinPairs(vd, il, mv)
+    case other => throw new IllegalArgumentException(
+      s"top_min_pairs expects (valueCol, idCol, m literal), got ${other.size} args")
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(identifier, info, builder)
+}

@@ -210,19 +210,41 @@ object Graph {
     */
   private def prefilterEdges(cold: DataFrame, hot: DataFrame,
       minShared: Long): DataFrame = {
-    val coldPairs = cold.as("x").join(cold.as("y"),
-        col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+    val nh = hot.groupBy("c").agg(count(lit(1)).as("__nh"))
+    // Conjunctive count filter IN the cold join condition (round 12 — the
+    // edit join's sorted_intersect_atleast trick applied to the recorded
+    // cold-pair floor, PLANS.md round-11 known limits): each incidence row
+    // carries its entity's sorted cold-item HASH-image array and hot-set
+    // size, and a (x, y) join match survives only if the image arrays
+    // share >= minShared − min(|hotSet(x)|, |hotSet(y)|) elements — the
+    // exact bound candA used to apply AFTER the pair-count exchange. At
+    // zipf20k that exchange carried ~90 M one-shared-item pairs that
+    // collapse to 138 edges; the filter now kills them inside the join
+    // task (codegen'd two-pointer merge with two-sided early exit), so
+    // the groupBy below counts only surviving pairs. hash(p) int images
+    // can only OVERcount an intersection (every shared item contributes a
+    // matching image to both sides, so Σ min(multiplicities) >= the true
+    // shared count) — no false negatives, and the exact __cold per
+    // surviving pair still comes from counting its join rows. A vacuous
+    // bound (minShared − min(nh) <= 0) short-circuits true without
+    // scanning, so the forced-prefilter minShared=1 corner is unchanged.
+    graft.functions.SortedIntersectAtLeast.register(cold.sparkSession)
+    val coldSets = cold.groupBy("c")
+      .agg(array_sort(collect_list(hash(col("p")))).as("__ps"))
+      .join(nh, Seq("c"), "left")
+      .select(col("c"), col("__ps"), coalesce(col("__nh"), lit(0L)).as("__nh"))
+    // materialized: the set build (a collect_list shuffle) feeds both
+    // self-join legs — the Dedup.clusterPairs lineage trade again
+    val coldE = cold.join(coldSets, Seq("c")).localCheckpoint(false)
+    val coldPairs = coldE.as("x").join(coldE.as("y"),
+        col("x.p") === col("y.p") && col("x.c") < col("y.c") &&
+        expr(s"sorted_intersect_atleast(x.__ps, y.__ps, " +
+          s"CAST($minShared - least(x.__nh, y.__nh) AS INT))"))
       .groupBy(col("x.c").as("src"), col("y.c").as("dst"))
       .agg(count(lit(1)).as("__cold"))
-    val nh = hot.groupBy("c").agg(count(lit(1)).as("__nh"))
-    // candidates that must use cold overlap: hotShared can contribute at
-    // most min(|hotSet(src)|, |hotSet(dst)|) to the floor
+    // the hotShared-contribution bound is already enforced in the join
+    // condition above, so every surviving pair IS a candidate
     val candA = coldPairs
-      .join(nh.select(col("c").as("src"), col("__nh").as("__nhx")), Seq("src"), "left")
-      .join(nh.select(col("c").as("dst"), col("__nh").as("__nhy")), Seq("dst"), "left")
-      .filter(col("__cold") +
-        least(coalesce(col("__nhx"), lit(0L)), coalesce(col("__nhy"), lit(0L))) >= minShared)
-      .select("src", "dst", "__cold")
     // candidates reachable on hot items alone (possibly zero cold
     // overlap): prefix join — each entity keeps its (|hotSet|−m+1)
     // smallest hot items (per-entity window, bounded by its hot-set size)
@@ -236,7 +258,11 @@ object Graph {
       .select(col("x.c").as("src"), col("y.c").as("dst")).distinct()
       .join(coldPairs, Seq("src", "dst"), "left")
       .select(col("src"), col("dst"), coalesce(col("__cold"), lit(0L)).as("__cold"))
-    // the same (src, dst) carries the same __cold from either stream
+    // a pair present in BOTH streams carries the same __cold (candB reads
+    // it from the same filtered coldPairs frame). A candB-only pair whose
+    // cold count was pruned above reads __cold = 0 — safe: pruning means
+    // __cold_true + min(nh) < minShared, and __hot <= min(nh), so the
+    // pair fails the final floor under either count.
     val cand = candA.unionByName(candB).dropDuplicates("src", "dst")
     val hotShared = cand.select("src", "dst")
       .join(hot.select(col("c").as("src"), col("p")), Seq("src"))

@@ -176,16 +176,24 @@ object Similarity {
   }
 
   /** Merge per-tile top-k partials into the global top-k per query: the
-    * global top-k is contained in the union of per-tile top-ks, so one
-    * window pass ranks on the same (cos desc, neighbor_id asc) order the
-    * kernel used, then rounds for output.
+    * global top-k is contained in the union of per-tile top-ks. Ranked by
+    * the bounded [[graft.functions.TopMinPairs]] aggregate on the same
+    * (cos desc, neighbor_id asc) order the kernel used — descending via
+    * exact negation — so per-tile partials combine map-side into one
+    * ≤k-pair state per (partition, query) and the exchange never carries
+    * every partial row through a global sort the way the old row_number
+    * window did (round 12; the shortlist-cut fix, applied to the merge
+    * step of every tiled top-k path). Rank = position in the aggregate's
+    * sorted output, then the cosine rounds for output.
     */
   private def mergeTopK(partials: DataFrame, k: Int): DataFrame = {
-    val win = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    partials.withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        (floor(col("cos") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cos"))
+    graft.functions.TopMinPairs.register(partials.sparkSession)
+    partials.groupBy("query_id")
+      .agg(expr(s"top_min_pairs(-cos, neighbor_id, $k)").as("__s"))
+      .select(col("query_id"), posexplode(col("__s")).as(Seq("__i", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__i") + 1).as("rank"),
+        (floor(-col("__e.v") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cos"))
       .orderBy("query_id", "rank")
   }
 
@@ -521,11 +529,17 @@ object Similarity {
       }
       Iterator.range(0, filled).map(r => (qid, top(r)._1, top(r)._2.toDouble))
     }, maxTileRows)
-    val win = Window.partitionBy("query_id").orderBy(col("cos"), col("neighbor_id"))
-    partials.withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        col("cos").cast("long").as("adc"))
+    // final cut via the bounded top-k aggregate (same ordering the window
+    // version used: adc asc, neighbor_id asc; rank = sorted position) —
+    // per-tile partials combine map-side, nothing sorts globally. This is
+    // also what defuses the measured full-scan OOM corner (PLANS.md round
+    // 11: tiles × shortlist partials through one window at 64×).
+    graft.functions.TopMinPairs.register(s)
+    partials.groupBy("query_id")
+      .agg(expr(s"top_min_pairs(cos, neighbor_id, $k)").as("__s"))
+      .select(col("query_id"), posexplode(col("__s")).as(Seq("__i", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        (col("__i") + 1).as("rank"), col("__e.v").cast("long").as("adc"))
       .orderBy("query_id", "rank")
   }
 
@@ -801,10 +815,22 @@ object Similarity {
       }
       Iterator.range(0, filled).map(r => (qid, top(r)._1, top(r)._2.toDouble))
     }, maxTileRows)
-    val swin = Window.partitionBy("query_id").orderBy(col("cos"), col("neighbor_id"))
-    val short = partials.withColumn("__r", row_number().over(swin))
-      .filter(col("__r") <= shortlist)
-      .select("query_id", "neighbor_id")
+    // Shortlist cut as a bounded top-m AGGREGATE (top_min_pairs), not a
+    // row_number window. The window formulation shuffled EVERY per-tile
+    // partial row (queries × nprobe × tiles-per-cell × shortlist) through
+    // one global sort exchange — the measured 118 s serve at
+    // z320k/np16/sl200 and the engine's named cost ceiling (PLANS.md
+    // round-11 known limits). The aggregate keeps the identical rows
+    // (row_number ORDER BY cos, neighbor_id <= shortlist ≡ bounded
+    // m-smallest by (cos asc, id asc); (query, neighbor) pairs are unique
+    // across cells so no dedup question arises) but partial-aggregates
+    // map-side: per-tile AND per-cell partials of a query collapse into
+    // one ≤shortlist-pair state per map partition before the exchange,
+    // and no sort ever runs.
+    graft.functions.TopMinPairs.register(s)
+    val short = partials.groupBy("query_id")
+      .agg(expr(s"top_min_pairs(cos, neighbor_id, $shortlist)").as("__s"))
+      .select(col("query_id"), explode(col("__s.id")).as("neighbor_id"))
     // exact rerank: true quantized vectors, exact integer dot/norms —
     // identical cosine math to [[bruteForceTopK]]/oracleFor. Query
     // vectors come from the query table, neighbor vectors from the

@@ -102,6 +102,16 @@ class BenchJsonSpec extends AnyFunSuite {
     zfull.foreach { case (k, _) => assert(full.contains("\"" + k + "\":123.456")) }
   }
 
+  test("stream block renders verbatim, stays out of total, absent by default") {
+    val block = ""","stream":{"snap_dedup_docs_per_sec":1252.000,"batch_sec_p50":0.770,"state_rows":5000,"state_bytes":1048576}"""
+    val s = Bench.renderJson(Seq("q_a" -> 1.0), "/x",
+      zipf = Seq("q_setsim_prefix" -> 2.0), streamBlock = block)
+    parseable(s)
+    assert(s.contains(block))
+    assert(s.contains(""""value":1.000""")) // stream row excluded from total
+    assert(!Bench.renderJson(Seq("q_a" -> 1.0), "/x").contains("stream"))
+  }
+
   test("flaky count surfaces in the line; default is zero") {
     // a query that crashed in one rep but succeeded in another must not be
     // invisible: failures stays 0 (its min is a real success) but flaky > 0

@@ -208,4 +208,46 @@ class SketchSpec extends SparkSuite {
     assert(union.size == 30)
     assert(rho * union.size == 10.0)
   }
+
+  test("top_min_pairs: equals the row_number window cut, any partitioning") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    graft.functions.TopMinPairs.register(s)
+    // duplicate values likely (ties broken by id), several groups, ids unique
+    // within a group (the shortlist contract: one ADC row per (query, cand))
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 15L))
+      m <- Gen.choose(1, 12)
+      parts <- Gen.oneOf(1, 3, 9)
+    } yield (vals.zipWithIndex.map { case (v, i) => (i % 4, v.toDouble, i.toLong) }, m, parts)
+    val prop = Prop.forAllNoShrink(gen) { case (rows, m, parts) =>
+      val df = rows.toDF("g", "v", "id").repartition(parts)
+      val got = df.groupBy("g")
+        .agg(expr(s"top_min_pairs(v, id, $m)").as("s"))
+        .select(col("g"), explode(col("s.id")).as("id"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.map(r => (r._2, r._3)).sorted.take(m).map { case (_, id) => (g, id) }
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("top_min_pairs: output order is (value asc, id asc); nulls skipped") {
+    val s = spark
+    import s.implicits._
+    graft.functions.TopMinPairs.register(s)
+    val df = Seq[(Option[Double], Option[Long])](
+      (Some(2.0), Some(7L)), (Some(1.0), Some(9L)), (Some(2.0), Some(3L)),
+      (None, Some(1L)), (Some(0.5), None), (Some(3.0), Some(1L)))
+      .toDF("v", "id")
+    val got = df.agg(expr("top_min_pairs(v, id, 3)")).head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got == Seq((9L, 1.0), (3L, 2.0), (7L, 2.0)))
+  }
 }
