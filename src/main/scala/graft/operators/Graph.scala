@@ -233,9 +233,7 @@ object Graph {
       .agg(array_sort(collect_list(hash(col("p")))).as("__ps"))
       .join(nh, Seq("c"), "left")
       .select(col("c"), col("__ps"), coalesce(col("__nh"), lit(0L)).as("__nh"))
-    // materialized: the set build (a collect_list shuffle) feeds both
-    // self-join legs — the Dedup.clusterPairs lineage trade again
-    val coldE = cold.join(coldSets, Seq("c")).localCheckpoint(false)
+    val coldE = cold.join(coldSets, Seq("c"))
     val coldPairs = coldE.as("x").join(coldE.as("y"),
         col("x.p") === col("y.p") && col("x.c") < col("y.c") &&
         expr(s"sorted_intersect_atleast(x.__ps, y.__ps, " +
