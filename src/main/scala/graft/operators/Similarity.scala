@@ -677,7 +677,14 @@ object Similarity {
     * pass → (cell, vec_id, codes). This IS the persistable index — a
     * production pipeline writes it to parquet once (8 sub-codes per
     * row instead of 64 coordinates) and serves [[ivfPqQueryTopK]] against
-    * it; the corpus itself is only ever re-read for the exact rerank. */
+    * it; the corpus itself is only ever re-read for the exact rerank.
+    *
+    * Streaming-safe: the plan is select + length filter + typed map
+    * against the (driver-held, bounded) model — no aggregation, no
+    * state — so it runs unchanged on a `readStream` frame, appending
+    * each micro-batch of freshly-arrived vectors to the parquet index
+    * (IvfStreamSpec pins streamed ≡ batch index and serve equivalence,
+    * including the restart-over-same-checkpoint late-arrival recipe). */
   def ivfPqEncode(df: DataFrame, idCol: String, vecCol: String,
       m: IvfPqModel): DataFrame = {
     val s = df.sparkSession
