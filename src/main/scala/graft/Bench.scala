@@ -95,6 +95,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // The bounded top-k aggregate (top_min_pairs) groups by query id —
+      // high cardinality by design. ObjectHashAggregate's default
+      // sort-based fallback fires at 128 in-memory groups and then pays a
+      // per-run serialize/merge of every typed buffer; measured at z320k
+      // it costs q_ann_pq ~4.5 s of 36 (round 12, PLANS.md). The knob is
+      // memory-bounded: threshold × state size is held PER TASK, and a
+      // 2^20 setting OOMed the 8 GiB box at shortlist=200 (≈3.3 KB/group
+      // × ~16k groups/task × 32 tasks) — 8192 keeps the map ≤ ~27 MB/task
+      // at that state size while covering the moderate-cardinality rows.
+      // Tests and Verify keep the default so the fallback path stays
+      // exercised for correctness.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,6 +19,12 @@ object IvfProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // keep the top_min_pairs shortlist aggregate in hash mode for
+      // moderate group counts; memory-bounded at threshold × state size
+      // per task — 2^20 OOMed this probe at shortlist=200 on the 8 GiB
+      // box (see the Bench builder note)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -45,12 +45,21 @@ object SuiteScale {
     val filter = args.drop(3).filterNot(_ == "count").headOption.map(_.r)
 
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_CONF="k=v;k=v": extra session confs for isolation
+    // experiments (e.g. the ObjectHashAggregate fallback threshold probe,
+    // round 12) — a dev knob of this probe main only, never the library
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val spark = extraConf.foldLeft(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+      )((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1L << 20).selectExpr("id % 97 AS k").groupBy("k").count().count()

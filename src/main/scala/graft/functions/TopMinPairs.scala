@@ -59,6 +59,18 @@ final class TopMinBuffer(val m: Int) {
   * and no sort ever runs. Rows where either argument is null are skipped
   * (a null ADC/candidate-id is a non-candidate, matching the window
   * formulation where NULLS LAST would push them past any real pair).
+  *
+  * Deploy note: the group key is typically a query id — high cardinality
+  * by design — and ObjectHashAggregate's DEFAULT sort-based fallback
+  * fires at 128 in-memory groups, after which every typed buffer pays a
+  * per-sort-run serialize/merge (measured ~12% on q_ann_pq at the 64×
+  * fixture, round 12). The state is ≤ m pairs by construction, so
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` can be
+  * raised — but it is a PER-TASK memory commitment of threshold ×
+  * (16·m + ~100) bytes: 2^20 at m=200 OOMed an 8 GiB local[32] box
+  * (measured, round 12), while 8192 holds ≤ ~27 MB/task at that m (the
+  * graft bench/probe sessions use 8192). Tests keep the default so the
+  * fallback path stays correctness-covered.
   */
 case class TopMinPairs(
     value: Expression,
