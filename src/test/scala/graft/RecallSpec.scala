@@ -112,6 +112,36 @@ class RecallSpec extends SparkSuite {
       "persisted-index serving must equal the monolithic form")
   }
 
+  test("filtered ANN: a predicate-filtered index serves exactly the filtered corpus") {
+    // the production shape for metadata-filtered vector search: the index
+    // is a plain DataFrame, so search-within-a-subset is .filter() on it —
+    // no re-encode, no retrain. Contract: serving over index.filter(pred)
+    // equals serving over an index freshly ENCODED from corpus.filter(pred)
+    // (encode is per-row, so the two are the same set of rows), and no
+    // neighbor from outside the predicate can appear.
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(s, dir, "embeddings").localCheckpoint(false)
+    val m = operators.Similarity.ivfPqModel(e, "vec_id", "embedding",
+      nlist = 8, codes = 16, lloydRounds = 2, normalize = true)
+    val idx = operators.Similarity.ivfPqEncode(e, "vec_id", "embedding", m)
+    val pred = org.apache.spark.sql.functions.col("vec_id") % 3 === 0
+    val viaFilter = operators.Similarity.ivfPqQueryTopK(
+      idx.filter(org.apache.spark.sql.functions.col("vec_id") % 3 === 0),
+      e, e, "vec_id", "embedding", 3, m, shortlist = 20, nprobe = 3)
+    val viaEncode = operators.Similarity.ivfPqQueryTopK(
+      operators.Similarity.ivfPqEncode(e.filter(pred), "vec_id", "embedding", m),
+      e, e, "vec_id", "embedding", 3, m, shortlist = 20, nprobe = 3)
+    assert(viaFilter.exceptAll(viaEncode).count() == 0 &&
+      viaEncode.exceptAll(viaFilter).count() == 0,
+      "filtering the index must equal encoding the filtered corpus")
+    assert(viaFilter.filter(org.apache.spark.sql.functions
+      .col("neighbor_id") % 3 =!= 0).count() == 0,
+      "no neighbor from outside the predicate may appear")
+    assert(viaFilter.count() > 0, "the filtered search must still return rows")
+  }
+
   test("IVF-PQ (nprobe 8/64, shortlist 50) recall@10 >= 0.55 on z5k") {
     val r = recall(exact10, operators.Similarity.ivfPqTopK(
       emb, "vec_id", "embedding", 10,
