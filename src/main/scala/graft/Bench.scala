@@ -104,8 +104,16 @@ object Bench {
       // 2^20 setting OOMed the 8 GiB box at shortlist=200 (≈3.3 KB/group
       // × ~16k groups/task × 32 tasks) — 8192 keeps the map ≤ ~27 MB/task
       // at that state size while covering the moderate-cardinality rows.
-      // Tests and Verify keep the default so the fallback path stays
-      // exercised for correctness.
+      // SCOPE: deliberately SUITE-WIDE, so it also raises the in-memory-
+      // group commitment for every other ObjectHashAggregate here
+      // (collect_list prefix aggregates, hash-image arrays, sketches)
+      // whose per-group state is bigger than top_min_pairs' bounded
+      // buffers. Measured harmless (round 13, ThresholdAB zipf20k
+      // alternating A/B, PLANS.md): the collect-heavy rows read 0.98-1.08×
+      // at 8192 vs 128 — within window noise — and the r12 driver's
+      // q_edit_threshold 12.61 s was exonerated as a window anomaly, not
+      // this knob. Tests and Verify keep the default so the fallback path
+      // stays exercised for correctness.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "8192")
       .config("spark.ui.enabled", "false")
@@ -282,7 +290,48 @@ object Bench {
       else try {
         val st = StreamBench.snapDedupStats(spark, sfDir,
           batches = 10, copies = 2, parts = 8)
-        s""","stream":{"snap_dedup_docs_per_sec":${fmt(st.recordsPerSec)},"batch_sec_p50":${fmt(st.batchSecP50)},"state_rows":${st.stateRows},"state_bytes":${st.stateBytes}}"""
+        // Second standing metric (VERDICT r12 #5): the KN perplexity-gate
+        // speed-layer throughput (its r11 broadcast fix had no regression
+        // row). A SECOND streaming scenario in this session would read
+        // ~1.9× slow (BENCH_STREAM.md: state-store providers unload
+        // asynchronously after stop()), so it runs in a forked fresh JVM
+        // through StreamBench's production main — fixed shape 10 batches
+        // × 2 copies × 8 state partitions, KN model batch-trained at the
+        // p75 cut, same sf tables. Parsed from the child's STREAMBENCH
+        // line; a child failure degrades to the snap-dedup-only block.
+        val gate: String = try {
+          val java = System.getProperty("java.home") + "/bin/java"
+          val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+            "java.io", "java.net", "java.nio", "java.util",
+            "java.util.concurrent", "java.util.concurrent.atomic",
+            "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+            "sun.util.calendar")
+            .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+          val cmd = Seq(java, "-Xmx8g") ++ opens ++ Seq(
+            "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+            "-cp", System.getProperty("java.class.path"),
+            "graft.StreamBench", "corpus_kn", sfDir, "10", "2", "8")
+          val sb = new StringBuilder
+          val rc = scala.sys.process.Process(cmd).!(
+            scala.sys.process.ProcessLogger(l => sb.append(l).append('\n'), _ => ()))
+          val line = sb.toString.linesIterator
+            .find(_.startsWith("STREAMBENCH")).getOrElse("")
+          def field(k: String): Option[String] =
+            s""""$k":([0-9.]+)""".r.findFirstMatchIn(line).map(_.group(1))
+          (for {
+            _ <- if (rc == 0) Some(()) else None
+            rps <- field("records_per_sec")
+            p50 <- field("batch_sec_p50")
+          } yield s""","kn_gate_docs_per_sec":$rps,"kn_gate_batch_p50":$p50""")
+            .getOrElse {
+              System.err.println(s"[bench] kn gate child rc=$rc, no line")
+              ""
+            }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] kn gate row failed: ${e.getMessage}")
+          ""
+        }
+        s""","stream":{"snap_dedup_docs_per_sec":${fmt(st.recordsPerSec)},"batch_sec_p50":${fmt(st.batchSecP50)},"state_rows":${st.stateRows},"state_bytes":${st.stateBytes}$gate}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream row failed: ${e.getMessage}")
         ""

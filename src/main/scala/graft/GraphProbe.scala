@@ -50,6 +50,9 @@ object GraphProbe {
     time("full_q_triangles")(
       SparkEntry.queries("q_triangles")(spark, sfDir).count())
 
+    // SPARK_GRAPH_SKEW=0 skips the skew fixtures (phase-split-only runs
+    // at the 64× fixture, where the skew battery would dominate wall)
+    if (sys.env.get("SPARK_GRAPH_SKEW").contains("0")) { spark.stop(); return }
     // ---- skew phase: one hot part in 1/mod of orders -----------------
     // Every lineitem of every mod-th order is remapped to part 99999999:
     // the hub part's customer set is ~1/mod of customers, so the plain

@@ -77,6 +77,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedIntersectAtLeast.info, SortedIntersectAtLeast.builder))
     e.injectFunction((TopMinPairs.identifier, TopMinPairs.info,
       TopMinPairs.builder))
+    e.injectFunction((PackedDot16.identifier, PackedDot16.info,
+      PackedDot16.builder))
     e.injectOptimizerRule(_ => ZeroDistanceFold)
     // whole-operator tier: broadcast interval-index join replacing the
     // BNLJ plan for banded-dimension range joins (graft.plans)

@@ -6,9 +6,19 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType}
 
-/** `sorted_intersect_atleast(a, b, k)` — true iff two SORTED, DISTINCT
-  * int arrays share at least `k` elements; a native codegen'd Expression
-  * built as the edit join's conjunctive COUNT filter (VERDICT r10 #2).
+/** `sorted_intersect_atleast(a, b, k)` — true iff two SORTED int arrays
+  * share at least `k` elements; a native codegen'd Expression built as
+  * the edit join's conjunctive COUNT filter (VERDICT r10 #2).
+  *
+  * MULTISET semantics are part of the contract (ADVICE r12): arrays need
+  * only be sorted, not distinct. The merge scan advances BOTH pointers on
+  * a match, so duplicate elements count as Σ min(multiplicity_a,
+  * multiplicity_b) — exactly multiset intersection. The cooccur cold-pair
+  * filter (Graph.prefilterEdges) relies on this: its arrays are
+  * hash IMAGES of item sets, where deduplicating would be UNSOUND —
+  * two shared items colliding to one hash value must still count twice
+  * for the shared-count lower bound to hold. Pinned by a duplicate-
+  * element case in SketchSpec.
   *
   * The point is the two-sided EARLY EXIT, which `size(array_intersect(a,
   * b)) >= k` cannot do: the merge scan aborts the moment the matches so
@@ -27,9 +37,10 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType
 object SortedIntersectFunctions {
 
   /** Static kernel referenced from generated code. Requires both arrays
-    * sorted ascending with distinct elements (callers build them with
-    * array_sort ∘ array_distinct); null slots are not expected and would
-    * read as 0 via getInt.
+    * sorted ascending; duplicates allowed (multiset intersection — both
+    * pointers advance on a match, so each matched copy is consumed once
+    * per side). Null slots are not expected and would read as 0 via
+    * getInt.
     */
   def atLeast(a: ArrayData, b: ArrayData, k: Int): Boolean = {
     if (k <= 0) return true

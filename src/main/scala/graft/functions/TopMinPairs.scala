@@ -27,13 +27,24 @@ final class TopMinBuffer(val m: Int) {
   var size = 0
 
   def add(v: Double, id: Long): Unit = {
-    if (size == m && (v > vals(m - 1) || (v == vals(m - 1) && id >= ids(m - 1)))) return
+    // java.lang.Double.compare, not primitive <, so NaN orders GREATER
+    // than every real double (and -0.0 < 0.0) — matching Spark's SQL
+    // ordering for the row_number window this aggregate replaces. With
+    // primitive comparisons every NaN comparison is false: the full-buffer
+    // early exit never fires and the binary search inserts NaN at slot 0,
+    // evicting a real pair (ADVICE r12). Current callers guard NaN out
+    // (pqPrepare zero-norm guard), but the aggregate is caller-agnostic.
+    if (size == m) {
+      val c = java.lang.Double.compare(v, vals(m - 1))
+      if (c > 0 || (c == 0 && id >= ids(m - 1))) return
+    }
     // first index whose (value, id) orders after the candidate
     var lo = 0
     var hi = size
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (vals(mid) < v || (vals(mid) == v && ids(mid) < id)) lo = mid + 1 else hi = mid
+      val c = java.lang.Double.compare(vals(mid), v)
+      if (c < 0 || (c == 0 && ids(mid) < id)) lo = mid + 1 else hi = mid
     }
     val keep = if (size < m) size else m - 1 // full: worst slot falls off
     System.arraycopy(vals, lo, vals, lo + 1, keep - lo)
@@ -56,9 +67,13 @@ final class TopMinBuffer(val m: Int) {
   * `row_number() OVER (ORDER BY value, id) <= m` keeps, but as a bounded,
   * mergeable aggregate: partials combine map-side, so the exchange carries
   * one ≤m-pair state per (partition, group) instead of every input row,
-  * and no sort ever runs. Rows where either argument is null are skipped
-  * (a null ADC/candidate-id is a non-candidate, matching the window
-  * formulation where NULLS LAST would push them past any real pair).
+  * and no sort ever runs. Rows where either argument is null are skipped —
+  * a null ADC/candidate-id is treated as a non-candidate. Note this is a
+  * deliberate DIVERGENCE from the old window formulation: Spark's default
+  * for an ascending orderBy is NULLS FIRST, so a null value row would have
+  * ranked #1 there; here it is dropped. NaN values rank GREATER than every
+  * real double (java.lang.Double.compare), matching Spark's SQL ordering.
+  * Current call sites compute cos/adc distances and never produce nulls.
   *
   * Deploy note: the group key is typically a query id — high cardinality
   * by design — and ObjectHashAggregate's DEFAULT sort-based fallback
@@ -158,6 +173,9 @@ object TopMinPairs {
           s"top_min_pairs expects an integral id column, got ${other.simpleString}")
       }
       TopMinPairs(vd, il, mv)
+    case Seq(_, _, m) => throw new IllegalArgumentException(
+      "top_min_pairs: m must be an INT literal (e.g. 200, not 200L or a " +
+        s"column), got ${m.sql}: ${m.dataType.simpleString}")
     case other => throw new IllegalArgumentException(
       s"top_min_pairs expects (valueCol, idCol, m literal), got ${other.size} args")
   }

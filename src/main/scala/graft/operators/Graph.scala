@@ -225,7 +225,11 @@ object Graph {
     // can only OVERcount an intersection (every shared item contributes a
     // matching image to both sides, so Σ min(multiplicities) >= the true
     // shared count) — no false negatives, and the exact __cold per
-    // surviving pair still comes from counting its join rows. A vacuous
+    // surviving pair still comes from counting its join rows. The images
+    // are deliberately NOT array_distinct'ed: sorted_intersect_atleast's
+    // contract is MULTISET intersection (both pointers advance on a
+    // match), and deduplicating would be unsound here — two shared items
+    // colliding to one hash value must count twice for the bound to hold. A vacuous
     // bound (minShared − min(nh) <= 0) short-circuits true without
     // scanning, so the forced-prefilter minShared=1 corner is unchanged.
     graft.functions.SortedIntersectAtLeast.register(cold.sparkSession)

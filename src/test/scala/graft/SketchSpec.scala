@@ -250,4 +250,36 @@ class SketchSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(got == Seq((9L, 1.0), (3L, 2.0), (7L, 2.0)))
   }
+
+  test("top_min_pairs: NaN ranks greater than every real value (ADVICE r12)") {
+    // java.lang.Double.compare ordering: NaN must never evict a real pair
+    // from a full buffer, and must be kept (last) only while slots remain —
+    // matching Spark's SQL ordering for the row_number window this
+    // aggregate replaces. Exercised directly on the buffer (the SQL call
+    // sites guard NaN out) plus through the full-buffer eviction path.
+    val b = new graft.functions.TopMinBuffer(3)
+    b.add(Double.NaN, 1L)   // empty buffer: NaN admitted while space remains
+    b.add(2.0, 2L)
+    b.add(1.0, 3L)
+    assert(b.size == 3 && b.vals(2).isNaN) // NaN sits LAST, not first
+    b.add(3.0, 4L)                          // real value evicts the NaN
+    assert((0 until 3).map(b.vals) == Seq(1.0, 2.0, 3.0))
+    b.add(Double.NaN, 5L)                   // full buffer: NaN rejected
+    assert((0 until 3).map(b.vals) == Seq(1.0, 2.0, 3.0))
+    // -0.0 orders before 0.0 (Double.compare), ties then break by id
+    val c = new graft.functions.TopMinBuffer(2)
+    c.add(0.0, 1L); c.add(-0.0, 2L)
+    assert(java.lang.Double.compare(c.vals(0), -0.0) == 0 && c.ids(0) == 2L)
+  }
+
+  test("top_min_pairs: non-literal m reports the literal problem, not arity") {
+    val s = spark
+    import s.implicits._
+    graft.functions.TopMinPairs.register(s)
+    val df = Seq((1.0, 1L)).toDF("v", "id")
+    val e = intercept[Exception] {
+      df.agg(expr("top_min_pairs(v, id, 200L)")).collect()
+    }
+    assert(e.getMessage.contains("m must be an INT literal"), e.getMessage)
+  }
 }

@@ -26,6 +26,29 @@ class SortedIntersectSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("multiset contract: duplicates count as sum of min multiplicities (property)") {
+    // The cooccur cold-pair filter (Graph.prefilterEdges) feeds SORTED but
+    // NOT distinct hash-image arrays; the contract is multiset
+    // intersection — deduplicating there would be unsound (two shared
+    // items colliding to one hash must count twice). Pin the kernel
+    // against the Σ min(multiplicity) definition on duplicate-heavy input.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sortedMultiset: Gen[Seq[Int]] =
+      Gen.listOf(Gen.chooseNum(-5, 5)).map(_.sorted.toSeq) // tiny domain → many dups
+    val prop = Prop.forAll(sortedMultiset, sortedMultiset, Gen.chooseNum(-2, 40)) {
+      (a: Seq[Int], b: Seq[Int], k: Int) =>
+        val ca = a.groupBy(identity).view.mapValues(_.size)
+        val cb = b.groupBy(identity).view.mapValues(_.size).toMap
+        val shared = ca.map { case (v, n) => math.min(n, cb.getOrElse(v, 0)) }.sum
+        val got = SortedIntersectFunctions.atLeast(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray),
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray), k)
+        got == (shared >= k)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("SQL surface evaluates through codegen and handles the vacuous bound") {
     SortedIntersectAtLeast.register(spark)
     val s = spark
