@@ -907,6 +907,15 @@ object Similarity {
     require(nCodes <= MaxPqCodes,
       s"IVF-PQ serve: codes must be <= $MaxPqCodes (8-bit packed ADC layout), got $nCodes")
     val probe = math.min(nprobe, math.max(1, cents.length))
+    // NOTE (round 13, measured NEGATIVE-to-neutral, PLANS.md): packing
+    // the per-probe residuals into 16-bit lanes for this flatMap's
+    // shuffle read 167.0 vs 160.3 s at z320k np16/sl400 in an
+    // alternating A/B — the cogroup exchange is bound by ROW COUNT and
+    // sort/serialization machinery, not row width (the columnar shuffle
+    // codec already compresses small-int long arrays), so the added
+    // pack/unpack branch bought nothing and was reverted. The corpus
+    // side's packing (cPk below) stays: its win came with the primitive
+    // TILE materialization, not the wire bytes.
     // queries: nprobe nearest cells, the query's residual PER PROBED CELL
     val qPrep = queryVecs.flatMap { case (id, q) =>
       val ds = Array.tabulate(cents.length)(c => (coarseD2(q, cents(c)), c))
