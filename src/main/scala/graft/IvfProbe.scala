@@ -58,10 +58,12 @@ object IvfProbe {
       idx.count(); if (!noRecall) exact.count()
       // SPARK_IVF_TILE: corpus-tile cap override for same-binary tile A/Bs
       val tile = sys.env.getOrElse("SPARK_IVF_TILE", "2048").toLong
+      // SPARK_IVF_RATIO: adaptive-probing ratio (0 = exact nprobe)
+      val ratio = sys.env.getOrElse("SPARK_IVF_RATIO", "0").toDouble
       probes.foreach { np =>
         val got = operators.Similarity.ivfPqQueryTopK(idx, emb, emb,
           "vec_id", "embedding", k, m, shortlist = shortlist, nprobe = np,
-          maxTileRows = tile)
+          maxTileRows = tile, probeRatio = ratio)
         val t = System.nanoTime()
         val drain = got.agg(sum(xxhash64(got.columns.toIndexedSeq.map(col): _*)
           .cast("decimal(38,0)"))).head()

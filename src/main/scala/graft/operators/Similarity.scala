@@ -863,7 +863,8 @@ object Similarity {
   def ivfPqQueryTopK(index: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, m: IvfPqModel,
       shortlist: Int = 50, nprobe: Int = 8,
-      maxTileRows: Long = MaxAdcTileRows): DataFrame = {
+      maxTileRows: Long = MaxAdcTileRows,
+      probeRatio: Double = 0.0): DataFrame = {
     val s = index.sparkSession
     import s.implicits._
     val cPrep = index.select(col("cell").cast("long").as("__bucket"),
@@ -872,13 +873,14 @@ object Similarity {
     queryTopKPrepared(cPrep,
       pqPrepare(corpus, idCol, vecCol, m.normalize).as[(Long, Array[Long])],
       pqPrepare(queries, idCol, vecCol, m.normalize).as[(Long, Array[Long])],
-      k, m, shortlist, nprobe, maxTileRows)
+      k, m, shortlist, nprobe, maxTileRows, probeRatio)
   }
 
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       shortlist: Int = 50, nlist: Int = 64, nprobe: Int = 8,
       codes: Int = PqCodes, lloydRounds: Int = 4, normalize: Boolean = true,
-      maxTileRows: Long = MaxAdcTileRows): DataFrame = {
+      maxTileRows: Long = MaxAdcTileRows,
+      probeRatio: Double = 0.0): DataFrame = {
     require(nlist >= 1, s"need nlist >= 1, got $nlist")
     require(codes >= 1, s"need codes >= 1, got $codes")
     val s = df.sparkSession
@@ -889,14 +891,16 @@ object Similarity {
       .localCheckpoint(false)
     val m = modelFromPrepared(e, nlist, codes, lloydRounds, normalize)
     queryTopKPrepared(encodePrepared(e, m), e, e, k, m, shortlist, nprobe,
-      maxTileRows)
+      maxTileRows, probeRatio)
   }
 
   private def queryTopKPrepared(cPrep: DataFrame,
       corpusVecs: org.apache.spark.sql.Dataset[(Long, Array[Long])],
       queryVecs: org.apache.spark.sql.Dataset[(Long, Array[Long])],
       k: Int, m: IvfPqModel, shortlist: Int, nprobe: Int,
-      maxTileRows: Long): DataFrame = {
+      maxTileRows: Long, probeRatio: Double = 0.0): DataFrame = {
+    require(probeRatio == 0.0 || probeRatio >= 1.0,
+      s"probeRatio must be 0 (off) or >= 1, got $probeRatio")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
     val s = cPrep.sparkSession
@@ -916,14 +920,35 @@ object Similarity {
     // pack/unpack branch bought nothing and was reverted. The corpus
     // side's packing (cPk below) stays: its win came with the primitive
     // TILE materialization, not the wire bytes.
-    // queries: nprobe nearest cells, the query's residual PER PROBED CELL
+    // queries: nprobe nearest cells, the query's residual PER PROBED CELL.
+    // probeRatio >= 1 enables ADAPTIVE probing (round 13, the classical
+    // IVF serve knob): cell i is probed only while d²(q, cent_i) <=
+    // probeRatio² × d²(q, cent_0) — a query deep inside its nearest cell
+    // skips far cells whose members cannot be competitive, while a query
+    // near a Voronoi boundary keeps its full nprobe budget. This is the
+    // knob that cuts the replication COUNT (the serve's binding term —
+    // the row-width experiments in PLANS.md round 13 both measured
+    // neutral), at a measured recall cost (frontier in PLANS.md;
+    // RecallSpec floors the fixture). 0 (the default) is exact-nprobe,
+    // bit-identical to the pre-knob serve. The ratio is squared because
+    // coarseD2 is squared L2.
+    val ratio2 = probeRatio * probeRatio
     val qPrep = queryVecs.flatMap { case (id, q) =>
       val ds = Array.tabulate(cents.length)(c => (coarseD2(q, cents(c)), c))
       java.util.Arrays.sort(ds, Ordering.Tuple2[Long, Int])
       // ds can be SHORTER than `probe` when the model was trained on a
       // frame smaller than nlist (or empty, with external queries) —
       // probing every cell there is the exhaustive case, not an error
-      Iterator.range(0, math.min(probe, ds.length)).map { i =>
+      val cap = math.min(probe, ds.length)
+      val n =
+        if (probeRatio == 0.0 || ds.isEmpty) cap
+        else {
+          val bound = ratio2 * ds(0)._1
+          var i = 1 // the nearest cell is always probed
+          while (i < cap && ds(i)._1 <= bound) i += 1
+          i
+        }
+      Iterator.range(0, n).map { i =>
         val c = ds(i)._2
         val r = new Array[Long](q.length)
         var j = 0

@@ -112,6 +112,39 @@ class RecallSpec extends SparkSuite {
       "persisted-index serving must equal the monolithic form")
   }
 
+  test("adaptive probing: ratio 0 and a vacuous ratio are bit-identical; tight ratios stay recall-sane") {
+    // probeRatio is the serve knob that cuts the replication COUNT (the
+    // binding term, PLANS.md round 13). Contracts: (a) the default 0 and
+    // a ratio large enough to admit every cell must EQUAL the exact-
+    // nprobe serve row for row; (b) a tight ratio returns a valid top-k
+    // frame (correct shape, no out-of-corpus ids, per-query rank 1..k')
+    // whose recall against exact-nprobe stays above a fixture floor;
+    // (c) the nearest cell is always probed, so every query still gets
+    // answers.
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(s, dir, "embeddings")
+    def serve(ratio: Double) = operators.Similarity.ivfPqTopK(
+      e, "vec_id", "embedding", 3, shortlist = 20, nlist = 8, nprobe = 3,
+      codes = 16, lloydRounds = 2, probeRatio = ratio)
+    val exact = serve(0.0).localCheckpoint(false)
+    val vacuous = serve(1e9)
+    assert(vacuous.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(vacuous).count() == 0,
+      "a ratio admitting every cell must equal the exact-nprobe serve")
+    val tight = serve(1.05).localCheckpoint(false)
+    val qs = exact.select("query_id").distinct().count()
+    assert(tight.select("query_id").distinct().count() == qs,
+      "every query must still be answered (nearest cell always probed)")
+    val overlap = tight.select("query_id", "neighbor_id")
+      .intersect(exact.select("query_id", "neighbor_id")).count().toDouble
+    assert(overlap / (qs * 3) >= 0.6,
+      s"tight-ratio recall vs exact-nprobe fell below the fixture floor: ${overlap / (qs * 3)}")
+    val badRatio = intercept[IllegalArgumentException](serve(0.5))
+    assert(badRatio.getMessage.contains("probeRatio"))
+  }
+
   test("filtered ANN: a predicate-filtered index serves exactly the filtered corpus") {
     // the production shape for metadata-filtered vector search: the index
     // is a plain DataFrame, so search-within-a-subset is .filter() on it —
