@@ -275,6 +275,85 @@ object Graph {
       .select("src", "dst")
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR contraction
+    * (the MapReduce-scale formulation: Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14): every round re-wires each node
+    * toward the minimum id seen anywhere in its current neighborhood,
+    * provably converging to per-component stars rooted at the component
+    * minimum in O(log² n) rounds — a handful in practice. This is the
+    * HIGH-DIAMETER complement to [[Dedup.clusterPairs]]' min-label
+    * propagation: propagation pays one shuffle round per HOP (a 10⁶-edge
+    * crawl chain needs 10⁶ rounds and blows its iteration cap), while star
+    * contraction halves the effective diameter every round, so the same
+    * chain collapses in ~log₂ rounds.
+    *
+    * Everything is equi-joins and aggregates on node keys — per round: one
+    * min-aggregate + re-wire join per star op, one distinct, and an exact
+    * fixpoint check (count + one anti-join: equal cardinalities plus
+    * next⊆prev implies set equality, both sides being distinct). No per-key
+    * neighbor LIST is ever materialized — the neighborhood minimum is an
+    * aggregate and the re-wire a join — so a hub of any degree stays
+    * distributed across tasks instead of sitting in one task's memory; each
+    * round's frame is localCheckpointed to keep lineage flat across the loop.
+    *
+    * `nodes`: one `id` column (covers isolated nodes, which label
+    * themselves); self-loops are dropped and edge endpoints absent from
+    * `nodes` are dropped (the same covering contract, and for the same
+    * reasons, as [[Dedup.clusterPairs]]). Output: (node, component) with
+    * component = the minimum node id reachable from `node`.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val ids = nodes.select(col("id").cast("long").as("id")).distinct()
+      .localCheckpoint(false)
+    var e = edges
+      .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("hi"), least(col("x"), col("y")).as("lo"))
+      .distinct()
+      .join(ids.select(col("id").as("hi")), Seq("hi"), "left_semi")
+      .join(ids.select(col("id").as("lo")), Seq("lo"), "left_semi")
+      .localCheckpoint()
+    var eCnt = e.count()
+    var changed = eCnt // 0 edges → already a fixpoint, loop never entered
+    var iter = 0
+    while (changed > 0 && iter < 40) {
+      // LARGE-STAR: attach every strictly-greater neighbor v of u to
+      // m = min(Γ(u) ∪ {u}). Output stays (hi, lo)-oriented: m ≤ u < v.
+      // Connectivity is preserved because the (v, m) wheel through u's star
+      // keeps every dropped (u, v) edge's endpoints connected via m.
+      val bi = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val lmin = bi.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = bi.join(lmin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // SMALL-STAR: per hi, attach hi and all of its (strictly smaller)
+      // neighbors to the smallest of them. Orientation is again invariant:
+      // every emitted pair points a larger id at a smaller one.
+      val smin = large.groupBy("hi").agg(min("lo").as("m"))
+      val next = large.join(smin, Seq("hi"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(smin.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint()
+      val nextCnt = next.count()
+      changed =
+        if (nextCnt != eCnt) 1L
+        else next.join(e, Seq("hi", "lo"), "left_anti").count()
+      e = next
+      eCnt = nextCnt
+      iter += 1
+    }
+    require(changed == 0, s"star contraction did not converge in $iter rounds")
+    // fixpoint = union of stars: every non-root points at its component min
+    ids.join(e.groupBy("hi").agg(min("lo").as("c")),
+        ids("id") === col("hi"), "left")
+      .select(col("id").as("node"), coalesce(col("c"), col("id")).as("component"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // PageRank over the customer→supplier purchase graph (5 rounds):
@@ -386,6 +465,63 @@ object Graph {
              |FROM ps a JOIN ok USING (p) JOIN ps b ON b.p = a.p AND a.sup < b.sup
              |GROUP BY 1, 2 HAVING count(*) >= 3
              |ORDER BY s1, s2""".stripMargin),
+    ),
+
+    // Connected components over the event identity graph: per-user event
+    // CHAINS (consecutive events by time — path components, ~70 hops deep,
+    // the worst case for hop-at-a-time label propagation) merged by sparse
+    // cross-user LINKS (purchase events sharing the same props.k within the
+    // same hour — the shared-identifier edges of entity resolution). At
+    // sf0.01 this yields ~120 components up to ~330 nodes with diameters in
+    // the hundreds: min-label propagation would need hundreds of shuffle
+    // rounds; star contraction converges in a handful.
+    GraftQuery(
+      "q_connected_components",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").localCheckpoint(false)
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val chain = ev
+          .select(col("event_id"), lag("event_id", 1).over(w).as("prev"))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("src"), col("event_id").as("dst"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"),
+            date_trunc("hour", col("ts")).as("h"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+        val link = p.as("x").join(p.as("y"),
+            col("x.h") === col("y.h") && col("x.k") === col("y.k") &&
+            col("x.event_id") < col("y.event_id"))
+          .select(col("x.event_id").as("src"), col("y.event_id").as("dst"))
+        connectedComponents(ev.select(col("event_id").as("id")),
+            chain.unionByName(link))
+          .withColumn("component_size",
+            count(lit(1)).over(Window.partitionBy("component")))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE
+             |chain AS (
+             |  SELECT lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS a,
+             |         event_id AS b
+             |  FROM events),
+             |pe AS (
+             |  SELECT event_id, date_trunc('hour', ts) AS h,
+             |         CAST(json_extract(props, '$.k') AS INT) AS k
+             |  FROM events WHERE event_type = 'purchase'),
+             |link AS (
+             |  SELECT DISTINCT x.event_id AS a, y.event_id AS b
+             |  FROM pe x JOIN pe y
+             |    ON x.h = y.h AND x.k = y.k AND x.event_id < y.event_id),
+             |pairs AS (SELECT a, b FROM chain WHERE a IS NOT NULL
+             |          UNION SELECT a, b FROM link),
+             |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+             |reach(id, lab) AS (
+             |  SELECT event_id, event_id FROM events
+             |  UNION
+             |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id),
+             |labels AS (SELECT id AS node, min(lab) AS component FROM reach GROUP BY id)
+             |SELECT node, component,
+             |  count(*) OVER (PARTITION BY component) AS component_size
+             |FROM labels ORDER BY node""".stripMargin),
     ),
   )
 }

@@ -322,6 +322,15 @@ object Similarity {
     * (tile(a), tile(b)). Output: (vec_a, vec_b, cos).
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxTileRows: Long = MaxTileRows): DataFrame =
+    nearDupPairsRaw(df, idCol, vecCol, threshold, maxTileRows)
+      .orderBy("vec_a", "vec_b")
+
+  /** [[nearDupPairs]] without the presentation sort — the composition form
+    * ([[dbscan]] feeds the pairs straight into degree counts and a
+    * component build, where a range exchange would be pure waste).
+    */
+  private def nearDupPairsRaw(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxTileRows: Long = MaxTileRows): DataFrame = {
     val p = prepare(df, idCol, vecCol)
     val pairs = tiledPairScan(p, (qid, qn, qv, corpus) => {
@@ -337,7 +346,59 @@ object Similarity {
         }
     }, maxTileRows)
     pairs.select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), col("cos"))
-      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Deterministic distributed DBSCAN over an embedding column, with
+    * cosine similarity ≥ `threshold` as the ε-neighborhood relation:
+    *
+    *   1. ε-pairs from the exact tiled self-scan ([[nearDupPairsRaw]] —
+    *      at production scale the pair generator swaps for the LSH/IVF
+    *      blocked variant; the steps below are unchanged);
+    *   2. core points: |N(p)| ≥ minPts, neighborhood INCLUDING the point
+    *      itself (the classical definition);
+    *   3. clusters: connected components over the core–core ε-edges via
+    *      [[Graph.connectedComponents]] (star contraction — O(log) rounds
+    *      whatever the cluster shape), labeled by min core id;
+    *   4. border points (non-core with ≥1 core ε-neighbor) join the
+    *      MINIMUM-labeled cluster among their core neighbors — the
+    *      deterministic tie-break for the assignment the sequential
+    *      algorithm leaves scan-order-dependent; remaining points are
+    *      noise (cluster −1).
+    *
+    * Output: (vec_id, role ∈ core|border|noise, cluster).
+    */
+  def dbscan(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, minPts: Int): DataFrame = {
+    // pairs feed the degree count, the core edge set and the border join —
+    // materialize once rather than re-running the tile scan per leg
+    val pairs = nearDupPairsRaw(df, idCol, vecCol, threshold)
+      .select("vec_a", "vec_b").localCheckpoint(false)
+    val bi = pairs.select(col("vec_a").as("id"), col("vec_b").as("nb"))
+      .union(pairs.select(col("vec_b").as("id"), col("vec_a").as("nb")))
+    val deg = bi.groupBy("id").agg(count(lit(1)).as("__deg"))
+    val roles = df.select(col(idCol).cast("long").as("id"))
+      .join(deg, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("__deg"), lit(0L)) + 1L >= minPts).as("is_core"))
+      .localCheckpoint(false)
+    val coreIds = roles.filter(col("is_core")).select("id")
+    val coreEdges = pairs
+      .join(coreIds.select(col("id").as("vec_a")), Seq("vec_a"), "left_semi")
+      .join(coreIds.select(col("id").as("vec_b")), Seq("vec_b"), "left_semi")
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val cc = Graph.connectedComponents(coreIds, coreEdges)
+    val borderLab = bi.join(roles, Seq("id"))
+      .filter(!col("is_core"))
+      .join(cc.select(col("node").as("nb"), col("component").as("__c")), Seq("nb"))
+      .groupBy("id").agg(min("__c").as("__bc"))
+    roles
+      .join(cc.select(col("node").as("id"), col("component").as("__cc")), Seq("id"), "left")
+      .join(borderLab, Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        when(col("is_core"), lit("core"))
+          .when(col("__bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__cc"), col("__bc"), lit(-1L)).as("cluster"))
   }
 
   // ---- product quantization (ADC) ----------------------------------------
@@ -1272,6 +1333,65 @@ object Similarity {
               |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
               |FROM normed n LEFT JOIN dropped d ON n.vec_id = d.vec_id
               |ORDER BY n.vec_id""".stripMargin),
+    ),
+
+    // Density clustering (DBSCAN) on the embedding corpus — the
+    // curation step that isolates dense duplicate-ish regions (clusters)
+    // from long-tail singletons (noise) before sampling. τ=0.35/minPts=3
+    // sits at this corpus's density knee: 140 cores, 36 clusters (top 39),
+    // and all three roles populated. Border tie-break = min cluster label
+    // (deterministic; the sequential algorithm leaves it scan-order-
+    // dependent).
+    GraftQuery(
+      "q_dbscan",
+      (s, dir) => dbscan(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.35, 3)
+        .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE
+              |prep AS (
+              |  SELECT vec_id, $quantizedSql AS q FROM embeddings
+              |),
+              |normed AS (
+              |  SELECT vec_id, q, list_dot_product(q, q) AS nrm FROM prep
+              |),
+              |pairs AS (
+              |  SELECT a.vec_id AS va, b.vec_id AS vb
+              |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+              |  WHERE list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.35
+              |),
+              |bi AS (SELECT va AS id, vb AS nb FROM pairs
+              |       UNION ALL SELECT vb, va FROM pairs),
+              |deg AS (SELECT id, count(*) AS d FROM bi GROUP BY id),
+              |roles AS (
+              |  SELECT e.vec_id AS id, coalesce(d.d, 0) + 1 >= 3 AS is_core
+              |  FROM embeddings e LEFT JOIN deg d ON d.id = e.vec_id
+              |),
+              |ce AS (
+              |  SELECT va, vb FROM pairs
+              |  JOIN roles ra ON ra.id = va AND ra.is_core
+              |  JOIN roles rb ON rb.id = vb AND rb.is_core
+              |),
+              |cedges AS (SELECT va AS a, vb AS b FROM ce UNION SELECT vb, va FROM ce),
+              |reach(id, lab) AS (
+              |  SELECT id, id FROM roles WHERE is_core
+              |  UNION
+              |  SELECT e.b, r.lab FROM reach r JOIN cedges e ON e.a = r.id
+              |),
+              |cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+              |blab AS (
+              |  SELECT bi.id, min(cc.comp) AS bc
+              |  FROM bi JOIN roles r ON r.id = bi.id AND NOT r.is_core
+              |  JOIN cc ON cc.id = bi.nb
+              |  GROUP BY bi.id
+              |)
+              |SELECT r.id AS vec_id,
+              |  CASE WHEN r.is_core THEN 'core'
+              |       WHEN b.bc IS NOT NULL THEN 'border'
+              |       ELSE 'noise' END AS role,
+              |  coalesce(cc.comp, b.bc, -1) AS cluster
+              |FROM roles r
+              |LEFT JOIN cc ON cc.id = r.id
+              |LEFT JOIN blab b ON b.id = r.id
+              |ORDER BY vec_id""".stripMargin),
     ),
 
     // Product-quantization ADC top-3: 8 subspaces × 16 init codewords.
