@@ -354,6 +354,108 @@ object Graph {
       .select(col("id").as("node"), coalesce(col("c"), col("id")).as("component"))
   }
 
+  /** k-core of an undirected graph by iterative peeling: repeatedly drop
+    * every node whose degree in the CURRENT subgraph is < k (and the edges
+    * touching it) until no node qualifies — the classical fixpoint whose
+    * survivors form the maximal subgraph of minimum degree ≥ k (Seidman
+    * 1983; the dense-community screen behind spam-ring and bot-cluster
+    * detection). Per round: one degree aggregate over the live edge set +
+    * two semi-joins — no neighbor lists, no driver state beyond the loop
+    * counter, so a hub's incident edges stay spread across tasks. The
+    * edge count is monotone non-increasing and each non-final round
+    * removes ≥ 1 edge, so the count() fixpoint check is exact (next ⊆
+    * prev by construction) and rounds are bounded by the peel depth —
+    * O(degeneracy ordering depth), in practice a handful; `maxRounds`
+    * guards pathological chains (a k-1-regular caterpillar peels one
+    * node per round).
+    *
+    * Output: (node, core_deg) for every node IN the k-core, core_deg =
+    * its degree within the core. Peeled and isolated nodes are absent —
+    * membership IS the signal; callers wanting flags left-join this back.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges
+      .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var eCnt = e.count()
+    var round = 0
+    var converged = eCnt == 0L
+    while (!converged && round < maxRounds) {
+      val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("__d"))
+      val keep = deg.filter(col("__d") >= k).select("id")
+      val next = e
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      val nextCnt = next.count()
+      // next ⊆ e always (semi-joins only remove), so equal counts = fixpoint
+      converged = nextCnt == eCnt
+      e = next
+      eCnt = nextCnt
+      round += 1
+    }
+    require(converged || eCnt == 0L,
+      s"k-core peel did not converge in $round rounds")
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** The oracle's unrolled twin of one peel round (same fixed-unroll
+    * pattern as [[prRoundSql]]: DuckDB's recursive CTE cannot express a
+    * shrinking fixpoint — UNION-distinct termination fires the moment an
+    * iteration yields only already-seen rows, which a subset-producing
+    * step does immediately). A round past the fixpoint is the identity,
+    * so unrolling MORE rounds than the fixture needs is safe; the spec
+    * pins the fixture's convergence depth under the unroll count.
+    */
+  private def kcoreRoundSql(i: Int, k: Int): String =
+    s"""k$i AS MATERIALIZED (
+       |  SELECT id FROM (
+       |    SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+       |  GROUP BY id HAVING count(*) >= $k),
+       |e$i AS MATERIALIZED (
+       |  SELECT a, b FROM e${i - 1}
+       |  JOIN k$i ka ON ka.id = a JOIN k$i kb ON kb.id = b)""".stripMargin
+
+  private[operators] val KcoreOracleRounds = 32
+
+  /** Per-node local clustering coefficient over an undirected graph:
+    * coef(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the fraction of a node's
+    * neighbor pairs that are themselves connected (Watts–Strogatz), the
+    * standard community-density / link-farm signal. Triangle counts come
+    * from [[triangles]] (degree-oriented wedge enumeration, O(√m)
+    * fan-out); degrees from one aggregate over the deduplicated edge set.
+    * The coefficient is emitted in exact integer MICROS via floor
+    * division — 2e6·tri div deg(deg−1) — so results are bit-identical
+    * across engines and partitionings (an IEEE divide would be exact here
+    * too, but the integer form needs no argument); deg < 2 → 0 (no pairs
+    * to close, the conventional value).
+    *
+    * Output: (node, deg, n_tri, coef_micros) for every node in the edge
+    * set.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct().localCheckpoint(false)
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = triangles(und.select(col("a").as("src"), col("b").as("dst")))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          expr("(2000000 * coalesce(n_tri, CAST(0 AS BIGINT))) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("coef_micros"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // PageRank over the customer→supplier purchase graph (5 rounds):
@@ -522,6 +624,92 @@ object Graph {
              |SELECT node, component,
              |  count(*) OVER (PARTITION BY component) AS component_size
              |FROM labels ORDER BY node""".stripMargin),
+    ),
+
+    // 3-core of the customer co-purchase graph at minShared=3 (one floor
+    // looser than q_triangles' projection): the dense community nucleus
+    // left after iteratively peeling every customer with < 3 co-purchase
+    // partners. The minShared=3 projection is the interesting regime: at
+    // sf0.1 it is sparse enough that peeling CASCADES 20+ rounds deep and
+    // removes ~84% of the nodes (probed while choosing the fixture —
+    // minShared=2 graphs are so dense nothing peels; the supplier
+    // co-occurrence graph at sf0.01 is literally complete). The oracle
+    // unrolls the peel to a fixed depth (a round past the fixpoint is the
+    // identity — see kcoreRoundSql; MATERIALIZED, or DuckDB's CTE
+    // inlining expands the 3-references-per-round chain exponentially);
+    // the Spark side runs the true count-fixpoint loop, and GraphOpsSpec
+    // pins the fixture's convergence depth under the unroll count.
+    GraftQuery(
+      "q_kcore",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        kCore(copurchaseEdges(cp, minShared = 3), k = 3).orderBy("node")
+      },
+      Some((Seq(
+        """WITH cp AS (
+          |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |e0 AS MATERIALIZED (
+          |  SELECT c1.c AS a, c2.c AS b
+          |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+          |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin) ++
+        (1 to KcoreOracleRounds).map(kcoreRoundSql(_, 3))).mkString(",\n") +
+        s"""
+           |SELECT id AS node, count(*) AS core_deg FROM (
+           |  SELECT a AS id FROM e$KcoreOracleRounds
+           |  UNION ALL SELECT b FROM e$KcoreOracleRounds)
+           |GROUP BY id ORDER BY node""".stripMargin),
+    ),
+
+    // Local clustering coefficient over the customer co-purchase graph
+    // (same minShared=4 projection as q_triangles): per customer, the
+    // fraction of their co-purchase partners that also co-purchase with
+    // each other — ring-like fraud communities score near 1e6 micros,
+    // hub-and-spoke mules near 0. Integer-micros floor division keeps the
+    // value engine-exact.
+    GraftQuery(
+      "q_clustering_coef",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        clusteringCoefficient(copurchaseEdges(cp, minShared = 4)).orderBy("node")
+      },
+      Some("""WITH cp AS (
+             |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |),
+             |und AS (
+             |  SELECT c1.c AS a, c2.c AS b FROM cp c1
+             |  JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+             |  GROUP BY 1, 2 HAVING count(*) >= 4
+             |),
+             |deg AS (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+             |  GROUP BY node
+             |),
+             |tri AS (
+             |  SELECT t1.a AS x, t1.b AS y, t2.b AS z
+             |  FROM und t1 JOIN und t2 ON t2.a = t1.b
+             |  JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b
+             |),
+             |cnt AS (
+             |  SELECT node, count(*) AS n FROM (
+             |    SELECT x AS node FROM tri
+             |    UNION ALL SELECT y FROM tri
+             |    UNION ALL SELECT z FROM tri)
+             |  GROUP BY node
+             |)
+             |SELECT d.node, d.deg, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tri,
+             |  CASE WHEN d.deg >= 2
+             |       THEN (2000000 * CAST(coalesce(c.n, 0) AS BIGINT)) // (d.deg * (d.deg - 1))
+             |       ELSE 0 END AS coef_micros
+             |FROM deg d LEFT JOIN cnt c USING (node) ORDER BY node""".stripMargin),
     ),
   )
 }

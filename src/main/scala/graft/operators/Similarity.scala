@@ -348,6 +348,146 @@ object Similarity {
     pairs.select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), col("cos"))
   }
 
+  /** Deterministic pseudo-random hyperplanes for the BANDED blocked scan
+    * below. [[planeWeight]]'s p-dependence is linear mod 7 (131 ≡ 5 mod
+    * 7), so its plane patterns repeat with period 7 in p — harmless for
+    * the 8-plane single-table LSH it serves (one redundant bit; the
+    * oracle replays the identical arithmetic), but fatal for a multi-table
+    * OR-construction, where tables built from repeated planes are
+    * perfectly correlated and add zero recall. The multiplicative mix
+    * below breaks the linearity; weights stay in [-3, 3].
+    */
+  private def rbWeight(p: Int, d: Int): Int = {
+    val x = (p.toLong * 1000003L + d.toLong * 7919L + 12345L) * 2654435761L
+    (Math.floorMod(x >> 13, 7L) - 3L).toInt
+  }
+  private[operators] def rbPlaneSqlList(p: Int): String =
+    (0 until Dim).map(d => rbWeight(p, d).toString).mkString("[", ", ", "]")
+
+  /** DuckDB replay of band `t`'s bucket id (bitsPerBand sign bits over the
+    * [[rbWeight]] planes) for a quantized list column named `q`.
+    */
+  private[operators] def rbBucketSql(t: Int, bitsPerBand: Int): String =
+    (0 until bitsPerBand).map { i =>
+      s"(CASE WHEN list_dot_product(q, ${rbPlaneSqlList(t * bitsPerBand + i)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** BANDED sign-LSH blocked near-dup pairs — the classic multi-table
+    * OR-construction (one band = one hash table of `bitsPerBand` sign
+    * bits; a pair is a candidate iff it shares a bucket in ≥ 1 band),
+    * then exact integer-cosine verification against `threshold`. The
+    * result is a SUBSET of [[nearDupPairs]] with per-pair candidate
+    * probability 1 − (1 − p^b)^L for p = 1 − θ/π — the measured fixture
+    * grid and the regime analysis live in PLANS.md round 13: at the
+    * near-dup thresholds this operator is FOR (τ ≥ ~0.7, SemDeDup-style
+    * dense-region isolation), recall is ≥0.9 at ~3-10% of the exact
+    * scan's work; at diffuse low thresholds (τ ≤ ~0.5, θ ≥ 60°) NO
+    * sign-LSH blocking helps and the exact tiled scan is the production
+    * path — that boundary is a property of random-hyperplane LSH, not of
+    * this implementation.
+    *
+    * Shape: each row is replicated once per band (composite bucket =
+    * band « bitsPerBand | bucket) through the tiled scaffold — candidate
+    * work is Σ_bands Σ_buckets n_b²/2, never a global cross product —
+    * and a pair found in several bands is collapsed by the final
+    * distinct (its cos is computed identically in every cell). Rows
+    * whose vector length ≠ [[Dim]] take a single replica in composite
+    * bucket 0 (the same degenerate-bucket convention as [[lshPrepared]];
+    * the kernel's length guard keeps them from partial dots). Output:
+    * (vec_a, vec_b, cos), vec_a < vec_b, cos rounded to 1e-6 like the
+    * exact path.
+    */
+  def blockedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 8, bitsPerBand: Int = 4,
+      maxTileRows: Long = MaxTileRows): DataFrame = {
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 16,
+      s"need bands >= 1 and 1 <= bitsPerBand <= 16, got ($bands, $bitsPerBand)")
+    val s = df.sparkSession
+    import s.implicits._
+    val planes: Array[Array[Long]] =
+      Array.tabulate(bands * bitsPerBand, Dim)((p, d) => rbWeight(p, d).toLong)
+    val nBands = bands
+    val nBits = bitsPerBand
+    val replicated = prepare(df, idCol, vecCol)
+      .select("__id", "q", "nrm")
+      .as[(Long, Array[Long], Long)]
+      .flatMap { case (id, q, nrm) =>
+        if (q.length != Dim) Iterator.single((0L, id, nrm, q))
+        else Iterator.range(0, nBands).map { t =>
+          var bucket = 0L
+          var i = 0
+          while (i < nBits) {
+            val w = planes(t * nBits + i)
+            var dot = 0L
+            var d = 0
+            while (d < Dim) { dot += q(d) * w(d); d += 1 }
+            if (dot > 0) bucket |= 1L << i
+            i += 1
+          }
+          ((t.toLong << nBits) | bucket, id, nrm, q)
+        }
+      }
+      .toDF("__bucket", "__id", "nrm", "q")
+    val pairs = tiledPairScan(replicated, (qid, qn, qv, corpus) => {
+      corpus.iterator
+        .filter { case (nid, _, nv) => nid > qid && nv.length == qv.length }
+        .flatMap { case (nid, nn, nv) =>
+          var dot = 0L
+          var j = 0
+          while (j < qv.length) { dot += qv(j) * nv(j); j += 1 }
+          val cos = dot.toDouble / (math.sqrt(qn.toDouble) * math.sqrt(nn.toDouble))
+          if (cos >= threshold) Some((qid, nid, math.floor(cos * 1e6 + 0.5) / 1e6))
+          else None
+        }
+    }, maxTileRows)
+    pairs.select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"), col("cos"))
+      .distinct()
+  }
+
+  /** Johnson–Lindenstrauss-style random projection of the quantized
+    * embedding space onto `RpDims` integer axes: proj[r] = Σ_d q[d]·w(r,d)
+    * with deterministic pseudo-random weights w ∈ [-2, 2] from the same
+    * fixed mixing-formula family as the sign-LSH planes — materialized as
+    * literals on both engines, so the projection is exact integer math
+    * and bit-identical everywhere (the database-JL construction of Achlioptas
+    * 2003 uses sparse ±1/0 entries for the same reason: integer-cheap).
+    * One map-side pass, zero shuffle — dimensionality reduction ahead of
+    * ANN indexing / clustering at scan speed. Rows whose vector length
+    * differs from [[Dim]] are dropped (no partial projections). Output:
+    * (vec_id, proj ARRAY<BIGINT> of length RpDims).
+    */
+  private[operators] val RpDims = 16
+  private def rpWeight(r: Int, d: Int): Int = ((r * 197 + d * 59 + 23) % 5) - 2
+  private[operators] def rpPlaneSqlList(r: Int): String =
+    (0 until Dim).map(d => rpWeight(r, d).toString).mkString("[", ", ", "]")
+
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val planes: Array[Array[Long]] =
+      Array.tabulate(RpDims, Dim)((r, d) => rpWeight(r, d).toLong)
+    prepare(df, idCol, vecCol)
+      .select("__id", "q")
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, q) =>
+        if (q.length != Dim) Iterator.empty
+        else {
+          val out = new Array[Long](RpDims)
+          var r = 0
+          while (r < RpDims) {
+            val w = planes(r)
+            var acc = 0L
+            var d = 0
+            while (d < Dim) { acc += q(d) * w(d); d += 1 }
+            out(r) = acc
+            r += 1
+          }
+          Iterator.single((id, out))
+        }
+      }
+      .toDF("vec_id", "proj")
+  }
+
   /** Deterministic distributed DBSCAN over an embedding column, with
     * cosine similarity ≥ `threshold` as the ε-neighborhood relation:
     *
@@ -368,10 +508,40 @@ object Similarity {
     * Output: (vec_id, role ∈ core|border|noise, cluster).
     */
   def dbscan(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, minPts: Int): DataFrame = {
+      threshold: Double, minPts: Int): DataFrame =
+    dbscanFromPairs(df, idCol,
+      nearDupPairsRaw(df, idCol, vecCol, threshold), minPts)
+
+  /** [[dbscan]] with the ε-pair generator swapped for the banded
+    * sign-LSH BLOCKED scan ([[blockedNearDupPairs]]) — the production
+    * shape at 100 TB for the NEAR-DUP density regime (τ ≥ ~0.7), where
+    * the exact all-pairs scan's n²/T² contract is the bottleneck and
+    * banding recovers ≥0.9 of the ε-graph at a few percent of the work.
+    * The computed ε-graph is a SUBSET of the exact one: degrees can
+    * undercount, cores can demote, clusters can split — the semantics
+    * are "DBSCAN over the LSH-blocked ε-graph", deterministic and
+    * engine-exact (the oracle replays the band-bucket arithmetic), with
+    * pair recall measured on the fixture and floored in
+    * BlockedDbscanSpec rather than assumed. See [[blockedNearDupPairs]]
+    * for the recall/work analysis and the low-τ boundary where blocking
+    * stops paying.
+    */
+  def dbscanBlocked(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, minPts: Int, bands: Int = 8,
+      bitsPerBand: Int = 4): DataFrame =
+    dbscanFromPairs(df, idCol,
+      blockedNearDupPairs(df, idCol, vecCol, threshold, bands, bitsPerBand),
+      minPts)
+
+  /** Steps 2-4 of [[dbscan]] over an externally supplied ε-pair frame
+    * (vec_a, vec_b) — shared by the exact and blocked pair generators so
+    * the role/cluster semantics are written once.
+    */
+  private def dbscanFromPairs(df: DataFrame, idCol: String,
+      rawPairs: DataFrame, minPts: Int): DataFrame = {
     // pairs feed the degree count, the core edge set and the border join —
     // materialize once rather than re-running the tile scan per leg
-    val pairs = nearDupPairsRaw(df, idCol, vecCol, threshold)
+    val pairs = rawPairs
       .select("vec_a", "vec_b").localCheckpoint(false)
     val bi = pairs.select(col("vec_a").as("id"), col("vec_b").as("nb"))
       .union(pairs.select(col("vec_b").as("id"), col("vec_a").as("nb")))
@@ -1392,6 +1562,97 @@ object Similarity {
               |LEFT JOIN cc ON cc.id = r.id
               |LEFT JOIN blab b ON b.id = r.id
               |ORDER BY vec_id""".stripMargin),
+    ),
+
+    // DBSCAN with the banded-LSH-blocked ε-pair generator — the 100 TB
+    // serve shape of q_dbscan: candidates only within shared band
+    // buckets (8 bands × 4 sign bits), exact cosine verify. Same
+    // τ/minPts as the exact row so the two results are directly
+    // comparable (PLANS.md r13 records the measured pair recall and the
+    // role-agreement delta at this corpus's diffuse τ=0.35 knee, plus
+    // the τ ≥ 0.7 regime the blocking is actually for); the oracle
+    // replays the band-bucket arithmetic as an 8-way OR on top of the
+    // exact pair condition, then the identical core/CC/border pipeline.
+    GraftQuery(
+      "q_dbscan_blocked",
+      (s, dir) => dbscanBlocked(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.35, 3)
+        .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE
+              |prep AS (
+              |  SELECT vec_id, $quantizedSql AS q FROM embeddings
+              |),
+              |normed AS (
+              |  SELECT vec_id, q, list_dot_product(q, q) AS nrm,
+              |${(0 until 8).map(t =>
+                  // a non-64-dim row takes ONE replica in composite bucket 0
+                  // = (band 0, bucket 0) on the Spark side: only its band-0
+                  // bucket may match anything, so bands 1+ read -1 here
+                  s"    CASE WHEN len(q) = 64 THEN ${rbBucketSql(t, 4)} ELSE ${if (t == 0) 0 else -1} END AS bkt$t").mkString(",\n")}
+              |  FROM prep
+              |),
+              |pairs AS (
+              |  SELECT a.vec_id AS va, b.vec_id AS vb
+              |  FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+              |  WHERE (${(0 until 8).map(t => s"a.bkt$t = b.bkt$t").mkString(" OR ")})
+              |    AND list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.35
+              |),
+              |bi AS (SELECT va AS id, vb AS nb FROM pairs
+              |       UNION ALL SELECT vb, va FROM pairs),
+              |deg AS (SELECT id, count(*) AS d FROM bi GROUP BY id),
+              |roles AS (
+              |  SELECT e.vec_id AS id, coalesce(d.d, 0) + 1 >= 3 AS is_core
+              |  FROM embeddings e LEFT JOIN deg d ON d.id = e.vec_id
+              |),
+              |ce AS (
+              |  SELECT va, vb FROM pairs
+              |  JOIN roles ra ON ra.id = va AND ra.is_core
+              |  JOIN roles rb ON rb.id = vb AND rb.is_core
+              |),
+              |cedges AS (SELECT va AS a, vb AS b FROM ce UNION SELECT vb, va FROM ce),
+              |reach(id, lab) AS (
+              |  SELECT id, id FROM roles WHERE is_core
+              |  UNION
+              |  SELECT e.b, r.lab FROM reach r JOIN cedges e ON e.a = r.id
+              |),
+              |cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+              |blab AS (
+              |  SELECT bi.id, min(cc.comp) AS bc
+              |  FROM bi JOIN roles r ON r.id = bi.id AND NOT r.is_core
+              |  JOIN cc ON cc.id = bi.nb
+              |  GROUP BY bi.id
+              |)
+              |SELECT r.id AS vec_id,
+              |  CASE WHEN r.is_core THEN 'core'
+              |       WHEN b.bc IS NOT NULL THEN 'border'
+              |       ELSE 'noise' END AS role,
+              |  coalesce(cc.comp, b.bc, -1) AS cluster
+              |FROM roles r
+              |LEFT JOIN cc ON cc.id = r.id
+              |LEFT JOIN blab b ON b.id = r.id
+              |ORDER BY vec_id""".stripMargin),
+    ),
+
+    // JL random projection 64 → 16 integer dims — the dimensionality
+    // reduction ahead of ANN indexing/clustering; exploded to one row per
+    // (vector, output dim) so the driver's column-hash compare sees plain
+    // scalars. The oracle carries the same 16 weight rows as list
+    // literals generated from the identical mixing formula.
+    GraftQuery(
+      "q_random_projection",
+      (s, dir) => randomProjection(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("proj_dim", "proj_val")))
+        .orderBy("vec_id", "proj_dim"),
+      Some(s"""WITH prep AS (
+              |  SELECT vec_id, $quantizedSql AS q FROM embeddings
+              |  WHERE len(embedding) = 64
+              |),
+              |planes(d, w) AS (VALUES
+              |${(0 until RpDims).map(r => s"  ($r, ${rpPlaneSqlList(r)})").mkString(",\n")}
+              |)
+              |SELECT p.vec_id, pl.d AS proj_dim,
+              |  CAST(list_dot_product(p.q, pl.w) AS BIGINT) AS proj_val
+              |FROM prep p CROSS JOIN planes pl
+              |ORDER BY vec_id, proj_dim""".stripMargin),
     ),
 
     // Product-quantization ADC top-3: 8 subspaces × 16 init codewords.
