@@ -14,7 +14,8 @@ object SparkEntry {
       operators.Ml.queries ++ operators.Sketches.queries ++
       operators.Warehouse.queries ++ operators.Curation.queries ++
       operators.BloomPrune.queries ++ operators.SkewLayout.queries ++
-      operators.Graph.queries ++ operators.Scale.queries ++
+      operators.Graph.queries ++ operators.Spatial.queries ++
+      operators.Scale.queries ++
       operators.Retrieval.queries ++ operators.Bpe.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

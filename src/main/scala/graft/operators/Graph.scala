@@ -456,6 +456,118 @@ object Graph {
           .otherwise(lit(0L)).as("coef_micros"))
   }
 
+  /** Multi-source BFS hop distance: min number of edges from ANY seed to
+    * each reachable node, capped at `maxHops` — the frontier-expansion
+    * primitive behind blast-radius ("every account within 3 hops of a
+    * confirmed mule"), feature extraction (distance-to-fraud), and crawl
+    * scheduling. Distinct from [[connectedComponents]]: contraction
+    * rewires edges and loses distances; BFS keeps the metric.
+    *
+    * Per round, work is FRONTIER-sized, not graph-sized: the next frontier
+    * is one equi-join of the current frontier against the adjacency frame
+    * plus one anti-join against the visited set — the visited set never
+    * re-expands, so a hub explored at hop h costs nothing at h+1. All
+    * state is DataFrames (visited set, frontier); nothing driver-side but
+    * the loop counter, so a 10⁹-node frontier just means more tasks. The
+    * early exit fires on an exhausted frontier (isEmpty = a cheap
+    * one-partition scan after the checkpoint), making `maxHops` a cap,
+    * not a cost floor.
+    *
+    * Output: (node, hops) with hops ∈ [0, maxHops]; seeds are hop 0 even
+    * when isolated; unreached nodes are absent (membership = reachability,
+    * same contract as [[kCore]]).
+    */
+  def bfsHops(seeds: DataFrame, edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50, s"maxHops must be in [1,50], got $maxHops")
+    val e = edges
+      .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+    val bi = e.select(col("x").as("u"), col("y").as("v"))
+      .union(e.select(col("y").as("u"), col("x").as("v")))
+      .distinct().localCheckpoint(false)
+    var dist = seeds.select(col("id").cast("long").as("node")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint()
+    var frontier = dist.select("node")
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val next = frontier.join(bi, frontier("node") === bi("u"))
+        .select(col("v").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint()
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        // checkpoint the growing visited set too: it feeds every later
+        // round's anti-join, and an un-truncated union chain would replan
+        // all prior rounds each iteration
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next.select("node")
+      }
+      h += 1
+    }
+    dist
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007), the linear-time
+    * community-detection primitive: every node starts labeled with its own
+    * id; each round it adopts the most frequent label among its neighbors,
+    * ties broken by MINIMUM label. A fixed `rounds` count with simultaneous
+    * updates makes the result deterministic and engine-exact — the
+    * sequential algorithm's random visit order (and its oscillation on
+    * bipartite structures) is replaced by a pinned snapshot-update
+    * schedule, so the oracle can replay it round for round.
+    *
+    * Per round: one edge⋈label join, one (node, label) count aggregate,
+    * one per-node argmax — all key-partitioned shuffles, no neighbor lists
+    * materialized, hubs stay spread across tasks. The argmax is a single
+    * max(struct(count, −label)) aggregate, not a window: no per-node sort,
+    * and partial aggregation runs map-side. Complements
+    * [[connectedComponents]] (which finds the coarser reachability
+    * partition): LPA splits a connected graph into densely-linked regions.
+    *
+    * Output: (node, label) for every node in the edge set after exactly
+    * `rounds` rounds; isolated nodes are absent (no neighbors to vote).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1,20], got $rounds")
+    val und = edges
+      .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val bi = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    var lab = bi.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (i <- 1 to rounds) {
+      val cnt = bi.join(lab, bi("v") === lab("node"))
+        .groupBy(bi("u"), col("label")).agg(count(lit(1)).as("c"))
+      // argmax count, min label on ties: max over (c, -label) — node ids
+      // here are nonnegative keys, so negation is a safe order reversal
+      lab = cnt
+        .groupBy("u")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("label"))
+      if (i % 4 == 0 && i < rounds) lab = lab.localCheckpoint(false)
+    }
+    lab
+  }
+
+  /** The oracle's unrolled twin of one LPA round (same generated-rounds
+    * pattern as [[prRoundSql]]): count each neighbor label, keep the
+    * argmax with min-label tie-break via a per-node max window + min.
+    */
+  private def lpaRoundSql(i: Int): String =
+    s"""c$i AS (
+       |  SELECT bi.u, l.label, count(*) AS c
+       |  FROM bi JOIN l${i - 1} l ON l.node = bi.v GROUP BY 1, 2),
+       |l$i AS (
+       |  SELECT u AS node, min(label) AS label FROM (
+       |    SELECT u, label, c, max(c) OVER (PARTITION BY u) AS mc FROM c$i)
+       |  WHERE c = mc GROUP BY u)""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
 
     // PageRank over the customer→supplier purchase graph (5 rounds):
@@ -710,6 +822,79 @@ object Graph {
              |       THEN (2000000 * CAST(coalesce(c.n, 0) AS BIGINT)) // (d.deg * (d.deg - 1))
              |       ELSE 0 END AS coef_micros
              |FROM deg d LEFT JOIN cnt c USING (node) ORDER BY node""".stripMargin),
+    ),
+
+    // Blast radius over the customer co-purchase graph: hop distance from
+    // every nation-0 customer (the "confirmed bad population" stand-in)
+    // through the minShared=3 projection, capped at 3 hops — the
+    // distance-to-fraud feature a risk model would join back onto
+    // accounts. Same projection as q_kcore so the edge build is a known
+    // quantity; the BFS itself is three frontier-sized rounds.
+    GraftQuery(
+      "q_bfs_hops",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        val seeds = Tables(s, dir, "customer")
+          .filter(col("c_nationkey") === 0)
+          .select(col("c_custkey").as("id"))
+        bfsHops(seeds, copurchaseEdges(cp, minShared = 3), maxHops = 3)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE cp AS (
+             |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e0 AS MATERIALIZED (
+             |  SELECT c1.c AS a, c2.c AS b
+             |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+             |  GROUP BY 1, 2 HAVING count(*) >= 3),
+             |bi AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+             |reach(node, d) AS (
+             |  SELECT c_custkey, 0 FROM customer WHERE c_nationkey = 0
+             |  UNION
+             |  SELECT bi.v, r.d + 1 FROM reach r JOIN bi ON bi.u = r.node
+             |  WHERE r.d < 3)
+             |SELECT node, min(d) AS hops FROM reach
+             |GROUP BY node ORDER BY node""".stripMargin),
+    ),
+
+    // Label-propagation communities over the minShared=4 co-purchase graph
+    // (the same projection whose clustering coefficients show ring-like
+    // nuclei): 4 synchronous rounds split the big components into
+    // densely-linked buying circles, the community screen that flags
+    // collusive clusters where plain connectivity is too coarse. The
+    // oracle replays the identical snapshot-update schedule as 4 unrolled
+    // CTE rounds.
+    GraftQuery(
+      "q_label_prop",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        labelPropagation(copurchaseEdges(cp, minShared = 4), rounds = 4)
+          .withColumn("community_size",
+            count(lit(1)).over(Window.partitionBy("label")))
+          .orderBy("node")
+      },
+      Some((Seq(
+        """WITH cp AS (
+          |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |e0 AS MATERIALIZED (
+          |  SELECT c1.c AS a, c2.c AS b
+          |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+          |  GROUP BY 1, 2 HAVING count(*) >= 4),
+          |bi AS MATERIALIZED (
+          |  SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+          |l0 AS (SELECT DISTINCT u AS node, u AS label FROM bi)""".stripMargin) ++
+        (1 to 4).map(lpaRoundSql)).mkString(",\n") +
+        """
+          |SELECT node, label,
+          |  count(*) OVER (PARTITION BY label) AS community_size
+          |FROM l4 ORDER BY node""".stripMargin),
     ),
   )
 }

@@ -1,0 +1,145 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Multi-source BFS hop distance and synchronous label propagation:
+  * hand-computed golden cases, serial-reference equivalence on randomized
+  * graphs, the determinism/invariance contracts (repartition must not move
+  * a single hop or label), and the edge hygiene shared with the other
+  * graph operators (self-loops, duplicates, direction).
+  */
+class FrontierOpsSpec extends SparkSuite {
+
+  private def edgeDf(es: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    es.toDF("src", "dst")
+  }
+
+  private def seedDf(ids: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    ids.toDF("id")
+  }
+
+  private def serialBfs(es: Seq[(Long, Long)], seeds: Seq[Long], cap: Int): Map[Long, Int] = {
+    val und = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = und.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2) }
+    var dist = seeds.distinct.map(_ -> 0).toMap
+    var frontier = seeds.distinct
+    for (h <- 1 to cap) {
+      val next = frontier.flatMap(u => adj.getOrElse(u, Nil))
+        .distinct.filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> h)
+      frontier = next
+    }
+    dist
+  }
+
+  private def serialLpa(es: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._2) }
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = adj.map { case (u, nbrs) =>
+        val cnt = nbrs.map(lab).groupBy(identity).map { case (l, xs) => l -> xs.size }
+        val mx = cnt.values.max
+        u -> cnt.collect { case (l, c) if c == mx => l }.min
+      }
+    }
+    lab
+  }
+
+  private def bfsMap(seeds: Seq[Long], es: Seq[(Long, Long)], cap: Int): Map[Long, Int] =
+    Graph.bfsHops(seedDf(seeds), edgeDf(es), cap).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  private def lpaMap(es: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    Graph.labelPropagation(edgeDf(es), rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfs golden: chain with cap — hops count up, nodes past the cap absent") {
+    val es = (1L until 10L).map(i => (i, i + 1)) // 1-2-...-10
+    val got = bfsMap(Seq(1L), es, 4)
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+  }
+
+  test("bfs is multi-source min and undirected") {
+    // seeds at both ends of the chain: middle node takes the nearer end;
+    // edges were given ascending, so reaching 10 from seed 10 needs the
+    // reversed direction
+    val es = (1L until 10L).map(i => (i, i + 1))
+    val got = bfsMap(Seq(1L, 10L), es, 9)
+    assert(got(5L) == 4 && got(6L) == 4 && got(9L) == 1 && got(10L) == 0)
+    assert(got == serialBfs(es, Seq(1L, 10L), 9))
+  }
+
+  test("bfs: isolated seed is hop 0; early exit past the eccentricity is correct") {
+    val es = Seq((1L, 2L), (2L, 3L))
+    val got = bfsMap(Seq(1L, 99L), es, 40) // 40 rounds offered, 2 needed
+    assert(got == Map(1L -> 0, 99L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("bfs hygiene: self-loops and duplicate/reversed edges don't distort hops") {
+    val es = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L))
+    assert(bfsMap(Seq(1L), es, 5) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("bfs matches the serial reference on a seeded random graph, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val seeds = Seq(0L, 17L, 41L)
+    val ref = serialBfs(es, seeds, 3)
+    assert(bfsMap(seeds, es, 3) == ref)
+    val got17 = Graph.bfsHops(seedDf(seeds).repartition(17), edgeDf(es).repartition(13), 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got17 == ref)
+  }
+
+  test("lpa golden: two 4-cliques with one bridge split into two communities") {
+    def clique(ns: Seq[Long]) = for {
+      a <- ns; b <- ns if a < b
+    } yield (a, b)
+    val es = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) ++ Seq((4L, 5L))
+    val got = lpaMap(es, 4)
+    assert(got == serialLpa(es, 4))
+    assert(Seq(1L, 2L, 3L, 4L).map(got).toSet == Set(1L))
+    assert(Seq(5L, 6L, 7L, 8L).map(got).toSet == Set(5L))
+  }
+
+  test("lpa tie-break is the minimum label (star adopts min leaf; leaves adopt hub)") {
+    // hub 10 with leaves 11..14: round 1 hub → min leaf 11, leaves → 10;
+    // round 2 hub sees all-10 → 10, leaves see 11 → 11 (2-periodic swap,
+    // the classic synchronous-LPA oscillation the FIXED round count pins)
+    val es = Seq(11L, 12L, 13L, 14L).map(l => (10L, l))
+    val r1 = lpaMap(es, 1)
+    assert(r1 == Map(10L -> 11L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+    assert(lpaMap(es, 2) == serialLpa(es, 2))
+  }
+
+  test("lpa matches the serial reference on seeded random graphs, any partitioning") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(250)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+      val ref = serialLpa(es, 4)
+      assert(lpaMap(es, 4) == ref, s"seed=$seed")
+      val got11 = Graph.labelPropagation(edgeDf(es).repartition(11), 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got11 == ref, s"seed=$seed repartitioned")
+    }
+  }
+
+  test("lpa hygiene: self-loops and duplicate edges don't add votes") {
+    // duplicate (1,2) must not double 2's vote at node 1: with nbrs
+    // {2 (dup), 3}, a doubled vote would elect 2 over the true tie-min
+    val es = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 3L), (1L, 1L))
+    val got = lpaMap(es, 1)
+    assert(got(1L) == 2L) // tie between labels 2 and 3 → min = 2
+    assert(got == serialLpa(es, 1))
+  }
+}
