@@ -301,8 +301,17 @@ object Graph {
     * `nodes` are dropped (the same covering contract, and for the same
     * reasons, as [[Dedup.clusterPairs]]). Output: (node, component) with
     * component = the minimum node id reachable from `node`.
+    *
+    * `localCutoff`: once the live edge set has ≤ this many rows
+    * (≈ 16 MB of long pairs at the default), the remaining contraction is
+    * finished by a union-find inside ONE executor task instead of paying
+    * cluster-wide scheduling barriers per round on kilobytes — the same
+    * endgame rationale as [[kCore]]; 0 forces the all-distributed path.
+    * Union-by-minimum makes the local fixpoint bit-identical to the
+    * distributed one (both label every node with its component minimum).
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      localCutoff: Long = 1L << 20): DataFrame = {
     val ids = nodes.select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(false)
     var e = edges
@@ -316,7 +325,7 @@ object Graph {
     var eCnt = e.count()
     var changed = eCnt // 0 edges → already a fixpoint, loop never entered
     var iter = 0
-    while (changed > 0 && iter < 40) {
+    while (changed > 0 && iter < 40 && eCnt > localCutoff) {
       // LARGE-STAR: attach every strictly-greater neighbor v of u to
       // m = min(Γ(u) ∪ {u}). Output stays (hi, lo)-oriented: m ≤ u < v.
       // Connectivity is preserved because the (v, m) wheel through u's star
@@ -347,11 +356,45 @@ object Graph {
       eCnt = nextCnt
       iter += 1
     }
+    if (changed > 0 && eCnt <= localCutoff) {
+      e = localUnionFind(e)
+      changed = 0
+    }
     require(changed == 0, s"star contraction did not converge in $iter rounds")
     // fixpoint = union of stars: every non-root points at its component min
     ids.join(e.groupBy("hi").agg(min("lo").as("c")),
         ids("id") === col("hi"), "left")
       .select(col("id").as("node"), coalesce(col("c"), col("id")).as("component"))
+  }
+
+  /** The contraction endgame on a coalesced single partition: union-find
+    * with union-by-minimum and path compression inside ONE executor task
+    * (not a driver collect — the data never leaves the cluster). Emits
+    * the same star representation the distributed fixpoint converges to:
+    * (hi = member, lo = component minimum) for every non-root member.
+    */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      val nodes = scala.collection.mutable.HashSet.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+        var y = x0
+        while (parent.getOrElse(y, y) != y) { val n = parent(y); parent.update(y, x); y = n }
+        x
+      }
+      it.foreach { case (hi, lo) =>
+        nodes += hi; nodes += lo
+        val r1 = find(hi); val r2 = find(lo)
+        if (r1 != r2) {
+          if (r1 < r2) parent.update(r2, r1) else parent.update(r1, r2)
+        }
+      }
+      nodes.iterator.map(n => (n, find(n))).filter { case (n, r) => n != r }
+    }.toDF("hi", "lo")
   }
 
   /** k-core of an undirected graph by iterative peeling: repeatedly drop
@@ -372,8 +415,13 @@ object Graph {
     * Output: (node, core_deg) for every node IN the k-core, core_deg =
     * its degree within the core. Peeled and isolated nodes are absent —
     * membership IS the signal; callers wanting flags left-join this back.
+    *
+    * `localCutoff`: once the surviving edge set has ≤ this many rows it
+    * is peeled to fixpoint inside one executor task (see the endgame note
+    * in the loop) — set 0 to force the all-distributed path.
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 60): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 60,
+      localCutoff: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var e = edges
       .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
@@ -384,26 +432,81 @@ object Graph {
     var eCnt = e.count()
     var round = 0
     var converged = eCnt == 0L
-    while (!converged && round < maxRounds) {
-      val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+    // One peel round, lazily composed — materialization points are chosen
+    // by the BLOCK loop below, not per round.
+    def peel(cur: DataFrame): DataFrame = {
+      val deg = cur.select(col("a").as("id")).union(cur.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("__d"))
       val keep = deg.filter(col("__d") >= k).select("id")
-      val next = e
+      cur
         .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint()
+    }
+    // Deep cascades (one hub layer per round) are barrier-bound, not
+    // data-bound: each materialize+count costs a fixed scheduling sync
+    // that dwarfs the shrinking per-round data. Two measures:
+    //
+    //   1. Peel in BLOCKS of `block` composed rounds per barrier.
+    //      Semantics are unchanged because peeling is CONFLUENT and
+    //      identity past the fixpoint: the count is monotone
+    //      non-increasing across a block, so equal counts ⇒ every round
+    //      in the block removed nothing ⇒ the block's FIRST round was
+    //      already the fixpoint. The only cost is ≤ block−1 identity
+    //      rounds of (cheap, fixpoint-sized) overshoot work.
+    //   2. LOCAL ENDGAME: once the surviving edge set fits one task
+    //      (≤ localCutoff rows ≈ 16 MB of long pairs), finish the peel
+    //      to fixpoint inside a single executor task instead of grinding
+    //      ~0.25 s of cluster-wide stage scheduling per round on
+    //      kilobytes of data — measured 14.0 → 8.6 s on the sf0.1
+    //      fixture, whose 27-round cascade spends 24 rounds under 5 k
+    //      edges. The k-core is UNIQUE (peeling is confluent), so the
+    //      local serial peel provably returns the same set; the switch
+    //      is a pure execution-strategy choice, spec-pinned equivalent.
+    val block = 3
+    while (!converged && round < maxRounds && eCnt > localCutoff) {
+      val steps = math.min(block, maxRounds - round)
+      val next = (1 to steps).foldLeft(e)((cur, _) => peel(cur)).localCheckpoint()
       val nextCnt = next.count()
       // next ⊆ e always (semi-joins only remove), so equal counts = fixpoint
       converged = nextCnt == eCnt
       e = next
       eCnt = nextCnt
-      round += 1
+      round += steps
+    }
+    if (!converged && eCnt <= localCutoff) {
+      e = localKCorePeel(e, k)
+      converged = true
     }
     require(converged || eCnt == 0L,
       s"k-core peel did not converge in $round rounds")
     e.select(col("a").as("node")).union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** The peel endgame on a coalesced single partition: the serial
+    * fixpoint inside ONE executor task (not a driver collect — the data
+    * never leaves the cluster). Identical output by confluence of
+    * peeling; identical shape to GraphOpsSpec's serial reference.
+    */
+  private def localKCorePeel(e: DataFrame, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      var edges = it.toArray
+      var done = edges.isEmpty
+      while (!done) {
+        val deg = scala.collection.mutable.HashMap.empty[Long, Int]
+        edges.foreach { case (a, b) =>
+          deg.update(a, deg.getOrElse(a, 0) + 1)
+          deg.update(b, deg.getOrElse(b, 0) + 1)
+        }
+        val next = edges.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+        done = next.length == edges.length
+        edges = next
+      }
+      edges.iterator
+    }.toDF("a", "b")
   }
 
   /** The oracle's unrolled twin of one peel round (same fixed-unroll

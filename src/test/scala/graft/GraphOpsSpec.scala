@@ -71,16 +71,36 @@ class GraphOpsSpec extends SparkSuite {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
-  test("k-core: randomized serial equivalence, three seeds") {
+  test("k-core: randomized serial equivalence, three seeds, both strategies") {
+    // localCutoff = 0 forces the all-distributed blocked peel; the default
+    // takes the single-task endgame — both must equal the serial reference
     for (seed <- Seq(7, 23, 91)) {
       val rnd = new scala.util.Random(seed)
       val es = Seq.fill(160)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
       for (k <- Seq(2, 3, 4)) {
-        val got = Graph.kCore(edgeDf(es), k).collect()
+        val ref = serialKCore(es, k)._1
+        val local = Graph.kCore(edgeDf(es), k).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == serialKCore(es, k)._1, s"seed=$seed k=$k")
+        assert(local == ref, s"seed=$seed k=$k (local endgame)")
+        val dist = Graph.kCore(edgeDf(es), k, localCutoff = 0L).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(dist == ref, s"seed=$seed k=$k (distributed)")
       }
     }
+  }
+
+  test("k-core: distributed blocked peel converges on a deep cascade (caterpillar)") {
+    // a 2-regular path peels one layer per END per round — a long cascade
+    // that exercises MANY blocks of the distributed loop (the fixtures
+    // above fall under the local-endgame cutoff after round 0, so this
+    // pins the block loop's fixpoint logic specifically)
+    val es = (1L until 30L).map(i => (i, i + 1))
+    assert(Graph.kCore(edgeDf(es), 2, localCutoff = 0L).count() == 0L)
+    // and a cycle (its own 2-core) survives the same deep-block path
+    val cyc = es ++ Seq((30L, 1L))
+    val got = Graph.kCore(edgeDf(cyc), 2, localCutoff = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 30L).map(_ -> 2L).toMap)
   }
 
   test("q_kcore oracle unroll covers the fixture's peel depth with margin") {

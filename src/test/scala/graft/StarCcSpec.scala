@@ -31,14 +31,25 @@ class StarCcSpec extends SparkSuite {
     n.map(x => x -> find(x)).toMap
   }
 
+  /** Runs BOTH execution strategies — all-distributed star contraction
+    * (localCutoff = 0) and the single-task union-find endgame (default
+    * cutoff, which these fixtures always fall under) — and asserts they
+    * agree, so every scenario in this suite pins the local ≡ distributed
+    * equivalence as well as the expected labels.
+    */
   private def run(n: Seq[Long], e: Seq[(Long, Long)]): Map[Long, Long] = {
     val s = spark
     import s.implicits._
     val nodes = n.toDF("id")
     val edges = if (e.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
       else e.toDF("src", "dst")
-    Graph.connectedComponents(nodes, edges)
+    val distributed = Graph.connectedComponents(nodes, edges, localCutoff = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Graph.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == distributed,
+      "single-task union-find endgame diverged from distributed star contraction")
+    distributed
   }
 
   test("500-hop chain with shuffled ids: far past propagation's 50-round cap") {
