@@ -579,8 +579,15 @@ object Graph {
     * Output: (node, hops) with hops ∈ [0, maxHops]; seeds are hop 0 even
     * when isolated; unreached nodes are absent (membership = reachability,
     * same contract as [[kCore]]).
+    *
+    * `localCutoff`: when adjacency + seeds fit one task (≤ this many
+    * rows), the whole walk runs inside a single executor task — the same
+    * endgame rationale, and measured numbers, as [[kCore]]'s: per-round
+    * cluster-wide barriers dwarf kilobyte-sized frontier data. 0 forces
+    * the all-distributed path.
     */
-  def bfsHops(seeds: DataFrame, edges: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(seeds: DataFrame, edges: DataFrame, maxHops: Int,
+      localCutoff: Long = 1L << 20): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50, s"maxHops must be in [1,50], got $maxHops")
     val e = edges
       .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
@@ -588,8 +595,11 @@ object Graph {
     val bi = e.select(col("x").as("u"), col("y").as("v"))
       .union(e.select(col("y").as("u"), col("x").as("v")))
       .distinct().localCheckpoint(false)
-    var dist = seeds.select(col("id").cast("long").as("node")).distinct()
-      .withColumn("hops", lit(0)).localCheckpoint()
+    val seedsN = seeds.select(col("id").cast("long").as("node")).distinct()
+      .localCheckpoint(false)
+    if (localCutoff > 0 && bi.count() + seedsN.count() <= localCutoff)
+      return localBfs(seedsN, bi, maxHops)
+    var dist = seedsN.withColumn("hops", lit(0)).localCheckpoint()
     var frontier = dist.select("node")
     var h = 1
     var exhausted = false
@@ -612,6 +622,43 @@ object Graph {
     dist
   }
 
+  /** The BFS endgame on a coalesced single partition: seeds and adjacency
+    * arrive as one tagged frame (no driver collect), the level walk runs
+    * in-memory in one executor task. Identical output: BFS hop distance
+    * is unique, and the tie-free level schedule matches the distributed
+    * frontier rounds exactly.
+    */
+  private def localBfs(seedsN: DataFrame, bi: DataFrame, maxHops: Int): DataFrame = {
+    val spark = bi.sparkSession
+    import spark.implicits._
+    val tagged = bi.select(lit(1L).as("t"), col("u"), col("v"))
+      .unionByName(seedsN.select(lit(0L).as("t"), col("node").as("u"), lit(0L).as("v")))
+    tagged.as[(Long, Long, Long)].coalesce(1).mapPartitions { it =>
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      val seedBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach { case (t, u, v) =>
+        if (t == 0L) seedBuf += u
+        else adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty[Long]) += v
+      }
+      val dist = scala.collection.mutable.HashMap.empty[Long, Int]
+      var frontier = seedBuf.toArray
+      frontier.foreach(s => dist.update(s, 0))
+      var h = 1
+      while (h <= maxHops && frontier.nonEmpty) {
+        val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+        frontier.foreach { u =>
+          adj.getOrElse(u, Nil).foreach { v =>
+            if (!dist.contains(v)) { dist.update(v, h); next += v }
+          }
+        }
+        frontier = next.toArray
+        h += 1
+      }
+      dist.iterator
+    }.toDF("node", "hops")
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007), the linear-time
     * community-detection primitive: every node starts labeled with its own
     * id; each round it adopts the most frequent label among its neighbors,
@@ -631,8 +678,14 @@ object Graph {
     *
     * Output: (node, label) for every node in the edge set after exactly
     * `rounds` rounds; isolated nodes are absent (no neighbors to vote).
+    *
+    * `localCutoff`: adjacency sets this small run all rounds inside one
+    * executor task — same endgame rationale as [[kCore]]. The synchronous
+    * schedule is deterministic, so the local replay is bit-identical.
+    * 0 forces the all-distributed path.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      localCutoff: Long = 1L << 20): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1,20], got $rounds")
     val und = edges
       .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
@@ -642,6 +695,7 @@ object Graph {
     val bi = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(false)
+    if (localCutoff > 0 && bi.count() <= localCutoff) return localLpa(bi, rounds)
     var lab = bi.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (i <- 1 to rounds) {
@@ -656,6 +710,42 @@ object Graph {
       if (i % 4 == 0 && i < rounds) lab = lab.localCheckpoint(false)
     }
     lab
+  }
+
+  /** The LPA endgame on a coalesced single partition: the identical
+    * synchronous snapshot-update schedule replayed in-memory in one
+    * executor task (not a driver collect) — deterministic, so
+    * bit-identical to the distributed rounds.
+    */
+  private def localLpa(bi: DataFrame, rounds: Int): DataFrame = {
+    val spark = bi.sparkSession
+    import spark.implicits._
+    bi.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      it.foreach { case (u, v) =>
+        adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty[Long]) += v
+      }
+      var lab = scala.collection.mutable.HashMap.empty[Long, Long]
+      adj.keysIterator.foreach(n => lab.update(n, n))
+      for (_ <- 1 to rounds) {
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        adj.foreach { case (u, nbrs) =>
+          val cnt = scala.collection.mutable.HashMap.empty[Long, Int]
+          nbrs.foreach { v =>
+            val l = lab(v); cnt.update(l, cnt.getOrElse(l, 0) + 1)
+          }
+          var bestC = -1
+          var bestL = Long.MaxValue
+          cnt.foreach { case (l, c) =>
+            if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+          }
+          next.update(u, bestL)
+        }
+        lab = next
+      }
+      lab.iterator
+    }.toDF("node", "label")
   }
 
   /** The oracle's unrolled twin of one LPA round (same generated-rounds

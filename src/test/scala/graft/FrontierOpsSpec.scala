@@ -54,13 +54,28 @@ class FrontierOpsSpec extends SparkSuite {
     lab
   }
 
-  private def bfsMap(seeds: Seq[Long], es: Seq[(Long, Long)], cap: Int): Map[Long, Int] =
-    Graph.bfsHops(seedDf(seeds), edgeDf(es), cap).collect()
+  /** Both runners execute BOTH strategies — the all-distributed rounds
+    * (localCutoff = 0) and the single-task endgame (default cutoff, which
+    * these fixtures always fall under) — and assert agreement, so every
+    * scenario pins the local ≡ distributed equivalence too.
+    */
+  private def bfsMap(seeds: Seq[Long], es: Seq[(Long, Long)], cap: Int): Map[Long, Int] = {
+    val dist = Graph.bfsHops(seedDf(seeds), edgeDf(es), cap, localCutoff = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val local = Graph.bfsHops(seedDf(seeds), edgeDf(es), cap).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(local == dist, "single-task BFS endgame diverged from distributed rounds")
+    dist
+  }
 
-  private def lpaMap(es: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
-    Graph.labelPropagation(edgeDf(es), rounds).collect()
+  private def lpaMap(es: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val dist = Graph.labelPropagation(edgeDf(es), rounds, localCutoff = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Graph.labelPropagation(edgeDf(es), rounds).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, "single-task LPA endgame diverged from distributed rounds")
+    dist
+  }
 
   test("bfs golden: chain with cap — hops count up, nodes past the cap absent") {
     val es = (1L until 10L).map(i => (i, i + 1)) // 1-2-...-10
