@@ -242,7 +242,13 @@ object Bench {
       // round 11: the graph rows on the SKEWED-DEGREE fixture tables
       // (zipf part/supplier popularity — the sf fixtures are near-uniform,
       // so the hub pre-filter's routing had no standing regression row)
-      "q_triangles", "q_pagerank")
+      "q_triangles", "q_pagerank",
+      // round 13: the new copurchase-riding iterative ops (peel, LPA) and
+      // the wedge-sharing coefficient — all route hubs through the same
+      // minShared prefilter, so skew is their design axis too (q_bfs_hops
+      // and q_connected_components read customer/events, which the zipf
+      // fixture does not generate — their skew path is q_kcore's)
+      "q_kcore", "q_label_prop", "q_clustering_coef")
     val zipfResults: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_ZIPF").contains("0")) Seq.empty
       else try {

@@ -71,6 +71,14 @@ object SuiteScale {
       "q_ab_test" -> Seq("events"),
       "q_ann_ivfpq" -> Seq("embeddings"),
       "q_benford" -> Seq("orders"),
+      "q_bfs_hops" -> Seq("customer", "lineitem", "orders"),
+      "q_clustering_coef" -> Seq("lineitem", "orders"),
+      "q_connected_components" -> Seq("events"),
+      "q_dbscan" -> Seq("embeddings"),
+      "q_dbscan_blocked" -> Seq("embeddings"),
+      "q_geo_radius_join" -> Seq("events"),
+      "q_kcore" -> Seq("lineitem", "orders"),
+      "q_label_prop" -> Seq("lineitem", "orders"),
       "q_contrastive_pairs" -> Seq("documents"),
       "q_dedup_embedding" -> Seq("embeddings"),
       "q_pagerank" -> Seq("lineitem", "orders"),
