@@ -3,14 +3,64 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe: decompose q_kcore's cost into (a) the minShared=3 co-purchase
-  * edge build and (b) the peel given materialized edges, with per-block
+/** Dev probe: decompose q_kcore's cost into (a) the co-purchase edge
+  * build and (b) the peel given materialized edges, with per-block
   * wall time and surviving edge counts — so tuning lands where the time is.
-  * Usage: runMain graft.KcoreProbe <sfDir>
+  * Usage: runMain graft.KcoreProbe <sfDir> [minShared] [k]
   */
 object KcoreProbe {
+
+  /** `runMain graft.KcoreProbe synth <nNodes> <nEdges> <k>`: A/B the
+    * local-endgame switchover against the all-distributed peel on a
+    * deterministic near-critical random graph — the regime where the
+    * DISTRIBUTED blocks genuinely run first (every parquet fixture's
+    * co-purchase projection lands under the cutoff immediately), then
+    * verifies both strategies return identical cores.
+    */
+  private def synthMain(args: Array[String]): Unit = {
+    val n = args(1).toLong
+    val m = args(2).toLong
+    val k = args(3).toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val edges = spark.range(m).selectExpr(
+        s"pmod(xxhash64(id, 'src'), ${n}L) AS src",
+        s"pmod(xxhash64(id, 'dst'), ${n}L) AS dst")
+      .localCheckpoint()
+    println(s"[kcoreprobe] synth n=$n m=${edges.count()} k=$k")
+    def run(tag: String, cutoff: Long): org.apache.spark.sql.DataFrame = {
+      val t0 = System.nanoTime()
+      val res = graft.operators.Graph.kCore(edges, k, localCutoff = cutoff)
+        .localCheckpoint()
+      val rows = res.count()
+      println(f"[kcoreprobe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s, core nodes=$rows")
+      res
+    }
+    // order is flippable (arg 5 = "mixedfirst") — the first arm in a
+    // fresh JVM pays codegen/warmup, so a one-order read is biased
+    val flip = args.length > 4 && args(4) == "mixedfirst"
+    val (dist, mixed) = if (flip) {
+      val m2 = run("mixed (cutoff=2^20)", 1L << 20)
+      (run("all-distributed (cutoff=0)", 0L), m2)
+    } else {
+      val d = run("all-distributed (cutoff=0)", 0L)
+      (d, run("mixed (cutoff=2^20)", 1L << 20))
+    }
+    val diff = dist.unionByName(mixed).distinct().count() - dist.count()
+    println(s"[kcoreprobe] strategy disagreement rows: $diff (0 = identical)")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("synth")) { synthMain(args); return }
     val sfDir = args(0)
+    val minShared = if (args.length > 1) args(1).toLong else 3L
+    val kArg = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -26,13 +76,13 @@ object KcoreProbe {
       .join(Tables(spark, sfDir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
       .localCheckpoint(false)
-    val eb = graft.operators.Graph.copurchaseEdges(cp, minShared = 3)
+    val eb = graft.operators.Graph.copurchaseEdges(cp, minShared = minShared)
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct().localCheckpoint()
     var eCnt = eb.count()
-    println(f"[kcoreprobe] edge_build ${(System.nanoTime() - t0) / 1e9}%.2f s, edges=$eCnt")
+    println(f"[kcoreprobe] edge_build (minShared=$minShared) ${(System.nanoTime() - t0) / 1e9}%.2f s, edges=$eCnt")
 
-    val k = 3
+    val k = kArg
     var e = eb
     var round = 0
     var converged = false
