@@ -60,6 +60,62 @@ object Graph {
     pr.select(col("node"), col("r").as("rank"))
   }
 
+  /** Personalized PageRank (random walk with restart): identical damped
+    * rounds to [[pageRank]], but the 15% teleport mass lands ONLY on the
+    * `seeds` — so rank measures PROXIMITY to the seed set rather than
+    * global centrality. This is the classic risk-diffusion score
+    * ("how close is this account to the confirmed-fraud population,
+    * weighted over ALL walk lengths"), the smooth complement to
+    * [[bfsHops]]' hard hop cutoff. Same scaled-integer arithmetic, same
+    * bit-identical-under-any-partitioning argument; pr₀ = scale on seeds,
+    * 0 elsewhere. Seeds never seen in the edge set still hold their
+    * teleport mass (they are unioned into the node frame); rank 0 rows
+    * (never reached) are kept — absence vs zero is the caller's policy.
+    * Output: (node, rank).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = Scale): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    val sd = seeds.select(col("id").cast("long").as("node")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(sd)
+      .distinct()
+      .join(sd.withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("is_seed"))
+      .localCheckpoint(false)
+    val eod = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .localCheckpoint(false)
+    var pr = nodes.withColumn("r", col("is_seed") * lit(scale))
+    for (i <- 1 to iters) {
+      val contribs = pr.join(eod, pr("node") === eod("src"))
+        .select(col("dst").as("node"), expr("r div od").as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      pr = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (col("is_seed") * lit(scale * 15 / 100) +
+            expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("r"))
+      if (i % 4 == 0 && i < iters) pr = pr.localCheckpoint(false)
+    }
+    pr.select(col("node"), col("r").as("rank"))
+  }
+
+  /** The oracle's unrolled twin of one [[personalizedPageRank]] round —
+    * [[prRoundSql]] with the teleport term gated on seed membership.
+    */
+  private def pprRoundSql(i: Int, scale: Long): String =
+    s"""pr$i AS (
+       |  SELECT n.node,
+       |    CAST(n.is_seed * ${scale * 15 / 100} + (85 * CAST(coalesce(c.m, 0) AS BIGINT)) // 100 AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, sum(p.r // o.od) AS m
+       |    FROM pr${i - 1} p JOIN e ON e.src = p.node JOIN od o ON o.src = p.node
+       |    GROUP BY e.dst
+       |  ) c ON c.node = n.node
+       |)""".stripMargin
+
   /** The oracle's unrolled twin of one Spark round (DuckDB lacks a clean
     * way to reference a recursive CTE twice per step, so a FIXED iteration
     * count unrolls into chained CTEs — generated, not hand-copied, so the
@@ -787,6 +843,48 @@ object Graph {
            |pr0 AS (SELECT node, CAST($Scale AS BIGINT) AS r FROM nodes)""".stripMargin) ++
         (1 to 5).map(prRoundSql(_, Scale))).mkString(",\n") +
         "\nSELECT node, r AS rank FROM pr5 ORDER BY node"),
+    ),
+
+    // Personalized PageRank from the nation-0 customers over the
+    // BIDIRECTIONAL purchase graph (cust ↔ supplier, supplier ids offset
+    // into their own range like q_pagerank): mass walks customer →
+    // supplier → other customers, so the rank is a fraud-proximity score
+    // over all walk lengths — the smooth risk feature next to
+    // q_bfs_hops' hard 3-hop cutoff. 4 rounds, scaled-integer exact.
+    GraftQuery(
+      "q_ppr",
+      (s, dir) => {
+        val cs = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey").cast("long") + lit(10000000L)).as("sp"))
+          .distinct()
+        val edges = cs.select(col("c").as("src"), col("sp").as("dst"))
+          .unionByName(cs.select(col("sp").as("src"), col("c").as("dst")))
+        val seeds = Tables(s, dir, "customer")
+          .filter(col("c_nationkey") === 0)
+          .select(col("c_custkey").as("id"))
+        personalizedPageRank(edges, seeds, iters = 4).orderBy("node")
+      },
+      Some((Seq(
+        s"""WITH cs AS (
+           |  SELECT DISTINCT o_custkey AS c, CAST(l_suppkey AS BIGINT) + 10000000 AS sp
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |),
+           |e AS (SELECT c AS src, sp AS dst FROM cs
+           |      UNION SELECT sp, c FROM cs),
+           |sd AS (SELECT c_custkey AS node FROM customer WHERE c_nationkey = 0),
+           |nodes AS (
+           |  SELECT node, max(s) AS is_seed FROM (
+           |    SELECT src AS node, 0 AS s FROM e
+           |    UNION ALL SELECT dst, 0 FROM e
+           |    UNION ALL SELECT node, 1 FROM sd)
+           |  GROUP BY node),
+           |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+           |pr0 AS (SELECT node, CAST(is_seed * $Scale AS BIGINT) AS r FROM nodes)""".stripMargin) ++
+        (1 to 4).map(pprRoundSql(_, Scale))).mkString(",\n") +
+        "\nSELECT node, r AS rank FROM pr4 ORDER BY node"),
     ),
 
     // Triangle counts over the customer co-purchase graph (edge = two

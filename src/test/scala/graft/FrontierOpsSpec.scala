@@ -149,6 +149,73 @@ class FrontierOpsSpec extends SparkSuite {
     }
   }
 
+  private def serialPpr(es: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+      scale: Long = Graph.Scale): Map[Long, Long] = {
+    val e = es.distinct
+    val nodes = (e.flatMap(x => Seq(x._1, x._2)) ++ seeds).distinct
+    val od = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    var pr: Map[Long, Long] = nodes.map(n => n -> (if (seeds(n)) scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val m = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _) => pr(s) / od(s) }.sum
+      }
+      pr = nodes.map(n =>
+        n -> ((if (seeds(n)) scale * 15 / 100 else 0L) + 85 * m.getOrElse(n, 0L) / 100)).toMap
+    }
+    pr
+  }
+
+  private def pprMap(es: Seq[(Long, Long)], seeds: Seq[Long], iters: Int): Map[Long, Long] =
+    Graph.personalizedPageRank(edgeDf(es), seedDf(seeds), iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("ppr golden: hand-computed two rounds on a seeded path") {
+    // path 1-2-3 (bidirectional edges fed explicitly), seed {1}, S = scale:
+    //   pr0 = (S, 0, 0); od = (1, 2, 1)
+    //   r1:  1 → 0.15S;          2 → 0.85·S;        3 → 0
+    //   r2:  1 → 0.15S + 0.85·(0.85S/2) = 0.51125S
+    //        2 → 0.85·0.15S = 0.1275S   (teleport only reaches seeds)
+    //        3 → 0.85·(0.85S/2) = 0.36125S
+    // (rank ORDER oscillates with round parity on a path — only the exact
+    // values are a stable contract)
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val got = pprMap(es, Seq(1L), 2)
+    assert(got == serialPpr(es, Set(1L), 2))
+    assert(got == Map(1L -> 511250000000L, 2L -> 127500000000L, 3L -> 361250000000L))
+  }
+
+  test("ppr: isolated seed keeps exactly the teleport mass; unreachable node is 0") {
+    val es = Seq((1L, 2L), (2L, 1L))
+    val got = pprMap(es, Seq(1L, 99L), 3)
+    assert(got(99L) == Graph.Scale * 15 / 100)
+    val got2 = pprMap(es ++ Seq((5L, 6L), (6L, 5L)), Seq(1L), 3)
+    assert(got2(5L) == 0L && got2(6L) == 0L)
+  }
+
+  test("ppr with every node seeded equals plain pageRank (same rounds)") {
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val allNodes = es.flatMap(x => Seq(x._1, x._2)).distinct
+    val ppr = pprMap(es, allNodes, 4)
+    val pr = Graph.pageRank(edgeDf(es), 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == pr)
+  }
+
+  test("ppr matches the serial reference on a seeded random graph, any partitioning") {
+    val rnd = new scala.util.Random(5)
+    val es = Seq.fill(300)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val seeds = Seq(0L, 7L, 13L)
+    val ref = serialPpr(es, seeds.toSet, 4)
+    assert(pprMap(es, seeds, 4) == ref)
+    val got = Graph.personalizedPageRank(
+        edgeDf(es).repartition(13), seedDf(seeds).repartition(5), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
+
   test("lpa hygiene: self-loops and duplicate edges don't add votes") {
     // duplicate (1,2) must not double 2's vote at node 1: with nbrs
     // {2 (dup), 3}, a doubled vote would elect 2 over the true tie-min
