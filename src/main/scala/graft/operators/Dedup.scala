@@ -1063,7 +1063,8 @@ object Dedup {
     * surface in the output, and on its first round the convergence count
     * (an inner join of consecutive label tables) would silently skip it.
     */
-  def clusterPairs(ids: DataFrame, pairs: DataFrame): DataFrame = {
+  def clusterPairs(ids: DataFrame, pairs: DataFrame,
+      localCutoff: Long = 1L << 20): DataFrame = {
     val nodeIds = ids.select(col("doc_id").cast("long").as("id"))
     // localCheckpoint truncates lineage each round — without it the plan
     // doubles per iteration and the final result replays the whole loop
@@ -1073,6 +1074,19 @@ object Dedup {
       .join(nodeIds.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(nodeIds.select(col("id").as("b")), Seq("b"), "left_semi")
       .localCheckpoint()
+    // Single-task endgame when the pair set fits one task — the same
+    // rationale, and the same union-by-minimum union-find, as
+    // [[Graph.connectedComponents]]'s (labels = component minimum either
+    // way); 0 forces the all-distributed propagation rounds.
+    if (localCutoff > 0 && edges.count() <= localCutoff) {
+      val star = Graph.localUnionFind(edges)
+        .select(col("hi").as("id"), col("lo").as("c"))
+      val w0 = Window.partitionBy("canonical_id")
+      return nodeIds.join(star, Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("c"), col("id")).as("canonical_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w0))
+    }
     var labels = nodeIds
       .withColumn("lab", col("id"))
       .localCheckpoint()

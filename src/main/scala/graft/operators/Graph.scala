@@ -429,7 +429,7 @@ object Graph {
     * the same star representation the distributed fixpoint converges to:
     * (hi = member, lo = component minimum) for every non-root member.
     */
-  private def localUnionFind(e: DataFrame): DataFrame = {
+  private[operators] def localUnionFind(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     e.as[(Long, Long)].coalesce(1).mapPartitions { it =>

@@ -228,7 +228,12 @@ class EdgeCaseSpec extends SparkSuite {
     val prop = Prop.forAll(edgeGen) { edges =>
       val ids = (1L to n.toLong).toDF("doc_id")
       val pairs = edges.toDF("doc_a", "doc_b")
+      // both strategies: the single-task endgame (default cutoff — these
+      // fixtures always fall under it) and the distributed propagation
+      // rounds (cutoff 0)
       val got = Dedup.clusterPairs(ids, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotDist = Dedup.clusterPairs(ids, pairs, localCutoff = 0L).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       // reference union-find
       val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
@@ -238,7 +243,7 @@ class EdgeCaseSpec extends SparkSuite {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val exp = (1L to n.toLong).map(i => i -> find(i)).toMap
-      got == exp
+      got == exp && gotDist == exp
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
