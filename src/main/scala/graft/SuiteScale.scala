@@ -83,6 +83,7 @@ object SuiteScale {
       "q_dedup_embedding" -> Seq("embeddings"),
       "q_pagerank" -> Seq("lineitem", "orders"),
       "q_ppr" -> Seq("customer", "lineitem", "orders"),
+      "q_weighted_pagerank" -> Seq("lineitem", "orders"),
       "q_semantic_dedup" -> Seq("embeddings"),
       "q_setsim_prefix" -> Seq("documents"),
       "q_setsim_topk" -> Seq("documents"),

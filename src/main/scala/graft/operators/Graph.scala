@@ -60,6 +60,60 @@ object Graph {
     pr.select(col("node"), col("r").as("rank"))
   }
 
+  /** Weighted PageRank: [[pageRank]]'s damped rounds with each edge
+    * carrying a positive INTEGER weight — a node's rank splits over its
+    * out-edges proportionally to weight instead of uniformly, so a
+    * supplier that received 40 of a customer's 50 purchases absorbs 80%
+    * of that customer's mass. Parallel edges are summed on entry.
+    *
+    * The per-edge contribution floor(r·w / W) is computed as
+    * `(r div W)·w + ((r mod W)·w) div W` — algebraically the same floor
+    * (split r = (r div W)·W + r mod W), but overflow-safe where the
+    * naive r·w product is not: the first term is ≤ r, and the second
+    * multiplies two values each < W, so both stay far inside BIGINT for
+    * any W ≤ ~3e9. The oracle replicates the identical two-term form, so
+    * the result is engine- and partitioning-exact like the other
+    * scaled-integer graph ops. Output: (node, rank).
+    */
+  def weightedPageRank(edges: DataFrame, iters: Int, scale: Long = Scale): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(false)
+    val eW = e.join(e.groupBy("src").agg(sum("w").as("tw")), "src")
+      .localCheckpoint(false)
+    var pr = nodes.withColumn("r", lit(scale))
+    for (i <- 1 to iters) {
+      val contribs = pr.join(eW, pr("node") === eW("src"))
+        .select(col("dst").as("node"),
+          expr("(r div tw) * w + ((r % tw) * w) div tw").as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      pr = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(scale * 15 / 100) + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("r"))
+      if (i % 4 == 0 && i < iters) pr = pr.localCheckpoint(false)
+    }
+    pr.select(col("node"), col("r").as("rank"))
+  }
+
+  /** The oracle's unrolled twin of one [[weightedPageRank]] round — the
+    * same two-term overflow-safe floor(r·w / W).
+    */
+  private def wprRoundSql(i: Int, scale: Long): String =
+    s"""pr$i AS (
+       |  SELECT n.node,
+       |    CAST(${scale * 15 / 100} + (85 * CAST(coalesce(c.m, 0) AS BIGINT)) // 100 AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node,
+       |      sum((p.r // e.tw) * e.w + ((p.r % e.tw) * e.w) // e.tw) AS m
+       |    FROM pr${i - 1} p JOIN ew e ON e.src = p.node
+       |    GROUP BY e.dst
+       |  ) c ON c.node = n.node
+       |)""".stripMargin
+
   /** Personalized PageRank (random walk with restart): identical damped
     * rounds to [[pageRank]], but the 15% teleport mass lands ONLY on the
     * `seeds` — so rank measures PROXIMITY to the seed set rather than
@@ -843,6 +897,38 @@ object Graph {
            |pr0 AS (SELECT node, CAST($Scale AS BIGINT) AS r FROM nodes)""".stripMargin) ++
         (1 to 5).map(prRoundSql(_, Scale))).mkString(",\n") +
         "\nSELECT node, r AS rank FROM pr5 ORDER BY node"),
+    ),
+
+    // Weighted PageRank over the purchase graph: the same cust→supplier
+    // edges as q_pagerank, but each edge weighted by its lineitem
+    // multiplicity — rank concentrates on the suppliers that dominate
+    // their customers' baskets, not merely touch them. 4 rounds,
+    // two-term overflow-safe integer splits, engine-exact.
+    GraftQuery(
+      "q_weighted_pagerank",
+      (s, dir) => {
+        val ew = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("src"),
+            (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        weightedPageRank(ew, iters = 4).orderBy("node")
+      },
+      Some((Seq(
+        s"""WITH raw AS (
+           |  SELECT o_custkey AS src, CAST(l_suppkey AS BIGINT) + 10000000 AS dst,
+           |    count(*) AS w
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2),
+           |ew AS (
+           |  SELECT r.src, r.dst, r.w, t.tw
+           |  FROM raw r JOIN (SELECT src, sum(w) AS tw FROM raw GROUP BY src) t
+           |    ON t.src = r.src),
+           |nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+           |pr0 AS (SELECT node, CAST($Scale AS BIGINT) AS r FROM nodes)""".stripMargin) ++
+        (1 to 4).map(wprRoundSql(_, Scale))).mkString(",\n") +
+        "\nSELECT node, r AS rank FROM pr4 ORDER BY node"),
     ),
 
     // Personalized PageRank from the nation-0 customers over the

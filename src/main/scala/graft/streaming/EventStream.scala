@@ -49,14 +49,31 @@ object EventStream {
     * pair, Append mode.
     */
   def intervalJoin(purchases: DataFrame, errors: DataFrame,
-      toleranceSec: Int, watermark: String): DataFrame = {
+      toleranceSec: Int, watermark: String, joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinType must be inner|left_outer, got $joinType")
     val p = purchases.withWatermark("p_ts", watermark)
     val e = errors.withWatermark("e_ts", watermark)
     p.join(e,
         p("user_id") === e("e_user") &&
         e("e_ts") >= p("p_ts") - expr(s"INTERVAL $toleranceSec SECONDS") &&
-        e("e_ts") <= p("p_ts") + expr(s"INTERVAL $toleranceSec SECONDS"))
+        e("e_ts") <= p("p_ts") + expr(s"INTERVAL $toleranceSec SECONDS"),
+        joinType)
       .select(p("user_id"), col("p_ts"), col("amount"), col("e_ts"),
         (col("e_ts").cast("long") - col("p_ts").cast("long")).as("lag_sec"))
   }
+
+  /** LEFT OUTER variant of [[intervalJoin]]: purchases with NO error in
+    * their ±tolerance window STILL emit — with null error columns — but
+    * only once the error-side watermark passes p_ts + tolerance, i.e.
+    * once absence is PROVEN rather than merely unobserved. This
+    * "cleared after the deadline" semantics (no failure surrounded the
+    * transaction) is the streaming twin of an anti-join screen, and the
+    * delayed-null emission is the state-machinery fact the spec pins:
+    * a null twin must never race ahead of a match that is still
+    * possible.
+    */
+  def intervalJoinCleared(purchases: DataFrame, errors: DataFrame,
+      toleranceSec: Int, watermark: String): DataFrame =
+    intervalJoin(purchases, errors, toleranceSec, watermark, "left_outer")
 }

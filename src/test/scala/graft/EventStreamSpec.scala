@@ -99,4 +99,38 @@ class EventStreamSpec extends SparkSuite {
       assert(stillJust2 == 2, "late error matched an evicted purchase")
     } finally q.stop()
   }
+
+  test("left-outer interval join: unmatched purchases emit null twins only after absence is proven") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pIn = MemoryStream[Pur]
+    val eIn = MemoryStream[Err]
+    val q = EventStream.intervalJoinCleared(pIn.toDF(), eIn.toDF(),
+        toleranceSec = 120, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("cleared").outputMode(OutputMode.Append).start()
+    try {
+      // u1 gets a match; u2 gets none — but u2's null twin may NOT appear
+      // until the error-side watermark passes 10:00 + tolerance
+      pIn.addData(Pur(1, ts("2026-01-01 10:00:00"), 42.0), Pur(2, ts("2026-01-01 10:00:00"), 7.0))
+      eIn.addData(Err(1, ts("2026-01-01 10:01:00")))
+      q.processAllAvailable()
+      val early = spark.table("cleared").collect()
+      assert(early.forall(r => !r.isNullAt(3)),
+        s"null twin emitted before absence was proven: ${early.mkString(";")}")
+      // advance BOTH watermarks well past 10:02 (+tolerance) and flush
+      pIn.addData(Pur(9, ts("2026-01-01 11:00:00"), 1.0))
+      eIn.addData(Err(9, ts("2026-01-01 11:00:00")))
+      q.processAllAvailable()
+      pIn.addData(Pur(9, ts("2026-01-01 12:00:00"), 1.0))
+      eIn.addData(Err(9, ts("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("cleared")
+        .filter("user_id IN (1, 2)")
+        .collect().map(r => (r.getLong(0), r.isNullAt(3)))
+      assert(rows.toSet == Set((1L, false), (2L, true)),
+        s"expected u1 matched + u2 cleared-null, got ${rows.mkString(";")}")
+      assert(rows.length == 2, "matched purchase must not also emit a null twin")
+    } finally q.stop()
+  }
 }

@@ -216,6 +216,69 @@ class FrontierOpsSpec extends SparkSuite {
     assert(got == ref)
   }
 
+  private def serialWpr(es: Seq[(Long, Long, Long)], iters: Int,
+      scale: Long = Graph.Scale): Map[Long, Long] = {
+    val e = es.filter(_._3 > 0).groupBy(x => (x._1, x._2))
+      .map { case ((s, d), xs) => (s, d, xs.map(_._3).sum) }.toSeq
+    val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct
+    val tw = e.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    var pr: Map[Long, Long] = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val m = e.groupBy(_._2).map { case (d, in) =>
+        d -> in.map { case (s, _, w) =>
+          val t = tw(s); (pr(s) / t) * w + ((pr(s) % t) * w) / t
+        }.sum
+      }
+      pr = nodes.map(n => n -> (scale * 15 / 100 + 85 * m.getOrElse(n, 0L) / 100)).toMap
+    }
+    pr
+  }
+
+  private def wprMap(es: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.weightedPageRank(es.toDF("src", "dst", "w"), iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("weighted pagerank golden: mass splits by weight, one hand-computed round") {
+    // 1 →(w=4)→ 2, 1 →(w=1)→ 3: tw(1) = 5, S = scale
+    //   r1(2) = 0.15S + 0.85·(S·4/5) = 0.15S + 0.68S = 0.83S
+    //   r1(3) = 0.15S + 0.85·(S/5)   = 0.15S + 0.17S = 0.32S
+    //   r1(1) = 0.15S (no in-edges)
+    val got = wprMap(Seq((1L, 2L, 4L), (1L, 3L, 1L)), 1)
+    assert(got == Map(1L -> 150000000000L, 2L -> 830000000000L, 3L -> 320000000000L))
+    assert(got == serialWpr(Seq((1L, 2L, 4L), (1L, 3L, 1L)), 1))
+  }
+
+  test("weighted pagerank with uniform weights equals plain pageRank") {
+    // with w = 1 the two-term split degenerates to r div od exactly
+    // ((r mod od)·1 div od = 0), so the rounds are bit-identical
+    val rnd = new scala.util.Random(3)
+    val es = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val wpr = wprMap(es.map { case (a, b) => (a, b, 1L) }, 4)
+    val pr = Graph.pageRank(edgeDf(es), 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wpr == pr)
+  }
+
+  test("weighted pagerank: parallel edges sum; serial reference; partition invariance") {
+    // duplicate (1,2) rows must behave as one w=5 edge
+    assert(wprMap(Seq((1L, 2L, 2L), (1L, 2L, 3L), (1L, 3L, 5L)), 2) ==
+      serialWpr(Seq((1L, 2L, 5L), (1L, 3L, 5L)), 2))
+    val rnd = new scala.util.Random(17)
+    val es = Seq.fill(250)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+      (rnd.nextInt(9) + 1).toLong)).filter(x => x._1 != x._2)
+    val ref = serialWpr(es, 4)
+    assert(wprMap(es, 4) == ref)
+    val s = spark
+    import s.implicits._
+    val got = Graph.weightedPageRank(es.toDF("src", "dst", "w").repartition(13), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
+
   test("lpa hygiene: self-loops and duplicate edges don't add votes") {
     // duplicate (1,2) must not double 2's vote at node 1: with nbrs
     // {2 (dup), 3}, a doubled vote would elect 2 over the true tie-min
