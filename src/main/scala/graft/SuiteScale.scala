@@ -76,7 +76,9 @@ object SuiteScale {
       "q_connected_components" -> Seq("events"),
       "q_dbscan" -> Seq("embeddings"),
       "q_dbscan_blocked" -> Seq("embeddings"),
+      "q_geo_knn" -> Seq("events"),
       "q_geo_radius_join" -> Seq("events"),
+      "q_hits" -> Seq("lineitem", "orders"),
       "q_kcore" -> Seq("lineitem", "orders"),
       "q_label_prop" -> Seq("lineitem", "orders"),
       "q_contrastive_pairs" -> Seq("documents"),

@@ -60,6 +60,113 @@ object Graph {
     pr.select(col("node"), col("r").as("rank"))
   }
 
+  /** HITS scale: 1e6, deliberately SMALLER than [[Scale]]. Each round
+    * multiplies a raw mutual-reinforcement sum (≤ N·HitsScale) by
+    * HitsScale before the normalizing floor division, so the product is
+    * bounded by N·HitsScale² — at 1e6 that holds to N = 9e6 inside
+    * BIGINT; at 1e12 it would overflow immediately. Six digits of score
+    * resolution is the trade, documented rather than silent.
+    */
+  val HitsScale: Long = 1000000L
+
+  /** HITS (Kleinberg 1999): hubs point at good authorities, authorities
+    * are pointed at by good hubs — the mutual-reinforcement pair that
+    * separates "big buyers" from "dominant suppliers" on a purchase
+    * graph where one PageRank score conflates the two roles. Each round:
+    * auth_raw(v) = Σ hub over in-edges, renormalized to max = HitsScale
+    * by integer floor division against the round's global maximum (a
+    * 1-row aggregate broadcast back into the plan — the normalization
+    * every HITS needs to keep values from exploding, made engine-exact
+    * by doing it in integers); then hubs from the fresh authorities the
+    * same way. Fixed `iters` + synchronous updates ⇒ deterministic
+    * under any partitioning, and the oracle replays the identical
+    * rounds. Output: (node, hub, auth), each in [0, HitsScale]; a pure
+    * source has auth 0, a pure sink hub 0.
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long = HitsScale,
+      localCutoff: Long = 1L << 20): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    // single-task endgame, same rationale as [[kCore]]'s — and HITS has
+    // the strongest case: each round pays TWO global-max barriers on top
+    // of the joins, all for per-round data that fits one task
+    if (localCutoff > 0 && e.count() <= localCutoff)
+      return localHits(e, iters, scale)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(false)
+    var st = nodes.select(col("node"), lit(scale).as("h"), lit(0L).as("a"))
+    for (i <- 1 to iters) {
+      val aRaw = e.join(st, e("src") === st("node"))
+        .groupBy(e("dst").as("n")).agg(sum("h").as("raw"))
+      val aMax = aRaw.agg(greatest(max("raw"), lit(1L)).as("mx"))
+      val aNew = nodes.join(aRaw, nodes("node") === aRaw("n"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("node"),
+          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $scale) div mx").as("a"))
+      val hRaw = e.join(aNew, e("dst") === aNew("node"))
+        .groupBy(e("src").as("n")).agg(sum("a").as("raw"))
+      val hMax = hRaw.agg(greatest(max("raw"), lit(1L)).as("mx"))
+      st = nodes.join(hRaw, nodes("node") === hRaw("n"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("node"),
+          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $scale) div mx").as("h"))
+        .join(aNew.select(col("node"), col("a")), Seq("node"))
+      if (i % 2 == 0 && i < iters) st = st.localCheckpoint(false)
+    }
+    st.select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+
+  /** The HITS endgame on a coalesced single partition: the identical
+    * synchronous integer rounds replayed in one executor task (not a
+    * driver collect) — deterministic, so bit-identical.
+    */
+  private def localHits(e: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val es = it.toArray
+      val nodes = es.flatMap(x => Array(x._1, x._2)).distinct
+      var h = scala.collection.mutable.HashMap(nodes.map(_ -> scale): _*)
+      var a = scala.collection.mutable.HashMap(nodes.map(_ -> 0L): _*)
+      for (_ <- 1 to iters) {
+        val ar = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (s, d) => ar.update(d, ar.getOrElse(d, 0L) + h(s)) }
+        val am = math.max(if (ar.isEmpty) 0L else ar.valuesIterator.max, 1L)
+        a = scala.collection.mutable.HashMap(
+          nodes.map(n => n -> ar.getOrElse(n, 0L) * scale / am): _*)
+        val hr = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (s, d) => hr.update(s, hr.getOrElse(s, 0L) + a(d)) }
+        val hm = math.max(if (hr.isEmpty) 0L else hr.valuesIterator.max, 1L)
+        h = scala.collection.mutable.HashMap(
+          nodes.map(n => n -> hr.getOrElse(n, 0L) * scale / hm): _*)
+      }
+      nodes.iterator.map(n => (n, h(n), a(n)))
+    }.toDF("node", "hub", "auth")
+  }
+
+  /** The oracle's unrolled twin of one [[hits]] round: the same integer
+    * max-normalization via scalar subqueries.
+    */
+  private def hitsRoundSql(i: Int, scale: Long): String =
+    s"""ar$i AS (
+       |  SELECT e.dst AS n, sum(s.h) AS raw
+       |  FROM e JOIN st${i - 1} s ON s.node = e.src GROUP BY e.dst),
+       |a$i AS (
+       |  SELECT n.node,
+       |    CAST((coalesce(r.raw, 0) * $scale)
+       |      // greatest((SELECT max(raw) FROM ar$i), 1) AS BIGINT) AS a
+       |  FROM nodes n LEFT JOIN ar$i r ON r.n = n.node),
+       |hr$i AS (
+       |  SELECT e.src AS n, sum(a.a) AS raw
+       |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+       |st$i AS (
+       |  SELECT n.node,
+       |    CAST((coalesce(r.raw, 0) * $scale)
+       |      // greatest((SELECT max(raw) FROM hr$i), 1) AS BIGINT) AS h,
+       |    a.a
+       |  FROM nodes n LEFT JOIN hr$i r ON r.n = n.node
+       |  JOIN a$i a ON a.node = n.node)""".stripMargin
+
   /** Weighted PageRank: [[pageRank]]'s damped rounds with each edge
     * carrying a positive INTEGER weight — a node's rank splits over its
     * out-edges proportionally to weight instead of uniformly, so a
@@ -897,6 +1004,30 @@ object Graph {
            |pr0 AS (SELECT node, CAST($Scale AS BIGINT) AS r FROM nodes)""".stripMargin) ++
         (1 to 5).map(prRoundSql(_, Scale))).mkString(",\n") +
         "\nSELECT node, r AS rank FROM pr5 ORDER BY node"),
+    ),
+
+    // HITS over the purchase graph: customers are pure hubs (who buys
+    // from the dominant suppliers), suppliers pure authorities — the
+    // two-role decomposition one PageRank score conflates. 3 rounds of
+    // integer max-normalized mutual reinforcement.
+    GraftQuery(
+      "q_hits",
+      (s, dir) => {
+        val edges = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"))
+        hits(edges, iters = 3).orderBy("node")
+      },
+      Some((Seq(
+        s"""WITH e AS (
+           |  SELECT DISTINCT o_custkey AS src, CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |st0 AS (SELECT node, CAST($HitsScale AS BIGINT) AS h, CAST(0 AS BIGINT) AS a FROM nodes)""".stripMargin) ++
+        (1 to 3).map(hitsRoundSql(_, HitsScale))).mkString(",\n") +
+        "\nSELECT node, h AS hub, a AS auth FROM st3 ORDER BY node"),
     ),
 
     // Weighted PageRank over the purchase graph: the same cust→supplier

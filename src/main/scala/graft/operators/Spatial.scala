@@ -101,6 +101,22 @@ object Spatial {
       |  (event_id * 104729 % 5000) / 100.0 - 10.0 AS lon
       |FROM events""".stripMargin
 
+  /** Bounded k-nearest: the k closest right points within `radiusKm` of
+    * each left point — [[radiusJoin]] plus one per-left-point window.
+    * The radius bound is what keeps this scalable (an unbounded global
+    * kNN cannot prune candidates); ties break (dist, right_id), so the
+    * result is engine-exact on the rounded distance.
+    */
+  def knnWithin(left: DataFrame, right: DataFrame, radiusKm: Double, k: Int,
+      latCellCd: Int, lonCellCd: Int, maxAbsLatDeg: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("left_id").orderBy(col("dist_km"), col("right_id"))
+    radiusJoin(left, right, radiusKm, latCellCd, lonCellCd, maxAbsLatDeg)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // Error events paired with every purchase event within 50 km — the
@@ -126,6 +142,38 @@ object Spatial {
            |FROM err e JOIN pur p
            |  ON floor(($d) * 1e4 + 0.5) / 1e4 <= 50.0
            |ORDER BY left_id, right_id""".stripMargin
+      },
+    ),
+
+    // The 3 nearest purchases within 50 km of each error event — the
+    // "closest stores / nearest prior activity" feature join. Same
+    // blocked candidates; one window on the left key. Ties break on
+    // (rounded dist, right_id) so the cut is engine-exact.
+    GraftQuery(
+      "q_geo_knn",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").localCheckpoint(false)
+        knnWithin(eventPoints(ev, "error"), eventPoints(ev, "purchase"),
+            radiusKm = 50.0, k = 3, latCellCd = 50, lonCellCd = 100,
+            maxAbsLatDeg = 60.0)
+          .orderBy("left_id", "rk")
+      },
+      Some {
+        val d = Relational.greatCircleSql("e.lat", "e.lon", "p.lat", "p.lon")
+        s"""WITH pts AS ($pointsSql),
+           |err AS (SELECT id, lat, lon FROM pts WHERE event_type = 'error'),
+           |pur AS (SELECT id, lat, lon FROM pts WHERE event_type = 'purchase'),
+           |cand AS (
+           |  SELECT e.id AS left_id, p.id AS right_id,
+           |    floor(($d) * 1e4 + 0.5) / 1e4 AS dist_km
+           |  FROM err e JOIN pur p
+           |    ON floor(($d) * 1e4 + 0.5) / 1e4 <= 50.0),
+           |ranked AS (
+           |  SELECT *, CAST(row_number() OVER (
+           |    PARTITION BY left_id ORDER BY dist_km, right_id) AS INT) AS rk
+           |  FROM cand)
+           |SELECT left_id, right_id, dist_km, rk FROM ranked
+           |WHERE rk <= 3 ORDER BY left_id, rk""".stripMargin
       },
     ),
   )

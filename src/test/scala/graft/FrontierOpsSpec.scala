@@ -279,6 +279,67 @@ class FrontierOpsSpec extends SparkSuite {
     assert(got == ref)
   }
 
+  private def serialHits(es: Seq[(Long, Long)], iters: Int,
+      scale: Long = Graph.HitsScale): Map[Long, (Long, Long)] = {
+    val e = es.distinct
+    val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct
+    var h: Map[Long, Long] = nodes.map(_ -> scale).toMap
+    var a: Map[Long, Long] = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val ar = e.groupBy(_._2).map { case (d, in) => d -> in.map(x => h(x._1)).sum }
+      val am = math.max(if (ar.isEmpty) 0L else ar.values.max, 1L)
+      a = nodes.map(n => n -> ar.getOrElse(n, 0L) * scale / am).toMap
+      val hr = e.groupBy(_._1).map { case (s, out) => s -> out.map(x => a(x._2)).sum }
+      val hm = math.max(if (hr.isEmpty) 0L else hr.values.max, 1L)
+      h = nodes.map(n => n -> hr.getOrElse(n, 0L) * scale / hm).toMap
+    }
+    nodes.map(n => n -> ((h(n), a(n)))).toMap
+  }
+
+  /** Runs BOTH strategies (all-distributed rounds and the single-task
+    * endgame these fixtures fall under) and asserts agreement.
+    */
+  private def hitsMap(es: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val dist = Graph.hits(edgeDf(es), iters, localCutoff = 0L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val local = Graph.hits(edgeDf(es), iters).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(local == dist, "single-task HITS endgame diverged from distributed rounds")
+    dist
+  }
+
+  test("hits golden: hand-computed round on a tiny bipartite graph") {
+    // 1→A, 1→B, 2→A (A=101, B=102), S = 1e6; after round 1:
+    //   auth raw (A: 2S, B: S), max 2S → a(A)=S, a(B)=S/2
+    //   hub raw (1: 1.5S, 2: S), max 1.5S → h(1)=S, h(2)=floor(S²/1.5S)=666666
+    val es = Seq((1L, 101L), (1L, 102L), (2L, 101L))
+    val got = hitsMap(es, 1)
+    assert(got == Map(
+      1L -> ((1000000L, 0L)), 2L -> ((666666L, 0L)),
+      101L -> ((0L, 1000000L)), 102L -> ((0L, 500000L))))
+    assert(got == serialHits(es, 1))
+  }
+
+  test("hits: serial-reference equivalence on a random graph, any partitioning") {
+    val rnd = new scala.util.Random(29)
+    val es = Seq.fill(300)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (x, y) => x != y }
+    val ref = serialHits(es, 3)
+    assert(hitsMap(es, 3) == ref)
+    val got = Graph.hits(edgeDf(es).repartition(11), 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == ref)
+  }
+
+  test("hits roles: pure sources have auth 0, pure sinks hub 0, top scores hit the scale") {
+    val es = Seq((1L, 101L), (1L, 102L), (2L, 101L), (3L, 101L))
+    val got = hitsMap(es, 3)
+    assert(Seq(1L, 2L, 3L).forall(got(_)._2 == 0L), "a pure source gained authority")
+    assert(Seq(101L, 102L).forall(got(_)._1 == 0L), "a pure sink gained hubness")
+    assert(got(101L)._2 == Graph.HitsScale, "the dominant authority must sit at the scale max")
+    assert(got.values.map(_._1).max == Graph.HitsScale, "some hub must sit at the scale max")
+  }
+
   test("lpa hygiene: self-loops and duplicate edges don't add votes") {
     // duplicate (1,2) must not double 2's vote at node 1: with nbrs
     // {2 (dup), 3}, a doubled vote would elect 2 over the true tie-min
