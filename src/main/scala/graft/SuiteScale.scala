@@ -81,6 +81,7 @@ object SuiteScale {
       "q_hits" -> Seq("lineitem", "orders"),
       "q_kcore" -> Seq("lineitem", "orders"),
       "q_label_prop" -> Seq("lineitem", "orders"),
+      "q_modularity" -> Seq("lineitem", "orders"),
       "q_contrastive_pairs" -> Seq("documents"),
       "q_dedup_embedding" -> Seq("embeddings"),
       "q_pagerank" -> Seq("lineitem", "orders"),

@@ -965,6 +965,50 @@ object Graph {
     }.toDF("node", "label")
   }
 
+  /** Newman modularity of a node partition, per community, in exact
+    * integer MICROS: q_c = ⌊1e6·m_c / m⌋ − ⌊1e6·d_c² / (4m²)⌋, where m =
+    * undirected edge count, m_c = edges with both endpoints in c, d_c =
+    * total degree of c's members. The two floor divisions are the
+    * DEFINITION here (documented, engine-exact) rather than an
+    * approximation of the real-valued formula — at 1e6 resolution the
+    * difference is below any decision threshold, and exactness is what
+    * lets the oracle replay it. Σ q_c over communities is the standard
+    * partition quality Q (positive ⇒ denser-than-random communities).
+    *
+    * Inputs: `edges` (src, dst) undirected (normalized + deduped here),
+    * `labels` (node, label) covering the edge endpoints. Output:
+    * (label, n_nodes, m_in, d_tot, q_micros) per community. All joins
+    * are key-partitioned; d_c² stays inside BIGINT for d_c ≤ 3e9.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct().localCheckpoint(false)
+    val lab = labels.select(col("node"), col("label")).localCheckpoint(false)
+    val labeled = und
+      .join(lab.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+    val mIn = labeled.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("m_in"))
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    val dTot = lab.join(deg, Seq("node"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("__d"), lit(0L))).as("d_tot"))
+    val m = und.agg(count(lit(1)).as("m"))
+    dTot.join(mIn, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("m_in"), lit(0L)).as("m_in"), col("d_tot"),
+        when(col("m") > 0,
+          expr("(1000000 * coalesce(m_in, CAST(0 AS BIGINT))) div m") -
+          expr("(1000000 * d_tot * d_tot) div (4 * m * m)"))
+          .otherwise(lit(0L)).as("q_micros"))
+  }
+
   /** The oracle's unrolled twin of one LPA round (same generated-rounds
     * pattern as [[prRoundSql]]): count each neighbor label, keep the
     * argmax with min-label tie-break via a per-node max window + min.
@@ -1330,6 +1374,57 @@ object Graph {
              |       THEN (2000000 * CAST(coalesce(c.n, 0) AS BIGINT)) // (d.deg * (d.deg - 1))
              |       ELSE 0 END AS coef_micros
              |FROM deg d LEFT JOIN cnt c USING (node) ORDER BY node""".stripMargin),
+    ),
+
+    // Modularity readout of the q_label_prop partition: per buying
+    // circle, how much denser than random chance its internal edges are
+    // — the acceptance metric community detection ships with (positive
+    // Σq ⇒ the split is real structure, not noise). Same 4-round LPA +
+    // one aggregation pass, exact integer micros.
+    GraftQuery(
+      "q_modularity",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        val edges = copurchaseEdges(cp, minShared = 4).localCheckpoint(false)
+        modularity(edges, labelPropagation(edges, rounds = 4))
+          .orderBy("label")
+      },
+      Some((Seq(
+        """WITH cp AS (
+          |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |e0 AS MATERIALIZED (
+          |  SELECT c1.c AS a, c2.c AS b
+          |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+          |  GROUP BY 1, 2 HAVING count(*) >= 4),
+          |bi AS MATERIALIZED (
+          |  SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+          |l0 AS (SELECT DISTINCT u AS node, u AS label FROM bi)""".stripMargin) ++
+        (1 to 4).map(lpaRoundSql) ++ Seq(
+        """mm AS (SELECT count(*) AS m FROM e0),
+          |lb AS (
+          |  SELECT u.a, u.b, x.label AS la, y.label AS lbl
+          |  FROM e0 u JOIN l4 x ON x.node = u.a JOIN l4 y ON y.node = u.b),
+          |m_in AS (SELECT la AS label, count(*) AS m_in FROM lb
+          |         WHERE la = lbl GROUP BY la),
+          |deg AS (SELECT node, count(*) AS d FROM (
+          |  SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY node),
+          |dt AS (
+          |  SELECT l.label, count(*) AS n_nodes,
+          |    sum(coalesce(d.d, 0)) AS d_tot
+          |  FROM l4 l LEFT JOIN deg d ON d.node = l.node GROUP BY l.label)""".stripMargin))
+        .mkString(",\n") +
+        """
+          |SELECT t.label, t.n_nodes,
+          |  CAST(coalesce(mi.m_in, 0) AS BIGINT) AS m_in,
+          |  CAST(t.d_tot AS BIGINT) AS d_tot,
+          |  CAST((1000000 * coalesce(mi.m_in, 0)) // (SELECT m FROM mm)
+          |    - (1000000 * t.d_tot * t.d_tot)
+          |      // (4 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS BIGINT) AS q_micros
+          |FROM dt t LEFT JOIN m_in mi USING (label) ORDER BY label""".stripMargin),
     ),
 
     // Blast radius over the customer co-purchase graph: hop distance from

@@ -340,6 +340,56 @@ class FrontierOpsSpec extends SparkSuite {
     assert(got.values.map(_._1).max == Graph.HitsScale, "some hub must sit at the scale max")
   }
 
+  private def serialModularity(es: Seq[(Long, Long)],
+      labels: Map[Long, Long]): Map[Long, (Long, Long, Long, Long)] = {
+    val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val m = und.size.toLong
+    val deg = und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    labels.values.toSeq.distinct.map { c =>
+      val members = labels.collect { case (n, l) if l == c => n }.toSet
+      val mIn = und.count { case (a, b) => members(a) && members(b) }.toLong
+      val dTot = members.toSeq.map(n => deg.getOrElse(n, 0L)).sum
+      val q = 1000000L * mIn / m - 1000000L * dTot * dTot / (4 * m * m)
+      c -> ((members.size.toLong, mIn, dTot, q))
+    }.toMap
+  }
+
+  private def modMap(es: Seq[(Long, Long)], labels: Map[Long, Long]): Map[Long, (Long, Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Graph.modularity(edgeDf(es),
+        labels.toSeq.toDF("node", "label"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+  }
+
+  test("modularity golden: two bridged triangles score high; one blob scores zero") {
+    val tri1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val tri2 = Seq((4L, 5L), (5L, 6L), (4L, 6L))
+    val es = tri1 ++ tri2 ++ Seq((3L, 4L))
+    val twoComms = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+    val got = modMap(es, twoComms)
+    assert(got == serialModularity(es, twoComms))
+    // m = 7; each community: m_in = 3, d_tot = 7 →
+    // q = 1e6·3/7 − 1e6·49/196 = 428571 − 250000 = 178571
+    assert(got(1L) == ((3L, 3L, 7L, 178571L)) && got(4L) == ((3L, 3L, 7L, 178571L)))
+    // the trivial all-one-community partition scores exactly 0:
+    // 1e6·m/m − 1e6·(2m)²/(4m²)
+    val one = modMap(es, (1L to 6L).map(_ -> 1L).toMap)
+    assert(one == Map(1L -> ((6L, 7L, 14L, 0L))))
+  }
+
+  test("modularity of the LPA partition matches the serial formula on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val es = Seq.fill(250)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val labels = lpaMap(es, 4)
+    assert(modMap(es, labels) == serialModularity(es, labels))
+  }
+
   test("lpa hygiene: self-loops and duplicate edges don't add votes") {
     // duplicate (1,2) must not double 2's vote at node 1: with nbrs
     // {2 (dup), 3}, a doubled vote would elect 2 over the true tie-min
