@@ -60,14 +60,18 @@ object Graph {
     pr.select(col("node"), col("r").as("rank"))
   }
 
-  /** HITS scale: 1e6, deliberately SMALLER than [[Scale]]. Each round
-    * multiplies a raw mutual-reinforcement sum (≤ N·HitsScale) by
-    * HitsScale before the normalizing floor division, so the product is
-    * bounded by N·HitsScale² — at 1e6 that holds to N = 9e6 inside
-    * BIGINT; at 1e12 it would overflow immediately. Six digits of score
-    * resolution is the trade, documented rather than silent.
+  /** HITS scale: 1e12, matching [[Scale]]. Each round multiplies a raw
+    * mutual-reinforcement sum (≤ N·HitsScale) by HitsScale before the
+    * normalizing floor division; that product is computed in
+    * DECIMAL(38,0) (HUGEINT on the oracle side), bounded by
+    * N·HitsScale² = N·1e24 — inside 38 digits to N = 1e14 nodes, i.e.
+    * unbounded in practice. (The earlier BIGINT form capped the scale
+    * at 1e6 and still wrapped past in-degree ~9.2e6; the widened
+    * intermediate removes both the ceiling and the resolution trade.)
+    * The normalized quotient is ≤ HitsScale, so the BIGINT `div` result
+    * never overflows.
     */
-  val HitsScale: Long = 1000000L
+  val HitsScale: Long = 1000000000000L
 
   /** HITS (Kleinberg 1999): hubs point at good authorities, authorities
     * are pointed at by good hubs — the mutual-reinforcement pair that
@@ -102,14 +106,16 @@ object Graph {
       val aNew = nodes.join(aRaw, nodes("node") === aRaw("n"), "left")
         .crossJoin(broadcast(aMax))
         .select(col("node"),
-          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $scale) div mx").as("a"))
+          expr(s"(CAST(coalesce(raw, CAST(0 AS BIGINT)) AS DECIMAL(38,0)) * $scale)" +
+            " div CAST(mx AS DECIMAL(38,0))").as("a"))
       val hRaw = e.join(aNew, e("dst") === aNew("node"))
         .groupBy(e("src").as("n")).agg(sum("a").as("raw"))
       val hMax = hRaw.agg(greatest(max("raw"), lit(1L)).as("mx"))
       st = nodes.join(hRaw, nodes("node") === hRaw("n"), "left")
         .crossJoin(broadcast(hMax))
         .select(col("node"),
-          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $scale) div mx").as("h"))
+          expr(s"(CAST(coalesce(raw, CAST(0 AS BIGINT)) AS DECIMAL(38,0)) * $scale)" +
+            " div CAST(mx AS DECIMAL(38,0))").as("h"))
         .join(aNew.select(col("node"), col("a")), Seq("node"))
       if (i % 2 == 0 && i < iters) st = st.localCheckpoint(false)
     }
@@ -132,13 +138,16 @@ object Graph {
         val ar = scala.collection.mutable.HashMap.empty[Long, Long]
         es.foreach { case (s, d) => ar.update(d, ar.getOrElse(d, 0L) + h(s)) }
         val am = math.max(if (ar.isEmpty) 0L else ar.valuesIterator.max, 1L)
+        // BigInt multiply-divide: raw*scale passes Long.Max at in-degree
+        // 10 with scale 1e12, exactly like the distributed path's
+        // DECIMAL(38,0) intermediate
         a = scala.collection.mutable.HashMap(
-          nodes.map(n => n -> ar.getOrElse(n, 0L) * scale / am): _*)
+          nodes.map(n => n -> (BigInt(ar.getOrElse(n, 0L)) * scale / am).toLong): _*)
         val hr = scala.collection.mutable.HashMap.empty[Long, Long]
         es.foreach { case (s, d) => hr.update(s, hr.getOrElse(s, 0L) + a(d)) }
         val hm = math.max(if (hr.isEmpty) 0L else hr.valuesIterator.max, 1L)
         h = scala.collection.mutable.HashMap(
-          nodes.map(n => n -> hr.getOrElse(n, 0L) * scale / hm): _*)
+          nodes.map(n => n -> (BigInt(hr.getOrElse(n, 0L)) * scale / hm).toLong): _*)
       }
       nodes.iterator.map(n => (n, h(n), a(n)))
     }.toDF("node", "hub", "auth")
@@ -153,7 +162,7 @@ object Graph {
        |  FROM e JOIN st${i - 1} s ON s.node = e.src GROUP BY e.dst),
        |a$i AS (
        |  SELECT n.node,
-       |    CAST((coalesce(r.raw, 0) * $scale)
+       |    CAST((CAST(coalesce(r.raw, 0) AS HUGEINT) * $scale)
        |      // greatest((SELECT max(raw) FROM ar$i), 1) AS BIGINT) AS a
        |  FROM nodes n LEFT JOIN ar$i r ON r.n = n.node),
        |hr$i AS (
@@ -161,7 +170,7 @@ object Graph {
        |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
        |st$i AS (
        |  SELECT n.node,
-       |    CAST((coalesce(r.raw, 0) * $scale)
+       |    CAST((CAST(coalesce(r.raw, 0) AS HUGEINT) * $scale)
        |      // greatest((SELECT max(raw) FROM hr$i), 1) AS BIGINT) AS h,
        |    a.a
        |  FROM nodes n LEFT JOIN hr$i r ON r.n = n.node
@@ -978,7 +987,14 @@ object Graph {
     * Inputs: `edges` (src, dst) undirected (normalized + deduped here),
     * `labels` (node, label) covering the edge endpoints. Output:
     * (label, n_nodes, m_in, d_tot, q_micros) per community. All joins
-    * are key-partitioned; d_c² stays inside BIGINT for d_c ≤ 3e9.
+    * are key-partitioned. Both q_micros terms are computed in
+    * DECIMAL(38,0) (the oracle replays them in HUGEINT): the old BIGINT
+    * form `1e6·d_c²` wrapped silently once a community's total degree
+    * passed ~3.0e6 — a single dense community on a 100 TB graph. In
+    * 38-digit decimal the numerator 1e6·d_c² holds to d_c ≤ 1e16 and
+    * the denominator 4m² to m ≤ 5e18 (more edges than a BIGINT can
+    * count), and the quotients are ≤ 1e6 by construction (d_c ≤ 2m), so
+    * the BIGINT-valued `div` result never overflows.
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val und = edges
@@ -1004,8 +1020,10 @@ object Graph {
       .select(col("label"), col("n_nodes"),
         coalesce(col("m_in"), lit(0L)).as("m_in"), col("d_tot"),
         when(col("m") > 0,
-          expr("(1000000 * coalesce(m_in, CAST(0 AS BIGINT))) div m") -
-          expr("(1000000 * d_tot * d_tot) div (4 * m * m)"))
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * coalesce(m_in, CAST(0 AS BIGINT)))" +
+            " div CAST(m AS DECIMAL(38,0))") -
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * d_tot * d_tot)" +
+            " div (CAST(4 AS DECIMAL(38,0)) * m * m)"))
           .otherwise(lit(0L)).as("q_micros"))
   }
 
@@ -1421,9 +1439,9 @@ object Graph {
           |SELECT t.label, t.n_nodes,
           |  CAST(coalesce(mi.m_in, 0) AS BIGINT) AS m_in,
           |  CAST(t.d_tot AS BIGINT) AS d_tot,
-          |  CAST((1000000 * coalesce(mi.m_in, 0)) // (SELECT m FROM mm)
-          |    - (1000000 * t.d_tot * t.d_tot)
-          |      // (4 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS BIGINT) AS q_micros
+          |  CAST((CAST(1000000 AS HUGEINT) * coalesce(mi.m_in, 0)) // (SELECT m FROM mm)
+          |    - (CAST(1000000 AS HUGEINT) * t.d_tot * t.d_tot)
+          |      // (CAST(4 AS HUGEINT) * (SELECT m FROM mm) * (SELECT m FROM mm)) AS BIGINT) AS q_micros
           |FROM dt t LEFT JOIN m_in mi USING (label) ORDER BY label""".stripMargin),
     ),
 

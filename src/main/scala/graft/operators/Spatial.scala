@@ -24,10 +24,13 @@ import org.apache.spark.sql.functions._
   *     by `require` against the caller's φmax) again keeps matches within
   *     ±1 cell.
   *
-  * Cell ids are computed in INTEGER centidegrees (floor division of
-  * nonnegative ints), never floats, so the blocking is engine-exact; only
-  * the final distance filter touches doubles, and it is the same formula
-  * on both engines. Each candidate pair is emitted exactly once — the
+  * Cell ids are computed in INTEGER centidegrees via true floor division
+  * (pmod-adjusted, so NEGATIVE centidegrees land in aligned cells too —
+  * `div` alone truncates toward zero and would fold the two cells around
+  * the origin together while splitting their neighbors), never floats, so
+  * the blocking is engine-exact; only the final distance filter touches
+  * doubles, and it is the same formula on both engines. Each candidate
+  * pair is emitted exactly once — the
   * right side sits in its unique home cell and the left side's 9 probe
   * cells are distinct — so no dedup pass is needed.
   *
@@ -41,29 +44,37 @@ import org.apache.spark.sql.functions._
 object Spatial {
 
   /** Pair left ids with right ids within `radiusKm`. Inputs need columns
-    * (id, latc, lonc, lat, lon): `latc`/`lonc` NONNEGATIVE integer
-    * centidegrees on a caller-chosen origin (cells are cut from these),
-    * `lat`/`lon` the true coordinates in degrees with |lat| ≤ maxAbsLatDeg
-    * (the distance runs on these). Output: (left_id, right_id, dist_km)
-    * with dist_km rounded to 1e-4 km — the filter uses the ROUNDED value
-    * so the kept set is decided on the exact quantity both engines emit.
+    * (id, latc, lonc, lat, lon): `latc`/`lonc` integer centidegrees on a
+    * caller-chosen origin, either sign (cells are cut from these via
+    * floor division, so negatives block correctly), `lat`/`lon` the true
+    * coordinates in degrees with |lat| ≤ maxAbsLatDeg (the distance runs
+    * on these). Output: (left_id, right_id, dist_km) with dist_km rounded
+    * to 1e-4 km — the filter uses the ROUNDED value so the kept set is
+    * decided on the exact quantity both engines emit. Because rounding
+    * admits true distances up to radiusKm + 5e-5 km, the cell-size
+    * guards validate against that slack-padded radius, so the ±1-cell
+    * blocking bound covers everything the rounded filter can keep.
     */
   def radiusJoin(left: DataFrame, right: DataFrame, radiusKm: Double,
       latCellCd: Int, lonCellCd: Int, maxAbsLatDeg: Double): DataFrame = {
     val kmPerDegArc = math.Pi * 6371.0 / 180.0 // 111.195
-    val minLatCd = radiusKm / kmPerDegArc * 100.0
+    val keepKm = radiusKm + 0.5e-4 // rounding half-step: max TRUE distance kept
+    val minLatCd = keepKm / kmPerDegArc * 100.0
     require(latCellCd >= minLatCd,
       s"lat cell $latCellCd centideg < radius reach $minLatCd")
     val cosMax = math.cos(math.toRadians(maxAbsLatDeg))
     require(cosMax > 0, s"maxAbsLatDeg $maxAbsLatDeg too close to the pole")
     val minLonCd =
-      math.toDegrees(2 * math.asin(math.min(1.0, radiusKm / (2 * 6371.0 * cosMax)))) * 100.0
+      math.toDegrees(2 * math.asin(math.min(1.0, keepKm / (2 * 6371.0 * cosMax)))) * 100.0
     require(lonCellCd >= minLonCd,
       s"lon cell $lonCellCd centideg < radius reach $minLonCd at lat $maxAbsLatDeg")
 
+    // floor division: (x - pmod(x, c)) div c == ⌊x/c⌋ for either sign of
+    // x (pmod is the nonnegative remainder), and reduces to x div c on
+    // nonnegative x
     def cells(df: DataFrame) = df
-      .withColumn("__clat", expr(s"latc div $latCellCd"))
-      .withColumn("__clon", expr(s"lonc div $lonCellCd"))
+      .withColumn("__clat", expr(s"(latc - pmod(latc, $latCellCd)) div $latCellCd"))
+      .withColumn("__clon", expr(s"(lonc - pmod(lonc, $lonCellCd)) div $lonCellCd"))
     val r = cells(right)
       .select(col("id").as("right_id"), col("lat").as("rlat"),
         col("lon").as("rlon"), col("__clat"), col("__clon"))

@@ -288,10 +288,11 @@ class FrontierOpsSpec extends SparkSuite {
     for (_ <- 1 to iters) {
       val ar = e.groupBy(_._2).map { case (d, in) => d -> in.map(x => h(x._1)).sum }
       val am = math.max(if (ar.isEmpty) 0L else ar.values.max, 1L)
-      a = nodes.map(n => n -> ar.getOrElse(n, 0L) * scale / am).toMap
+      // BigInt like the operator: raw*scale wrecks a Long at raw > 9.2e6
+      a = nodes.map(n => n -> (BigInt(ar.getOrElse(n, 0L)) * scale / am).toLong).toMap
       val hr = e.groupBy(_._1).map { case (s, out) => s -> out.map(x => a(x._2)).sum }
       val hm = math.max(if (hr.isEmpty) 0L else hr.values.max, 1L)
-      h = nodes.map(n => n -> hr.getOrElse(n, 0L) * scale / hm).toMap
+      h = nodes.map(n => n -> (BigInt(hr.getOrElse(n, 0L)) * scale / hm).toLong).toMap
     }
     nodes.map(n => n -> ((h(n), a(n)))).toMap
   }
@@ -309,15 +310,26 @@ class FrontierOpsSpec extends SparkSuite {
   }
 
   test("hits golden: hand-computed round on a tiny bipartite graph") {
-    // 1→A, 1→B, 2→A (A=101, B=102), S = 1e6; after round 1:
+    // 1→A, 1→B, 2→A (A=101, B=102), S = 1e12; after round 1:
     //   auth raw (A: 2S, B: S), max 2S → a(A)=S, a(B)=S/2
-    //   hub raw (1: 1.5S, 2: S), max 1.5S → h(1)=S, h(2)=floor(S²/1.5S)=666666
+    //   hub raw (1: 1.5S, 2: S), max 1.5S → h(1)=S, h(2)=floor(S²/1.5S)
     val es = Seq((1L, 101L), (1L, 102L), (2L, 101L))
     val got = hitsMap(es, 1)
     assert(got == Map(
-      1L -> ((1000000L, 0L)), 2L -> ((666666L, 0L)),
-      101L -> ((0L, 1000000L)), 102L -> ((0L, 500000L))))
+      1L -> ((1000000000000L, 0L)), 2L -> ((666666666666L, 0L)),
+      101L -> ((0L, 1000000000000L)), 102L -> ((0L, 500000000000L))))
     assert(got == serialHits(es, 1))
+  }
+
+  test("hits: a hub whose raw·scale passes Long.Max normalizes exactly") {
+    // 16 leaves all pointing at one center: auth raw(center) = 16·1e12,
+    // and the normalization multiplies that by scale again — 1.6e25,
+    // three orders past Long.Max. The old BIGINT arithmetic wrapped
+    // here; the DECIMAL(38,0) intermediate must hold exactly.
+    val es = (1L to 16L).map(l => (l, 100L))
+    val got = hitsMap(es, 2)
+    assert(got == serialHits(es, 2))
+    assert(got(100L)._2 == Graph.HitsScale && got(1L)._1 == Graph.HitsScale)
   }
 
   test("hits: serial-reference equivalence on a random graph, any partitioning") {
@@ -351,7 +363,7 @@ class FrontierOpsSpec extends SparkSuite {
       val members = labels.collect { case (n, l) if l == c => n }.toSet
       val mIn = und.count { case (a, b) => members(a) && members(b) }.toLong
       val dTot = members.toSeq.map(n => deg.getOrElse(n, 0L)).sum
-      val q = 1000000L * mIn / m - 1000000L * dTot * dTot / (4 * m * m)
+      val q = (BigInt(1000000) * mIn / m - BigInt(1000000) * dTot * dTot / (BigInt(4) * m * m)).toLong
       c -> ((members.size.toLong, mIn, dTot, q))
     }.toMap
   }
@@ -388,6 +400,30 @@ class FrontierOpsSpec extends SparkSuite {
       .filter { case (a, b) => a != b }
     val labels = lpaMap(es, 4)
     assert(modMap(es, labels) == serialModularity(es, labels))
+  }
+
+  test("modularity: a community with d_tot ≥ 4e6 stays exact (decimal intermediate)") {
+    // Two stars: 4e6 and 1e6 leaves, one community each. The big
+    // community's null-model numerator is 1e6·(8e6)² = 6.4e19 — past
+    // Long.Max, where the old BIGINT form wrapped silently to 86597-ish
+    // micros instead of 640000. The DECIMAL(38,0) intermediate must
+    // reproduce the BigInt value exactly.
+    val s = spark
+    val starA = s.range(1L, 4000001L).select(lit(0L).as("src"), col("id").as("dst"))
+    val starB = s.range(10000001L, 11000001L)
+      .select(lit(10000000L).as("src"), col("id").as("dst"))
+    val labels = s.range(0L, 4000001L).select(col("id").as("node"), lit(0L).as("label"))
+      .union(s.range(10000000L, 11000001L).select(col("id").as("node"), lit(1L).as("label")))
+    val got = Graph.modularity(starA.union(starB), labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val m = 5000000L
+    def q(mIn: Long, dTot: Long): Long =
+      (BigInt(1000000) * mIn / m - BigInt(1000000) * dTot * dTot / (BigInt(4) * m * m)).toLong
+    assert(q(4000000L, 8000000L) == 160000L && q(1000000L, 2000000L) == 160000L)
+    assert(got == Map(
+      0L -> ((4000001L, 4000000L, 8000000L, 160000L)),
+      1L -> ((1000001L, 1000000L, 2000000L, 160000L))))
   }
 
   test("lpa hygiene: self-loops and duplicate edges don't add votes") {

@@ -77,6 +77,26 @@ class SpatialSpec extends SparkSuite {
     assert(rows.length == 1 && rows(0).getDouble(2) == 0.0)
   }
 
+  test("negative centidegrees block correctly (floor cells, not div truncation)") {
+    // Points straddling the centidegree origin: with truncating `div`,
+    // latc −1 and +1 both land in cell 0 while −51 lands in −1, so the
+    // cells around zero are misaligned (double-width at 0, and the ±1
+    // probe ring shifts) and true sub-radius pairs can be dropped.
+    // Floor-division cells must reproduce the brute force exactly.
+    val rnd = new scala.util.Random(7)
+    def randPts(n: Int, idBase: Long) = pts(Seq.tabulate(n)(i =>
+      (idBase + i, (rnd.nextInt(3000) - 1500).toLong, (rnd.nextInt(5000) - 2500).toLong)))
+    val l = randPts(250, 0)
+    val r = randPts(250, 1000)
+    val got = blocked(l, r, 50.0)
+    assert(got.size == got.toSet.size, "duplicate candidate pair emitted")
+    assert(got.toSet == bruteForce(l, r, 50.0))
+    // and a hand-placed cross-origin pair ~1.5 km apart must survive
+    val lo = pts(Seq((1L, -1L, -1L)))
+    val ro = pts(Seq((2L, 1L, 1L)))
+    assert(blocked(lo, ro, 50.0) == Seq((1L, 2L)))
+  }
+
   test("cell-size guards reject cells smaller than the radius reach") {
     val p = pts(Seq((1L, 0L, 0L)))
     // 50 km needs ≥ 44.97 centideg of lat: 44 must throw, 45 passes
