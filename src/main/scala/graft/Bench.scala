@@ -56,7 +56,7 @@ object Bench {
     */
   def renderJson(results: Seq[(String, Double)], sfDir: String,
       failures: Int = 0, flaky: Int = 0, calibration: Double = 0.0,
-      zipf: Seq[(String, Double)] = Seq.empty,
+      zipf: Seq[(String, Seq[Double])] = Seq.empty,
       calibrationCpu: Double = 0.0,
       streamBlock: String = ""): String = {
     val total = results.map(_._2).sum
@@ -64,11 +64,17 @@ object Bench {
     // Zipf-axis rows (realistic-text fixture, separate corpus — NOT part
     // of "value": the total must stay comparable across rounds that
     // predate the zipf block). Rendered whole; its length participates in
-    // the MaxLine fitting below via the shared template.
+    // the MaxLine fitting below via the shared template. Each row carries
+    // [min,max] over its reps (VERDICT r13 #2: a window transient that
+    // depresses every rep — the r12/r13 zipf anomalies — is now visible
+    // in the artifact as a high min WITH a high max, where a real
+    // single-rep hiccup shows min≪max; no rerun needed to distinguish).
     val zipfBlock =
       if (zipf.isEmpty) ""
-      else zipf.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString(""","zipf":{""", ",", "}")
+      else zipf.map { case (k, ts) =>
+        val v = if (ts.isEmpty) "-1" else s"[${fmt(ts.min)},${fmt(ts.max)}]"
+        "\"" + k + "\":" + v
+      }.mkString(""","zipf":{""", ",", "}")
     def line(entries: Seq[(String, Double)], otherSum: Option[Double]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
         otherSum.map(s => "\"other\":" + fmt(s))
@@ -248,8 +254,11 @@ object Bench {
       // minShared prefilter, so skew is their design axis too (q_bfs_hops
       // and q_connected_components read customer/events, which the zipf
       // fixture does not generate — their skew path is q_kcore's)
-      "q_kcore", "q_label_prop", "q_clustering_coef")
-    val zipfResults: Seq[(String, Double)] =
+      "q_kcore", "q_label_prop", "q_clustering_coef",
+      // round 14: HITS is the endgame's strongest case (two global-max
+      // barriers per round saved) — guard it on the skewed fixture too
+      "q_hits")
+    val zipfResults: Seq[(String, Seq[Double])] =
       if (sys.env.get("SPARK_GRAFT_ZIPF").contains("0")) Seq.empty
       else try {
         val zipfDir = sys.env.getOrElse("SPARK_GRAFT_ZIPF_DIR",
@@ -276,7 +285,7 @@ object Bench {
             try { fn(spark, zipfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
             catch { case _: Throwable => None }
           }
-          name -> (if (times.nonEmpty) times.min else -1.0)
+          name -> times
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] zipf block failed: ${e.getMessage}")
@@ -305,7 +314,7 @@ object Bench {
         // × 2 copies × 8 state partitions, KN model batch-trained at the
         // p75 cut, same sf tables. Parsed from the child's STREAMBENCH
         // line; a child failure degrades to the snap-dedup-only block.
-        val gate: String = try {
+        def forkedStream(scenario: String, rpsField: String, p50Field: String): String = try {
           val java = System.getProperty("java.home") + "/bin/java"
           val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
             "java.io", "java.net", "java.nio", "java.util",
@@ -316,7 +325,7 @@ object Bench {
           val cmd = Seq(java, "-Xmx8g") ++ opens ++ Seq(
             "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
             "-cp", System.getProperty("java.class.path"),
-            "graft.StreamBench", "corpus_kn", sfDir, "10", "2", "8")
+            "graft.StreamBench", scenario, sfDir, "10", "2", "8")
           val sb = new StringBuilder
           val rc = scala.sys.process.Process(cmd).!(
             scala.sys.process.ProcessLogger(l => sb.append(l).append('\n'), _ => ()))
@@ -328,16 +337,25 @@ object Bench {
             _ <- if (rc == 0) Some(()) else None
             rps <- field("records_per_sec")
             p50 <- field("batch_sec_p50")
-          } yield s""","kn_gate_docs_per_sec":$rps,"kn_gate_batch_p50":$p50""")
+          } yield s""","$rpsField":$rps,"$p50Field":$p50""")
             .getOrElse {
-              System.err.println(s"[bench] kn gate child rc=$rc, no line")
+              System.err.println(s"[bench] $scenario child rc=$rc, no line")
               ""
             }
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] kn gate row failed: ${e.getMessage}")
+          System.err.println(s"[bench] $scenario row failed: ${e.getMessage}")
           ""
         }
-        s""","stream":{"snap_dedup_docs_per_sec":${fmt(st.recordsPerSec)},"batch_sec_p50":${fmt(st.batchSecP50)},"state_rows":${st.stateRows},"state_bytes":${st.stateBytes}$gate}"""
+        val gate = forkedStream("corpus_kn", "kn_gate_docs_per_sec", "kn_gate_batch_p50")
+        // Third/fourth standing metrics (VERDICT r13 #6): the EventStream
+        // event-time operators — session-window aggregation and the
+        // watermarked stream-stream interval join — get throughput guards
+        // like the two content rows. Same fixed shape (10 batches ×
+        // 2 copies × 8 state partitions), each in its own forked JVM per
+        // the one-scenario-per-JVM finding (BENCH_STREAM.md).
+        val sess = forkedStream("session_agg", "session_agg_rows_per_sec", "session_agg_batch_p50")
+        val ij = forkedStream("interval_join", "interval_join_rows_per_sec", "interval_join_batch_p50")
+        s""","stream":{"snap_dedup_docs_per_sec":${fmt(st.recordsPerSec)},"batch_sec_p50":${fmt(st.batchSecP50)},"state_rows":${st.stateRows},"state_bytes":${st.stateBytes}$gate$sess$ij}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream row failed: ${e.getMessage}")
         ""
@@ -351,7 +369,9 @@ object Bench {
       val qs = results.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val zs = zipfResults.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+        .map { case (k, ts) =>
+          "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
         s"""{"failures":$failures,"flaky":$flaky,"calibration_sec":${fmt(calibration)},"calibration_cpu_sec":${fmt(calibrationCpu)},"queries":$qs,"zipf":$zs$streamBlock,"sf":"${sfLabel(sfDir)}"}""")
     }

@@ -2,7 +2,7 @@ package graft
 
 import graft.model.{CardLookup, FraudConfig}
 import graft.operators.Relational
-import graft.streaming.{CorpusStream, FraudStream}
+import graft.streaming.{CorpusStream, EventStream, FraudStream}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -33,8 +33,10 @@ import java.nio.file.Files
   *
   * Usage: runMain graft.StreamBench <scenario> [sfDir] [batches] [copies] [parts]
   *   scenario — fraud_fmgws | fraud_tws | corpus | corpus_kn | snap_dedup
-  *              | scale_fmgws | scale_tws (synthetic, copies = CARDS in
-  *              thousands) | snap_scale (copies = snapshot blow-up factor)
+  *              | session_agg | interval_join (EventStream event-time ops
+  *              over time-ordered input) | scale_fmgws | scale_tws
+  *              (synthetic, copies = CARDS in thousands) | snap_scale
+  *              (copies = snapshot blow-up factor)
   *   batches  — input files (= micro-batches) per run (default 20)
   *   copies   — input blow-up factor, ids shifted per copy (default 1)
   *   parts    — shuffle/state partitions for the STREAM (default 8:
@@ -159,6 +161,90 @@ object StreamBench {
     val shift = 1000000000L
 
     val line: StreamStats = scenario match {
+      case "session_agg" =>
+        // EventStream.sessionAgg throughput (VERDICT r13 #6): the sf
+        // events replayed as a time-ordered JSON stream. The input is
+        // range-partitioned on ts so the file source (which consumes
+        // part files in path order) advances the watermark
+        // monotonically — with randomly-ordered batches the first batch
+        // would drag the watermark near max(ts) and every later event
+        // would be dropped as late, measuring nothing.
+        val e0 = Tables(spark, sfDir, "events")
+        val e = (0 until copies).map { i =>
+          if (i == 0) e0
+          else e0.withColumn("user_id", col("user_id") + lit(i * shift))
+            .withColumn("event_id", col("event_id") + lit(i * shift))
+        }.reduce(_ unionByName _)
+        val rows = e.select(col("user_id"), col("ts"), col("value"))
+        val n = rows.count()
+        val dir = s"$work/sess_in"
+        rows.repartitionByRange(batches, col("ts"))
+          .select(to_json(struct(col("user_id"), col("ts"), col("value"))).as("value"))
+          .write.text(dir)
+        val schema = StructType(Seq(
+          StructField("user_id", org.apache.spark.sql.types.LongType),
+          StructField("ts", org.apache.spark.sql.types.TimestampType),
+          StructField("value", org.apache.spark.sql.types.DoubleType)))
+        def runSess(tag: String, maxFiles: Int): StreamStats = {
+          val src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", maxFiles.toString).json(dir)
+          val t0 = System.nanoTime()
+          val q = EventStream.sessionAgg(src, gap = "4 hours", watermark = "1 hour")
+            .writeStream.format("parquet")
+            .option("path", s"$work/sess_out_$tag")
+            .option("checkpointLocation", s"$work/sess_ckpt_$tag")
+            .outputMode("append").start()
+          drain(q, s"session_agg_$tag", n, t0)
+        }
+        runSess("warm", math.max(1, batches / 2))
+        runSess("main", 1)
+
+      case "interval_join" =>
+        // EventStream.intervalJoin throughput (VERDICT r13 #6): both
+        // sides stream — purchases vs same-user errors within ±1 h.
+        // Time-ordered input files for the same watermark reason as
+        // session_agg; join state stays O(rate × (watermark+tolerance)).
+        val e0 = Tables(spark, sfDir, "events")
+        val e = (0 until copies).map { i =>
+          if (i == 0) e0
+          else e0.withColumn("user_id", col("user_id") + lit(i * shift))
+            .withColumn("event_id", col("event_id") + lit(i * shift))
+        }.reduce(_ unionByName _)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("value").as("amount"))
+        val err = e.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+        val nIn = p.count() + err.count()
+        val pDir = s"$work/ij_p"; val eDir = s"$work/ij_e"
+        p.repartitionByRange(batches, col("p_ts"))
+          .select(to_json(struct(col("user_id"), col("p_ts"), col("amount"))).as("value"))
+          .write.text(pDir)
+        err.repartitionByRange(batches, col("e_ts"))
+          .select(to_json(struct(col("e_user"), col("e_ts"))).as("value"))
+          .write.text(eDir)
+        val lt = org.apache.spark.sql.types.LongType
+        val tt = org.apache.spark.sql.types.TimestampType
+        val pSchema = StructType(Seq(StructField("user_id", lt),
+          StructField("p_ts", tt),
+          StructField("amount", org.apache.spark.sql.types.DoubleType)))
+        val eSchema = StructType(Seq(StructField("e_user", lt), StructField("e_ts", tt)))
+        def runIj(tag: String, maxFiles: Int): StreamStats = {
+          val ps = spark.readStream.schema(pSchema)
+            .option("maxFilesPerTrigger", maxFiles.toString).json(pDir)
+          val es = spark.readStream.schema(eSchema)
+            .option("maxFilesPerTrigger", maxFiles.toString).json(eDir)
+          val t0 = System.nanoTime()
+          val q = EventStream.intervalJoin(ps, es,
+              toleranceSec = 3600, watermark = "30 minutes")
+            .writeStream.format("parquet")
+            .option("path", s"$work/ij_out_$tag")
+            .option("checkpointLocation", s"$work/ij_ckpt_$tag")
+            .outputMode("append").start()
+          drain(q, s"interval_join_$tag", nIn, t0)
+        }
+        runIj("warm", math.max(1, batches / 2))
+        runIj("main", 1)
+
       case "snap_dedup" =>
         // stream-static snapshot guard: snapshot = the base documents;
         // the stream replays the same docs under new ids (every one a

@@ -82,11 +82,13 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(s.contains(""""calibration_cpu_sec":0.321"""))
   }
 
-  test("zipf block renders, stays out of total, and fits the budget") {
-    val zipf = Seq("q_setsim_prefix" -> 3.21, "q_edit_threshold" -> 1.5)
+  test("zipf block renders [min,max], stays out of total, and fits the budget") {
+    val zipf = Seq("q_setsim_prefix" -> Seq(3.21, 3.9),
+      "q_edit_threshold" -> Seq(1.8, 1.5), "q_broken" -> Seq.empty[Double])
     val s = Bench.renderJson(Seq("q_a" -> 1.0), "/x", zipf = zipf)
     parseable(s)
-    assert(s.contains(""","zipf":{"q_setsim_prefix":3.210,"q_edit_threshold":1.500}"""))
+    assert(s.contains(
+      ""","zipf":{"q_setsim_prefix":[3.210,3.900],"q_edit_threshold":[1.500,1.800],"q_broken":-1}"""))
     assert(s.contains(""""value":1.000""")) // zipf rows excluded from total
     // no zipf given -> no block at all (older-round parsers see the old shape)
     assert(!Bench.renderJson(Seq("q_a" -> 1.0), "/x").contains("zipf"))
@@ -94,18 +96,21 @@ class BenchJsonSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val r = names.zipWithIndex.map { case (k, i) => k -> (0.1 + i * 0.05) }
     val zfull = Seq("q_setsim_prefix", "q_setsim_topk", "q_dedup_minhash",
-      "q_dedup_simhash", "q_edit_threshold", "q_hybrid_rrf", "q_similarity_lsh")
-      .map(_ -> 123.456)
+      "q_dedup_simhash", "q_edit_threshold", "q_hybrid_rrf", "q_hybrid_rrf_capped",
+      "q_hybrid_rrf_lsh", "q_similarity_lsh", "q_ann_ivfpq", "q_triangles",
+      "q_pagerank", "q_kcore", "q_label_prop", "q_clustering_coef", "q_hits")
+      .map(_ -> Seq(123.456, 200.0))
     val full = Bench.renderJson(r, "/root/testdata/sf0.1", zipf = zfull)
     parseable(full)
     assert(full.length <= Bench.MaxLine, s"len=${full.length}")
-    zfull.foreach { case (k, _) => assert(full.contains("\"" + k + "\":123.456")) }
+    zfull.foreach { case (k, _) =>
+      assert(full.contains("\"" + k + "\":[123.456,200.000]")) }
   }
 
   test("stream block renders verbatim, stays out of total, absent by default") {
     val block = ""","stream":{"snap_dedup_docs_per_sec":1252.000,"batch_sec_p50":0.770,"state_rows":5000,"state_bytes":1048576}"""
     val s = Bench.renderJson(Seq("q_a" -> 1.0), "/x",
-      zipf = Seq("q_setsim_prefix" -> 2.0), streamBlock = block)
+      zipf = Seq("q_setsim_prefix" -> Seq(2.0)), streamBlock = block)
     parseable(s)
     assert(s.contains(block))
     assert(s.contains(""""value":1.000""")) // stream row excluded from total
