@@ -1040,6 +1040,264 @@ object Graph {
        |    SELECT u, label, c, max(c) OVER (PARTITION BY u) AS mc FROM c$i)
        |  WHERE c = mc GROUP BY u)""".stripMargin
 
+  /** Bounded-round weighted single-source (multi-seed) shortest paths:
+    * dist(v) = the minimum total weight over paths of at most `rounds`
+    * edges from any seed — Bellman-Ford with a frontier optimization
+    * (only nodes whose distance improved last round relax their
+    * out-edges; standard SPFA argument: a non-improved node's
+    * contribution was already min'd in the round after it last improved,
+    * so the result is identical to full relaxation and the oracle can
+    * replay the textbook unrolled rounds). Weights are nonnegative
+    * BIGINTs, distances exact integers — engine-exact. Parallel edges
+    * collapse to their min weight first (the only one a shortest path
+    * can use). Each round is one key-partitioned join + min-aggregate on
+    * the frontier (not the full distance table); state is the reached
+    * set, which a `rounds` cap keeps to the seeds' weighted
+    * neighborhood. Below `localCutoff` live rows the identical rounds
+    * replay serially in one executor task (same endgame contract as
+    * [[bfsHops]]). Output: (node, dist) for reached nodes only.
+    */
+  def sssp(seeds: DataFrame, edges: DataFrame, rounds: Int,
+      localCutoff: Long = 1L << 20): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds must be in [1,50], got $rounds")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col("w").cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst") && col("w") >= 0)
+      .groupBy("src", "dst").agg(min("w").as("w")).localCheckpoint(false)
+    val s = seeds.select(col("id").cast("long").as("node")).distinct()
+      .localCheckpoint(false)
+    if (localCutoff > 0 && e.count() + s.count() <= localCutoff)
+      return localSssp(s, e, rounds)
+    var dist = s.withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var r = 1
+    while (r <= rounds && !frontier.isEmpty) {
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      val merged = dist.join(cand, Seq("node"), "full")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist"))).as("dist"),
+          (col("nd").isNotNull && (col("dist").isNull || col("nd") < col("dist"))).as("__imp"))
+        .localCheckpoint()
+      frontier = merged.filter(col("__imp")).select("node", "dist")
+      dist = merged.select("node", "dist")
+      r += 1
+    }
+    dist
+  }
+
+  /** The [[sssp]] endgame: identical synchronous Bellman-Ford rounds in
+    * one executor task (not a driver collect) — deterministic, so
+    * bit-identical to the distributed rounds.
+    */
+  private def localSssp(s: DataFrame, e: DataFrame, rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val tagged = e.select(lit(1L).as("t"), col("src").as("u"), col("dst").as("v"), col("w"))
+      .unionByName(s.select(lit(0L).as("t"), col("node").as("u"), lit(0L).as("v"), lit(0L).as("w")))
+    tagged.as[(Long, Long, Long, Long)].coalesce(1).mapPartitions { it =>
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+      val seedBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach { case (t, u, v, w) =>
+        if (t == 0L) seedBuf += u
+        else adj.getOrElseUpdate(u,
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]) += ((v, w))
+      }
+      val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+      seedBuf.foreach(s0 => dist.update(s0, 0L))
+      var frontier: Array[Long] = seedBuf.distinct.toArray
+      var r = 1
+      while (r <= rounds && frontier.nonEmpty) {
+        val improved = scala.collection.mutable.HashSet.empty[Long]
+        // synchronous round: relax against the PREVIOUS round's
+        // distances, exactly like the distributed join
+        val prev = frontier.map(u => u -> dist(u)).toMap
+        frontier.foreach { u =>
+          adj.getOrElse(u, Nil).foreach { case (v, w) =>
+            val nd = prev(u) + w
+            if (!dist.contains(v) || nd < dist(v)) { dist.update(v, nd); improved += v }
+          }
+        }
+        frontier = improved.toArray
+        r += 1
+      }
+      dist.iterator
+    }.toDF("node", "dist")
+  }
+
+  /** Strongly connected components of a DIRECTED graph: scc_id(v) = the
+    * minimum node id in v's SCC — the canonical, algorithm-independent
+    * labeling, so the oracle can verify it from the definition (mutual
+    * reachability via a transitive closure) without replaying the
+    * algorithm. Two strategies:
+    *
+    *   - below `localCutoff` live rows: iterative Tarjan in ONE executor
+    *     task (not a driver collect) — linear time, the endgame every
+    *     fixture-scale graph takes;
+    *   - above it: the standard distributed coloring rounds (Orzan-style
+    *     forward-min / backward-reach): trim in/out-degree-0 singleton
+    *     SCCs to a fixpoint, forward-propagate the minimum reaching node
+    *     id to a fixpoint (colors), then the color classes' roots
+    *     back-propagate reachability INSIDE their class (lossless: every
+    *     node on a path v→*root shares the root's color — a
+    *     smaller-colored intermediate would recolor the root); nodes
+    *     that reach their own color root form that root's SCC, are
+    *     emitted, and the loop repeats on the remainder, which shrinks
+    *     every round. Real graphs converge in a few rounds; adversarial
+    *     long chains degrade toward O(chain) rounds — the same bound
+    *     every label-propagation fixpoint here carries — and the
+    *     remainder drops under `localCutoff` long before that matters.
+    */
+  def scc(edges: DataFrame, localCutoff: Long = 1L << 20,
+      maxRounds: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct().localCheckpoint(false)
+    val n0 = e0.select(col("src").as("node")).union(e0.select(col("dst").as("node")))
+      .distinct().localCheckpoint(false)
+    var live = n0
+    var liveE = e0
+    var done: DataFrame = Seq.empty[(Long, Long)].toDF("node", "scc_id")
+    var guard = 0
+    while (!live.isEmpty) {
+      guard += 1
+      require(guard <= maxRounds,
+        s"scc did not converge in $maxRounds coloring rounds (forced-distributed run?)")
+      if (localCutoff > 0 && live.count() + liveE.count() <= localCutoff) {
+        done = done.unionByName(localScc(live, liveE))
+        live = live.limit(0)
+      } else {
+        // trim singleton SCCs (no in-edge or no out-edge) to a fixpoint:
+        // erodes the DAG fringe so coloring works on the cyclic core
+        var trimmed = true
+        while (trimmed) {
+          val both = liveE.select(col("src").as("node")).distinct()
+            .join(liveE.select(col("dst").as("node")).distinct(), Seq("node"))
+          val dead = live.join(both, Seq("node"), "left_anti").localCheckpoint()
+          trimmed = !dead.isEmpty
+          if (trimmed) {
+            done = done.unionByName(dead.select(col("node"), col("node").as("scc_id")))
+              .localCheckpoint()
+            live = live.join(dead, Seq("node"), "left_anti").localCheckpoint()
+            liveE = liveE
+              .join(dead.select(col("node").as("src")), Seq("src"), "left_anti")
+              .join(dead.select(col("node").as("dst")), Seq("dst"), "left_anti")
+              .select("src", "dst").localCheckpoint()
+          }
+        }
+        if (!live.isEmpty) {
+          // forward-min colors: c(v) = min node id that reaches v
+          var c = live.select(col("node"), col("node").as("c")).localCheckpoint()
+          var changed = true
+          while (changed) {
+            val upd = liveE.join(c.select(col("node").as("src"), col("c")), Seq("src"))
+              .groupBy(col("dst").as("node")).agg(min("c").as("nc"))
+            val c2 = c.join(upd, Seq("node"), "left")
+              .select(col("node"), least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
+              .localCheckpoint()
+            changed = !c2.select(col("node"), col("c").as("__new"))
+              .join(c, Seq("node")).filter(col("__new") < col("c")).isEmpty
+            c = c2
+          }
+          // same-color edges (any cross-color edge cannot sit inside an SCC)
+          val cE = liveE
+            .join(c.select(col("node").as("src"), col("c").as("cs")), Seq("src"))
+            .join(c.select(col("node").as("dst"), col("c").as("cd")), Seq("dst"))
+            .filter(col("cs") === col("cd"))
+            .select(col("src"), col("dst"), col("cs").as("c")).localCheckpoint()
+          // backward reach from each color root within its class
+          var reach = c.filter(col("node") === col("c")).localCheckpoint()
+          var frontier = reach
+          while (!frontier.isEmpty) {
+            val nf = cE.join(frontier.select(col("node").as("dst")), Seq("dst"))
+              .select(col("src").as("node"), col("c")).distinct()
+              .join(reach.select("node"), Seq("node"), "left_anti")
+              .localCheckpoint()
+            frontier = nf
+            if (!nf.isEmpty) reach = reach.unionByName(nf).localCheckpoint()
+          }
+          done = done.unionByName(reach.select(col("node"), col("c").as("scc_id")))
+            .localCheckpoint()
+          val rn = reach.select("node")
+          live = live.join(rn, Seq("node"), "left_anti").localCheckpoint()
+          liveE = liveE
+            .join(rn.select(col("node").as("src")), Seq("src"), "left_anti")
+            .join(rn.select(col("node").as("dst")), Seq("dst"), "left_anti")
+            .select("src", "dst").localCheckpoint()
+        }
+      }
+    }
+    done
+  }
+
+  /** The [[scc]] endgame: iterative (explicit-stack) Tarjan in one
+    * executor task. The min-member representative is DFS-order
+    * independent, so this is bit-identical to the coloring rounds.
+    */
+  private def localScc(nodes: DataFrame, e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val tagged = e.select(lit(1L).as("t"), col("src").as("u"), col("dst").as("v"))
+      .unionByName(nodes.select(lit(0L).as("t"), col("node").as("u"), lit(0L).as("v")))
+    tagged.as[(Long, Long, Long)].coalesce(1).mapPartitions { it =>
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      val ns = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach { case (t, u, v) =>
+        if (t == 0L) ns += u
+        else adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty[Long]) += v
+      }
+      val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+      val low = scala.collection.mutable.HashMap.empty[Long, Int]
+      val onStack = scala.collection.mutable.HashSet.empty[Long]
+      val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val comp = scala.collection.mutable.HashMap.empty[Long, Long]
+      var counter = 0
+      val empty = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ns.foreach { root =>
+        if (!idx.contains(root)) {
+          val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+          idx(root) = counter; low(root) = counter; counter += 1
+          stack += root; onStack += root; frames += ((root, 0))
+          while (frames.nonEmpty) {
+            val (u, ci) = frames.last
+            val nbrs = adj.getOrElse(u, empty)
+            if (ci < nbrs.length) {
+              frames(frames.length - 1) = (u, ci + 1)
+              val v = nbrs(ci)
+              if (!idx.contains(v)) {
+                idx(v) = counter; low(v) = counter; counter += 1
+                stack += v; onStack += v; frames += ((v, 0))
+              } else if (onStack(v)) low(u) = math.min(low(u), idx(v))
+            } else {
+              frames.remove(frames.length - 1)
+              if (frames.nonEmpty) {
+                val p = frames.last._1
+                low(p) = math.min(low(p), low(u))
+              }
+              if (low(u) == idx(u)) {
+                val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+                var w = 0L
+                while ({ w = stack.remove(stack.length - 1); onStack -= w
+                  members += w; w != u }) ()
+                val rep = members.min
+                members.foreach(m => comp(m) = rep)
+              }
+            }
+          }
+        }
+      }
+      comp.iterator
+    }.toDF("node", "scc_id")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // PageRank over the customer→supplier purchase graph (5 rounds):
@@ -1516,6 +1774,98 @@ object Graph {
           |SELECT node, label,
           |  count(*) OVER (PARTITION BY label) AS community_size
           |FROM l4 ORDER BY node""".stripMargin),
+    ),
+
+    // Weighted shortest paths from the nation-0 customer seeds through
+    // the undirected purchase graph (cust↔supplier, weight = lineitem
+    // multiplicity): "cheapest supply-chain path to a confirmed-bad
+    // account", 4 Bellman-Ford rounds. The oracle replays the textbook
+    // unrolled relaxation rounds; the Spark side's frontier optimization
+    // is provably identical (doc at [[sssp]]).
+    GraftQuery(
+      "q_sssp",
+      (s, dir) => {
+        val raw = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("src"),
+            (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val und = raw.unionByName(
+          raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        val seeds = Tables(s, dir, "customer")
+          .filter(col("c_nationkey") === 0)
+          .select(col("c_custkey").as("id"))
+        sssp(seeds, und, rounds = 4).orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""d$i AS (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS node, d.dist + e.w AS dist
+             |    FROM d${i - 1} d JOIN e ON e.src = d.node)
+             |  GROUP BY node)""".stripMargin
+        }
+        (Seq(
+          """WITH raw AS MATERIALIZED (
+            |  SELECT o_custkey AS src, CAST(l_suppkey AS BIGINT) + 10000000 AS dst,
+            |    count(*) AS w
+            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            |  GROUP BY 1, 2),
+            |e AS MATERIALIZED (
+            |  SELECT src, dst, w FROM raw UNION ALL SELECT dst, src, w FROM raw),
+            |d0 AS (
+            |  SELECT c_custkey AS node, CAST(0 AS BIGINT) AS dist
+            |  FROM customer WHERE c_nationkey = 0)""".stripMargin) ++ rounds)
+          .mkString(",\n") +
+          "\nSELECT node, dist FROM d4 ORDER BY node"
+      },
+    ),
+
+    // Strongly connected components of a deterministic directed graph
+    // over the customers (two hash successors per node — an out-degree-2
+    // digraph whose cyclic core is nontrivial): the money-flow /
+    // link-farm detector where mutual reachability, not mere
+    // connectivity, is the signal. The oracle does NOT replay the
+    // algorithm — it verifies the DEFINITION via a recursive-CTE
+    // transitive closure (scc_id = min mutually-reachable node), so a
+    // hash match proves the distributed coloring/Tarjan result is the
+    // true SCC partition.
+    GraftQuery(
+      "q_scc",
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer")
+        val n = cust.count()
+        val edges = cust.select(col("c_custkey").as("src"),
+            (lit(1) + (col("c_custkey") * 7919 + 13) % n).cast("long").as("dst"))
+          .unionByName(cust.select(col("c_custkey").as("src"),
+            (lit(1) + (col("c_custkey") * 104729 + 7) % n).cast("long").as("dst")))
+        scc(edges).orderBy("node")
+      },
+      Some("""WITH RECURSIVE g AS MATERIALIZED (
+             |  SELECT src, dst FROM (
+             |    SELECT c_custkey AS src,
+             |      1 + (c_custkey * 7919 + 13) % (SELECT count(*) FROM customer) AS dst
+             |    FROM customer
+             |    UNION
+             |    SELECT c_custkey,
+             |      1 + (c_custkey * 104729 + 7) % (SELECT count(*) FROM customer)
+             |    FROM customer)
+             |  WHERE src <> dst),
+             |nodes AS (SELECT src AS node FROM g UNION SELECT dst FROM g),
+             |reach AS (
+             |  SELECT src AS s, dst AS d FROM g
+             |  UNION
+             |  SELECT r.s, g.dst FROM reach r JOIN g ON g.src = r.d),
+             |mutual AS (
+             |  SELECT a.s AS node, a.d AS m
+             |  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s)
+             |SELECT node, min(m) AS scc_id FROM (
+             |  SELECT node, node AS m FROM nodes
+             |  UNION ALL
+             |  SELECT node, m FROM mutual)
+             |GROUP BY node ORDER BY node""".stripMargin),
     ),
   )
 }
