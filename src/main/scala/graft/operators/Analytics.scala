@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -1144,7 +1144,98 @@ object Analytics {
              |  floor((revenue - prev) / prev * 1e6 + 0.5) / 1e6 AS pct_change
              |FROM l ORDER BY o_orderpriority, month_start""".stripMargin),
     ),
+
+    // Activity bitmaps: each user's January compressed to one 30-bit
+    // BIGINT mask (bit d-1 = active on day d) via bit_or — the bitmap-
+    // index layout engagement rollups use at scale, because week/cohort
+    // retention and streak questions become BITWISE ops on one BIGINT
+    // per user instead of re-scanning events. The max-streak chain
+    // s_{i+1} = s_i & (s_i << 1) (nonzero iff some run of length i+1
+    // survives) is generated step-by-step from the SAME expression
+    // strings the oracle nests, so every bit is engine-exact.
+    GraftQuery(
+      "q_bitmap_retention",
+      (s, dir) => activityBitmap(Tables(s, dir, "events")).orderBy("user_id"),
+      Some {
+        val inner = (2 to 30).foldLeft(
+          "SELECT user_id, mask, mask AS s1 FROM (SELECT user_id," +
+            " bit_or(1::BIGINT << (day(ts) - 1)) AS mask FROM events GROUP BY user_id)") {
+          (q, i) => s"SELECT *, ${streakStep(i)} AS s$i FROM ($q)"
+        }
+        val streak = (1 to 30).map(i => s"CAST(s$i <> 0 AS INT)").mkString(" + ")
+        s"""SELECT user_id, mask,
+           |  CAST(bit_count(mask) AS INT) AS active_days,
+           |  $streak AS max_streak,
+           |  CAST((mask & 127) <> 0 AS INT) AS week1_active,
+           |  CAST(((mask >> 21) & 127) <> 0 AS INT) AS week4_active,
+           |  CAST((mask & 127) <> 0 AND ((mask >> 21) & 127) <> 0 AS INT) AS retained
+           |FROM ($inner) ORDER BY user_id""".stripMargin
+      },
+    ),
+
+    // Lag-1 / lag-7 autocorrelation of the per-type event value series —
+    // the seasonality screen ("does today predict tomorrow? does the
+    // week repeat?") a forecasting pipeline runs before model choice.
+    // One shuffle on the key serves both lag windows and the aggregate;
+    // corr carries the house 1e-4 primitive-rounding guard
+    // (accumulation-order doubles, same discipline as q_stats_corr).
+    GraftQuery(
+      "q_autocorr",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        Tables(s, dir, "events")
+          .withColumn("prev1", lag("value", 1).over(w))
+          .withColumn("prev7", lag("value", 7).over(w))
+          .groupBy("event_type")
+          .agg(
+            (floor(corr(col("value"), col("prev1")) * lit(1e4) + lit(0.5)) / lit(1e4)).as("autocorr_lag1"),
+            (floor(corr(col("value"), col("prev7")) * lit(1e4) + lit(0.5)) / lit(1e4)).as("autocorr_lag7"),
+            count(col("prev1")).as("n_pairs"))
+          .orderBy("event_type")
+      },
+      Some("""WITH l AS (
+             |  SELECT event_type, value,
+             |    lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev1,
+             |    lag(value, 7) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev7
+             |  FROM events)
+             |SELECT event_type,
+             |  floor(corr(value, prev1) * 1e4 + 0.5) / 1e4 AS autocorr_lag1,
+             |  floor(corr(value, prev7) * 1e4 + 0.5) / 1e4 AS autocorr_lag7,
+             |  count(prev1) AS n_pairs
+             |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
   )
+
+  /** One max-streak chain step: s_i = s_{i-1} & (s_{i-1} << 1) — the
+    * shared expression text both engines evaluate (q_bitmap_retention).
+    */
+  private def streakStep(i: Int): String = s"s${i - 1} & (s${i - 1} << 1)"
+
+  /** Per-user day-of-month activity bitmap over (user_id, ts) rows:
+    * mask (bit d−1 = active on day d), active-day count, longest
+    * consecutive streak (the s & (s << 1) chain — s_i ≠ 0 iff some run
+    * of length i survives), first/fourth-week flags, and their AND
+    * (week-4 retention). Everything downstream of the one bit_or
+    * aggregate is per-row bitwise arithmetic.
+    */
+  def activityBitmap(events: DataFrame): DataFrame = {
+    val base = events.groupBy("user_id")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), day(ts) - 1))").as("mask"))
+    val withChain = (2 to 30).foldLeft(
+      base.withColumn("s1", col("mask"))
+        .withColumn("streak", when(col("s1") =!= 0, 1).otherwise(0))) {
+      (d, i) =>
+        d.withColumn(s"s$i", expr(streakStep(i)))
+          .withColumn("streak",
+            col("streak") + when(col(s"s$i") =!= 0, 1).otherwise(0))
+    }
+    withChain.select(col("user_id"), col("mask"),
+      expr("CAST(bit_count(mask) AS INT)").as("active_days"),
+      col("streak").as("max_streak"),
+      expr("CAST((mask & 127) <> 0 AS INT)").as("week1_active"),
+      expr("CAST(((mask >> 21) & 127) <> 0 AS INT)").as("week4_active"),
+      expr("CAST((mask & 127) <> 0 AND ((mask >> 21) & 127) <> 0 AS INT)").as("retained"))
+  }
 
   /** Bucket-blocked interval-overlap join: all (left, right) pairs sharing
     * `keyCol` whose closed intervals [ls, le] and [rs, re] overlap

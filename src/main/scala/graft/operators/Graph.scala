@@ -1298,6 +1298,66 @@ object Graph {
     }.toDF("node", "scc_id")
   }
 
+  /** Topological link prediction over an undirected graph given as
+    * DISTINCT canonical edges (a < b): for every 2-hop NON-adjacent pair,
+    * common-neighbor count, Jaccard in integer micros (DECIMAL
+    * numerator — 1e6·cn wraps a BIGINT past cn ≈ 9.2e12), and
+    * preferential attachment (BIGINT-bounded at degree ≤ 3e9: beyond
+    * that the product itself exceeds 64 bits), ranked top-`k` per left
+    * node by (cn desc, id). One wedge enumeration + one anti-join +
+    * one degree join, all key-partitioned.
+    */
+  def linkPredict(und: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bi = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = bi.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = bi.select(col("u").as("x"), col("v").as("via"))
+      .join(bi.select(col("u").as("via"), col("v").as("y")), Seq("via"))
+      .filter(col("x") < col("y"))
+    val cand = wedges.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+      .join(und, col("x") === col("a") && col("y") === col("b"), "left_anti")
+    val scored = cand
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+      .select(col("x"), col("y"), col("cn"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * cn)" +
+          " div CAST(dx + dy - cn AS DECIMAL(38,0))").as("jaccard_micros"),
+        (col("dx") * col("dy")).as("pref_attach"))
+    val w = Window.partitionBy("x").orderBy(col("cn").desc, col("y"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic `steps`-hop random walks from every node of an
+    * undirected graph (DISTINCT canonical edges a < b): the next hop is
+    * the sorted-adjacency element at index
+    * 1 + ((cur mod 1048573)·2654435761 + step·40503) mod 1048573 mod deg
+    * — hash-uniform, engine-exact (the node id is reduced mod the prime
+    * FIRST so the product is bounded by ~2.8e15 at any id scale). The
+    * walk generator a graph-embedding (DeepWalk/node2vec) trainer feeds
+    * on; adjacency is one sort-aggregated shuffle, each hop one
+    * key-partitioned join against it.
+    */
+  def randomWalks(und: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 20, s"steps must be in [1,20], got $steps")
+    val bi = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val adj = bi.groupBy(col("u").as("node"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"), count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    def step(cur: String, i: Int): org.apache.spark.sql.Column =
+      expr(s"element_at(nbrs, CAST(1 + (($cur % 1048573) * 2654435761 + $i * 40503)" +
+        " % 1048573 % deg AS INT))")
+    var walk = adj.select(col("node"), step("node", 1).as("h1"))
+    for (i <- 2 to steps) {
+      val prev = s"h${i - 1}"
+      walk = walk.join(adj.select(col("node").as(prev), col("nbrs"), col("deg")), Seq(prev))
+        .select((col("node") +: (1 until i).map(j => col(s"h$j")) :+
+          step(prev, i).as(s"h$i")): _*)
+    }
+    walk
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // PageRank over the customer→supplier purchase graph (5 rounds):
@@ -1774,6 +1834,107 @@ object Graph {
           |SELECT node, label,
           |  count(*) OVER (PARTITION BY label) AS community_size
           |FROM l4 ORDER BY node""".stripMargin),
+    ),
+
+    // Link prediction over the co-purchase graph: for every 2-hop
+    // non-adjacent pair, the three classic topological scores — common
+    // neighbors, Jaccard (integer micros), preferential attachment —
+    // and the top-5 candidates per node. This is the "accounts that
+    // SHOULD be linked but aren't yet" screen (and the negative-sampling
+    // feed a graph-embedding trainer needs). One wedge enumeration (the
+    // same shape as q_triangles, riding the same minShared prefilter),
+    // one anti-join against the edge set, one degree join — all
+    // key-partitioned, all integer arithmetic.
+    GraftQuery(
+      "q_link_predict",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        val und = copurchaseEdges(cp, minShared = 4)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct().localCheckpoint(false)
+        linkPredict(und, k = 5).orderBy("x", "rk")
+      },
+      Some("""WITH cp AS (
+             |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e0 AS MATERIALIZED (
+             |  SELECT c1.c AS a, c2.c AS b
+             |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+             |  GROUP BY 1, 2 HAVING count(*) >= 4),
+             |bi AS MATERIALIZED (
+             |  SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+             |deg AS (SELECT u AS node, count(*) AS deg FROM bi GROUP BY u),
+             |cand AS (
+             |  SELECT w.x, w.y, count(*) AS cn FROM (
+             |    SELECT b1.u AS x, b2.v AS y
+             |    FROM bi b1 JOIN bi b2 ON b1.v = b2.u AND b1.u < b2.v) w
+             |  LEFT JOIN e0 ON e0.a = w.x AND e0.b = w.y
+             |  WHERE e0.a IS NULL
+             |  GROUP BY w.x, w.y),
+             |scored AS (
+             |  SELECT c.x, c.y, c.cn,
+             |    CAST((CAST(1000000 AS HUGEINT) * c.cn)
+             |      // (dx.deg + dy.deg - c.cn) AS BIGINT) AS jaccard_micros,
+             |    dx.deg * dy.deg AS pref_attach,
+             |    row_number() OVER (PARTITION BY c.x ORDER BY c.cn DESC, c.y) AS rk
+             |  FROM cand c
+             |  JOIN deg dx ON dx.node = c.x
+             |  JOIN deg dy ON dy.node = c.y)
+             |SELECT x, y, cn, jaccard_micros, pref_attach, rk
+             |FROM scored WHERE rk <= 5 ORDER BY x, rk""".stripMargin),
+    ),
+
+    // Deterministic random-walk corpus over the co-purchase graph: from
+    // every node, a 3-step walk whose "random" neighbor choice is a hash
+    // of (current node, step) modulo the sorted adjacency size — the
+    // node2vec-style walk generator a graph-embedding trainer feeds on,
+    // made engine-exact (both engines replay the identical arithmetic,
+    // so the oracle hash-checks every visited node). Adjacency build is
+    // one sort-aggregated shuffle; each step is a key-partitioned join
+    // against it. At 100 TB: walks per node × steps joins, each
+    // frontier-sized, no state beyond the adjacency table.
+    GraftQuery(
+      "q_random_walks",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        val und = copurchaseEdges(cp, minShared = 4)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        randomWalks(und, steps = 3).orderBy("node")
+      },
+      Some("""WITH cp AS (
+             |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e0 AS MATERIALIZED (
+             |  SELECT c1.c AS a, c2.c AS b
+             |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+             |  GROUP BY 1, 2 HAVING count(*) >= 4),
+             |bi AS MATERIALIZED (
+             |  SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+             |adj AS (
+             |  SELECT u AS node, list_sort(list(v)) AS nbrs, count(*) AS deg
+             |  FROM bi GROUP BY u),
+             |w1 AS (
+             |  SELECT node,
+             |    nbrs[CAST(1 + ((node % 1048573) * 2654435761 + 1 * 40503) % 1048573 % deg AS INT)] AS h1
+             |  FROM adj),
+             |w2 AS (
+             |  SELECT w1.node, w1.h1,
+             |    a.nbrs[CAST(1 + ((w1.h1 % 1048573) * 2654435761 + 2 * 40503) % 1048573 % a.deg AS INT)] AS h2
+             |  FROM w1 JOIN adj a ON a.node = w1.h1),
+             |w3 AS (
+             |  SELECT w2.node, w2.h1, w2.h2,
+             |    a.nbrs[CAST(1 + ((w2.h2 % 1048573) * 2654435761 + 3 * 40503) % 1048573 % a.deg AS INT)] AS h3
+             |  FROM w2 JOIN adj a ON a.node = w2.h2)
+             |SELECT node, h1, h2, h3 FROM w3 ORDER BY node""".stripMargin),
     ),
 
     // Weighted shortest paths from the nation-0 customer seeds through
