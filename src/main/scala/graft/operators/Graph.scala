@@ -1358,6 +1358,96 @@ object Graph {
     walk
   }
 
+  /** Minimum spanning forest under the STRICT total edge order
+    * (w, a, b) — parallel edges collapse to their min weight first, so
+    * the order has no ties and the MSF is UNIQUE, which is what lets
+    * the oracle verify output equality without replaying this exact
+    * algorithm. Distributed path: Borůvka rounds — every component
+    * picks its minimum incident cross-edge (cut property: each such
+    * edge is in THE MSF), the picked edges merge components (via
+    * [[connectedComponents]] on the component graph, which is at most
+    * half the size each round), and intra-component edges drop.
+    * Component count at least halves per round, so ≤ log₂(n) rounds —
+    * no adversarial worst case, unlike the label-propagation fixpoints.
+    * Below `localCutoff` edges the endgame is serial Kruskal with
+    * union-find in one executor task; both strategies produce the same
+    * unique forest. Output: (a, b, w) forest edges.
+    */
+  def msf(edges: DataFrame, localCutoff: Long = 1L << 20,
+      maxRounds: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges
+      .select(col("a").cast("long").as("x"), col("b").cast("long").as("y"),
+        col("w").cast("long").as("w"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"),
+        col("w"))
+      .groupBy("a", "b").agg(min("w").as("w")).localCheckpoint(false)
+    if (localCutoff > 0 && e0.count() <= localCutoff) return localMsf(e0)
+    var comp = e0.select(col("a").as("node")).union(e0.select(col("b").as("node")))
+      .distinct().select(col("node"), col("node").as("c")).localCheckpoint()
+    var live = e0
+    var forest = Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds, s"Borůvka did not converge in $maxRounds rounds")
+      val ce = live
+        .join(comp.select(col("node").as("a"), col("c").as("ca")), Seq("a"))
+        .join(comp.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+        .filter(col("ca") =!= col("cb")).localCheckpoint()
+      if (ce.isEmpty) converged = true
+      else {
+        val pick = struct(col("w"), col("a"), col("b")).as("e")
+        val sel = ce.select(col("ca").as("c"), pick)
+          .union(ce.select(col("cb").as("c"), pick))
+          .groupBy("c").agg(min("e").as("e")) // struct min = (w, a, b) lexicographic
+          .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+          .distinct().localCheckpoint()
+        forest = forest.unionByName(sel).localCheckpoint()
+        val compEdges = sel
+          .join(comp.select(col("node").as("a"), col("c").as("ca")), Seq("a"))
+          .join(comp.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+          .select(col("ca").as("src"), col("cb").as("dst"))
+        val newLab = connectedComponents(comp.select(col("c").as("id")).distinct(),
+          compEdges)
+        comp = comp.join(newLab.select(col("node").as("c"), col("component")), Seq("c"))
+          .select(col("node"), col("component").as("c")).localCheckpoint()
+        live = ce.select("a", "b", "w").localCheckpoint()
+      }
+    }
+    forest
+  }
+
+  /** The [[msf]] endgame: serial Kruskal with path-halving union-find in
+    * one executor task, edges scanned in the same strict (w, a, b)
+    * order — the unique MSF, bit-identical to the Borůvka rounds.
+    */
+  private def localMsf(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.as[(Long, Long, Long)].coalesce(1).mapPartitions { it =>
+      val es = it.toArray.sortBy { case (a, b, w) => (w, a, b) }
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p)
+          x = parent(x)
+        }
+        x
+      }
+      es.iterator.filter { case (a, b, _) =>
+        val ra = find(a); val rb = find(b)
+        if (ra == rb) false
+        else { parent(math.max(ra, rb)) = math.min(ra, rb); true }
+      }
+    }.toDF("a", "b", "w")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // PageRank over the customer→supplier purchase graph (5 rounds):
@@ -1904,10 +1994,13 @@ object Graph {
           .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
           .localCheckpoint(false)
+        // checkpoint: the walk builds bi from und TWICE (both union
+        // branches) — uncheckpointed, the whole co-purchase self-join
+        // would run twice
         val und = copurchaseEdges(cp, minShared = 4)
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
-          .distinct()
+          .distinct().localCheckpoint(false)
         randomWalks(und, steps = 3).orderBy("node")
       },
       Some("""WITH cp AS (
@@ -1946,11 +2039,14 @@ object Graph {
     GraftQuery(
       "q_sssp",
       (s, dir) => {
+        // checkpoint: both directions of the undirected union read `raw`,
+        // and sssp's min-collapse groupBy reads the union — without the
+        // pin the orders⋈lineitem aggregate runs twice
         val raw = Tables(s, dir, "orders")
           .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey").as("src"),
             (col("l_suppkey").cast("long") + lit(10000000L)).as("dst"))
-          .agg(count(lit(1)).as("w"))
+          .agg(count(lit(1)).as("w")).localCheckpoint(false)
         val und = raw.unionByName(
           raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         val seeds = Tables(s, dir, "customer")
@@ -2028,5 +2124,70 @@ object Graph {
              |  SELECT node, m FROM mutual)
              |GROUP BY node ORDER BY node""".stripMargin),
     ),
+
+    // Minimum spanning forest of the weighted purchase graph (weight =
+    // lineitem multiplicity): the cheapest backbone connecting every
+    // customer and supplier — the skeleton a network-simplification /
+    // hierarchy-extraction pass keeps. Unique under the strict
+    // (w, a, b) order, so the oracle's unrolled Borůvka (12 rounds
+    // covers 4096 components; later rounds are no-ops) must produce the
+    // IDENTICAL edge set to whichever strategy the Spark side took.
+    GraftQuery(
+      "q_msf",
+      (s, dir) => {
+        val raw = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("a"),
+            (col("l_suppkey").cast("long") + lit(10000000L)).as("b"))
+          .agg(count(lit(1)).as("w"))
+        msf(raw).orderBy("a", "b")
+      },
+      Some((Seq(
+        """WITH RECURSIVE e AS MATERIALIZED (
+          |  SELECT o_custkey AS a, CAST(l_suppkey AS BIGINT) + 10000000 AS b,
+          |    count(*) AS w
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2),
+          |comp0 AS (
+          |  SELECT node, node AS c
+          |  FROM (SELECT a AS node FROM e UNION SELECT b FROM e))""".stripMargin) ++
+        (1 to 12).map(msfRoundSql)).mkString(",\n") +
+        "\nSELECT a, b, w FROM (" +
+        (1 to 12).map(i => s"SELECT a, b, w FROM sel$i").mkString(" UNION ") +
+        ") ORDER BY a, b"),
+    ),
   )
+
+  /** One oracle Borůvka round: cross-component edges under comp_{i-1},
+    * per-component minimum by the strict (w, a, b) order, then component
+    * merge via a recursive-CTE closure over the picked edges (min label
+    * in each merged group).
+    */
+  private def msfRoundSql(i: Int): String =
+    s"""ce$i AS MATERIALIZED (
+       |  SELECT e.a, e.b, e.w, x.c AS ca, y.c AS cb
+       |  FROM e JOIN comp${i - 1} x ON x.node = e.a
+       |         JOIN comp${i - 1} y ON y.node = e.b
+       |  WHERE x.c <> y.c),
+       |sel$i AS MATERIALIZED (
+       |  SELECT DISTINCT a, b, w FROM (
+       |    SELECT c, a, b, w,
+       |      row_number() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+       |    FROM (SELECT ca AS c, a, b, w FROM ce$i
+       |          UNION ALL SELECT cb, a, b, w FROM ce$i))
+       |  WHERE rn = 1),
+       |ge$i AS MATERIALIZED (
+       |  SELECT x.c AS u, y.c AS v
+       |  FROM sel$i s JOIN comp${i - 1} x ON x.node = s.a
+       |               JOIN comp${i - 1} y ON y.node = s.b),
+       |bi$i AS MATERIALIZED (SELECT u, v FROM ge$i UNION SELECT v, u FROM ge$i),
+       |reach$i AS (
+       |  SELECT u, v FROM bi$i
+       |  UNION
+       |  SELECT r.u, b.v FROM reach$i r JOIN bi$i b ON b.u = r.v),
+       |nl$i AS MATERIALIZED (
+       |  SELECT u AS c, least(u, min(v)) AS nc FROM reach$i GROUP BY u),
+       |comp$i AS MATERIALIZED (
+       |  SELECT p.node, coalesce(n.nc, p.c) AS c
+       |  FROM comp${i - 1} p LEFT JOIN nl$i n ON n.c = p.c)""".stripMargin
 }
