@@ -1173,6 +1173,64 @@ object Analytics {
       },
     ),
 
+    // STL-lite seasonal decomposition of the per-type daily value
+    // series: trend = centered 7-day moving average, seasonal =
+    // per-weekday mean of the detrended series, residual = the rest.
+    // The entire decomposition runs in INTEGER MICROS as the documented
+    // definition (daily totals accumulate in DECIMAL then floor to
+    // micros; every later step is BIGINT div) — engine-exact, no float
+    // accumulation anywhere. Two exchanges: one groupBy to days, one
+    // broadcast-join of the 7-row weekday profile back onto the series.
+    GraftQuery(
+      "q_seasonal",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+          .agg(expr("CAST(sum(CAST(value AS DECIMAL(30,6))) * 1000000 AS BIGINT)")
+            .as("daily_micros"))
+        val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+        // `div`, not `/`+cast: double division loses exactness past 2^53
+        // and rounds where div truncates — DuckDB `//` truncates toward
+        // zero identically (verified on negatives)
+        val trended = daily
+          .withColumn("__ws", sum("daily_micros").over(w))
+          .withColumn("__wc", count(lit(1)).over(w))
+          .withColumn("trend_micros", expr("__ws div __wc"))
+          .withColumn("det", col("daily_micros") - col("trend_micros"))
+          .withColumn("dow", expr("weekday(d)"))
+        val seasonal = trended.groupBy("event_type", "dow")
+          .agg(sum("det").as("__sd"), count(lit(1)).as("__n"))
+          .select(col("event_type"), col("dow"), expr("__sd div __n").as("seasonal_micros"))
+        trended.join(broadcast(seasonal), Seq("event_type", "dow"))
+          .select(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("d"),
+            col("daily_micros"), col("trend_micros"), col("seasonal_micros"),
+            (col("det") - col("seasonal_micros")).as("residual_micros"))
+          .orderBy("event_type", "d")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d,
+             |    CAST(sum(CAST(value AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS daily_micros
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT event_type, d, daily_micros,
+             |    CAST(sum(daily_micros) OVER w // count(*) OVER w AS BIGINT) AS trend_micros,
+             |    isodow(d) - 1 AS dow
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+             |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |det AS (
+             |  SELECT *, daily_micros - trend_micros AS det FROM t),
+             |seas AS (
+             |  SELECT event_type, dow,
+             |    CAST(sum(det) // count(*) AS BIGINT) AS seasonal_micros
+             |  FROM det GROUP BY 1, 2)
+             |SELECT d.event_type, strftime(d.d, '%Y-%m-%d') AS d,
+             |  d.daily_micros, d.trend_micros, s.seasonal_micros,
+             |  d.det - s.seasonal_micros AS residual_micros
+             |FROM det d JOIN seas s ON s.event_type = d.event_type AND s.dow = d.dow
+             |ORDER BY d.event_type, d.d""".stripMargin),
+    ),
+
     // Lag-1 / lag-7 autocorrelation of the per-type event value series —
     // the seasonality screen ("does today predict tomorrow? does the
     // week repeat?") a forecasting pipeline runs before model choice.

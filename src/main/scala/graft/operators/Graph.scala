@@ -1193,18 +1193,25 @@ object Graph {
           }
         }
         if (!live.isEmpty) {
-          // forward-min colors: c(v) = min node id that reaches v
+          // forward-min colors: c(v) = min node id that reaches v.
+          // Frontier-optimized: only nodes whose color just dropped
+          // re-propagate (monotone min — the same SPFA argument as
+          // [[sssp]]: a stable node's contribution was min'd in the
+          // round after it last changed), so round cost tracks the
+          // frontier, not the node set, and the change check is a
+          // filter on the already-built round output, not another join.
           var c = live.select(col("node"), col("node").as("c")).localCheckpoint()
-          var changed = true
-          while (changed) {
-            val upd = liveE.join(c.select(col("node").as("src"), col("c")), Seq("src"))
+          var cfront = c
+          while (!cfront.isEmpty) {
+            val upd = liveE
+              .join(cfront.select(col("node").as("src"), col("c")), Seq("src"))
               .groupBy(col("dst").as("node")).agg(min("c").as("nc"))
             val c2 = c.join(upd, Seq("node"), "left")
-              .select(col("node"), least(col("c"), coalesce(col("nc"), col("c"))).as("c"))
+              .select(col("node"), least(col("c"), coalesce(col("nc"), col("c"))).as("c"),
+                (col("nc").isNotNull && col("nc") < col("c")).as("__imp"))
               .localCheckpoint()
-            changed = !c2.select(col("node"), col("c").as("__new"))
-              .join(c, Seq("node")).filter(col("__new") < col("c")).isEmpty
-            c = c2
+            cfront = c2.filter(col("__imp")).select("node", "c")
+            c = c2.select("node", "c")
           }
           // same-color edges (any cross-color edge cannot sit inside an SCC)
           val cE = liveE
