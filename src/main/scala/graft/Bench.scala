@@ -256,8 +256,11 @@ object Bench {
       // fixture does not generate — their skew path is q_kcore's)
       "q_kcore", "q_label_prop", "q_clustering_coef",
       // round 14: HITS is the endgame's strongest case (two global-max
-      // barriers per round saved) — guard it on the skewed fixture too
-      "q_hits")
+      // barriers per round saved) — guard it on the skewed fixture too;
+      // link prediction's wedge mass is degree-skew-shaped exactly like
+      // q_triangles' (birth zipf 4.42; one-offs: random_walks 3.91,
+      // msf 1.25 — recorded, not standing)
+      "q_hits", "q_link_predict")
     val zipfResults: Seq[(String, Seq[Double])] =
       if (sys.env.get("SPARK_GRAFT_ZIPF").contains("0")) Seq.empty
       else try {

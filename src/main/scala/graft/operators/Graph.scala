@@ -2132,6 +2132,67 @@ object Graph {
              |GROUP BY node ORDER BY node""".stripMargin),
     ),
 
+    // Pseudo-diameter of the co-purchase graph by the classic double
+    // sweep, capped at a 6-hop horizon: BFS from the minimum node, take
+    // the farthest node (tie → min id), BFS again from it — the second
+    // eccentricity lower-bounds the true diameter and is exact on trees.
+    // The graph-health number ("how stretched is this network") a
+    // topology monitor tracks. Two frontier BFS passes over the same
+    // edge build; the two 1-row farthest-node picks are the only driver
+    // round-trips (k-bounded by construction).
+    GraftQuery(
+      "q_pseudo_diameter",
+      (s, dir) => {
+        import s.implicits._
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        val edges = copurchaseEdges(cp, minShared = 4).localCheckpoint(false)
+        val s1 = edges.agg(least(min("src"), min("dst"))).collect()(0).getLong(0)
+        def sweep(from: Long): (Long, Long) = {
+          val far = bfsHops(Seq(from).toDF("id"), edges, maxHops = 6)
+            .orderBy(col("hops").desc, col("node")).limit(1).collect()(0)
+          (far.getLong(0), far.getInt(1).toLong)
+        }
+        val (far1, ecc1) = sweep(s1)
+        val (far2, ecc2) = sweep(far1)
+        Seq((s1, far1, ecc1, far2, ecc2))
+          .toDF("start_node", "far1", "ecc1", "far2", "pseudo_diameter")
+      },
+      Some("""WITH RECURSIVE cp AS (
+             |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e0 AS MATERIALIZED (
+             |  SELECT c1.c AS a, c2.c AS b
+             |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+             |  GROUP BY 1, 2 HAVING count(*) >= 4),
+             |bi AS MATERIALIZED (
+             |  SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+             |s1 AS (SELECT min(u) AS s FROM bi),
+             |r1(node, d) AS (
+             |  SELECT s, 0 FROM s1
+             |  UNION
+             |  SELECT bi.v, r.d + 1 FROM r1 r JOIN bi ON bi.u = r.node
+             |  WHERE r.d < 6),
+             |f1 AS (
+             |  SELECT node AS far1, CAST(min_d AS BIGINT) AS ecc1 FROM (
+             |    SELECT node, min(d) AS min_d FROM r1 GROUP BY node)
+             |  ORDER BY min_d DESC, node LIMIT 1),
+             |r2(node, d) AS (
+             |  SELECT far1, 0 FROM f1
+             |  UNION
+             |  SELECT bi.v, r.d + 1 FROM r2 r JOIN bi ON bi.u = r.node
+             |  WHERE r.d < 6),
+             |f2 AS (
+             |  SELECT node AS far2, CAST(min_d AS BIGINT) AS ecc2 FROM (
+             |    SELECT node, min(d) AS min_d FROM r2 GROUP BY node)
+             |  ORDER BY min_d DESC, node LIMIT 1)
+             |SELECT s1.s AS start_node, f1.far1, f1.ecc1,
+             |  f2.far2, f2.ecc2 AS pseudo_diameter
+             |FROM s1, f1, f2""".stripMargin),
+    ),
+
     // Minimum spanning forest of the weighted purchase graph (weight =
     // lineitem multiplicity): the cheapest backbone connecting every
     // customer and supplier — the skeleton a network-simplification /

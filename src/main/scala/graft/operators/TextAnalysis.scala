@@ -841,7 +841,103 @@ object TextAnalysis {
              |  CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id) AS BIGINT) AS ppl_bucket
              |FROM final ORDER BY doc_id""".stripMargin),
     ),
+
+    // RAKE keyword extraction (Rose et al. 2010), made engine-exact:
+    // stopwords = the corpus's nStop most frequent tokens (data-derived,
+    // deterministic tie-break), candidate phrases = stopword-delimited
+    // runs of ≤ maxLen words (the gaps-and-islands trick on token
+    // positions), word score = ⌊1e6·deg(w)/freq(w)⌋ in DECIMAL/HUGEINT
+    // (deg ≤ maxLen·freq, so the per-word score is ≤ maxLen·1e6 and the
+    // phrase sum fits easily; the NUMERATOR is what needed widening —
+    // 1e6·deg wraps BIGINT on a 1e13-token corpus), phrase score = Σ
+    // word scores, top-k per document. The keyword/tag generator a
+    // curation pipeline runs for faceting and topic routing.
+    GraftQuery(
+      "q_rake_keywords",
+      (s, dir) => rakeKeywords(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "rk"),
+      Some("""WITH tok AS MATERIALIZED (
+             |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, ws[i] AS w
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |    unnest(range(1, len(ws) + 1)) AS t(i)
+             |  WHERE len(ws[i]) > 0),
+             |stop AS (
+             |  SELECT w FROM (
+             |    SELECT w, count(*) AS c FROM tok GROUP BY w
+             |    ORDER BY c DESC, w LIMIT 5)),
+             |isl AS (
+             |  SELECT t.doc_id, t.pos, t.w,
+             |    t.pos - row_number() OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS grp
+             |  FROM tok t LEFT JOIN stop s ON s.w = t.w
+             |  WHERE s.w IS NULL),
+             |phr AS MATERIALIZED (
+             |  SELECT doc_id, grp, count(*) AS n_words,
+             |    string_agg(w, ' ' ORDER BY pos) AS phrase
+             |  FROM isl GROUP BY 1, 2 HAVING count(*) <= 3),
+             |occ AS MATERIALIZED (
+             |  SELECT doc_id, grp, n_words, unnest(string_split(phrase, ' ')) AS w
+             |  FROM phr),
+             |stats AS (
+             |  SELECT w, count(*) AS freq, sum(n_words) AS deg
+             |  FROM occ GROUP BY w),
+             |scored AS (
+             |  SELECT o.doc_id, o.grp,
+             |    CAST(sum((CAST(1000000 AS HUGEINT) * st.deg) // st.freq) AS BIGINT)
+             |      AS score_micros
+             |  FROM occ o JOIN stats st ON st.w = o.w GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT p.doc_id, p.phrase, p.n_words, sc.score_micros,
+             |    count(*) AS n_occur
+             |  FROM phr p JOIN scored sc ON sc.doc_id = p.doc_id AND sc.grp = p.grp
+             |  GROUP BY 1, 2, 3, 4),
+             |rk AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score_micros DESC, phrase) AS INT) AS rk
+             |  FROM cand)
+             |SELECT doc_id, phrase, n_words, score_micros, n_occur, rk
+             |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+    ),
   )
+
+  /** RAKE keywords: see the q_rake_keywords doc. `nStop` most frequent
+    * tokens act as phrase delimiters; candidate runs longer than
+    * `maxLen` are dropped (the boundedness contract — a run is never
+    * split, because a truncated phrase is not a phrase the document
+    * contains). Returns (doc_id, phrase, n_words, score_micros,
+    * n_occur, rk ≤ k).
+    */
+  def rakeKeywords(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, nStop: Int = 5, maxLen: Int = 3, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(nStop >= 0 && maxLen >= 1 && k >= 1, s"bad params ($nStop, $maxLen, $k)")
+    val tok = docs.select(col(idCol).cast(LongType).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0).localCheckpoint(false)
+    val stop = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(nStop)
+      .select(col("w"))
+    val rn = Window.partitionBy("doc_id").orderBy("pos")
+    val isl = tok.join(broadcast(stop), Seq("w"), "left_anti")
+      .withColumn("grp", col("pos") - row_number().over(rn))
+    val phr = isl.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("n_words"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+          " ").as("phrase"))
+      .filter(col("n_words") <= maxLen)
+      .localCheckpoint(false)
+    val occ = phr.select(col("doc_id"), col("grp"), col("n_words"),
+      explode(split(col("phrase"), " ")).as("w"))
+    val stats = occ.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("n_words").as("deg"))
+    val scored = occ.join(stats, Seq("w"))
+      .groupBy("doc_id", "grp")
+      .agg(sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * deg) div CAST(freq AS DECIMAL(38,0))"))
+        .as("score_micros"))
+    val cand = phr.join(scored, Seq("doc_id", "grp"))
+      .groupBy("doc_id", "phrase", "n_words", "score_micros")
+      .agg(count(lit(1)).as("n_occur"))
+    val wk = Window.partitionBy("doc_id").orderBy(col("score_micros").desc, col("phrase"))
+    cand.withColumn("rk", row_number().over(wk)).filter(col("rk") <= k)
+  }
 
   /** Per-source quality quota: keep the top `quota` documents of each
     * source by (quality desc, doc_id) — corpus balancing so no domain

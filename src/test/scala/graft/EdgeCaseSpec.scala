@@ -399,4 +399,29 @@ class EdgeCaseSpec extends SparkSuite {
     assert(out(1) == ((1L, 2L, 2.0)))      // (3+1)/2
     assert(out(2) == ((2L, 0L, 0.0)))      // no bigrams
   }
+
+  test("rakeKeywords golden: stopword-delimited phrases, deg/freq micros, rank order") {
+    // stop = {the} (most frequent); islands: [cat sat] [dog ran] [cat];
+    // freq: cat 2, sat/dog/ran 1; deg: cat 3, sat/dog/ran 2 →
+    // word scores (micros): cat 1.5e6, others 2e6 → phrase scores:
+    // "dog ran" 4e6 > "cat sat" 3.5e6 > "cat" 1.5e6
+    val d = docs((1L, "the cat sat the dog ran the cat", "s")).drop("source")
+    val got = TextAnalysis.rakeKeywords(d, "doc_id", "text", nStop = 1)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      .sortBy(_._5)
+    assert(got.toSeq == Seq(
+      ("dog ran", 2L, 4000000L, 1L, 1),
+      ("cat sat", 2L, 3500000L, 1L, 2),
+      ("cat", 1L, 1500000L, 1L, 3)))
+    // empty corpus and all-stopword text degrade to empty, never throw
+    assert(TextAnalysis.rakeKeywords(docs().drop("source"), "doc_id", "text").count() == 0)
+    val allStop = docs((2L, "a a a", "s")).drop("source")
+    assert(TextAnalysis.rakeKeywords(allStop, "doc_id", "text", nStop = 1).count() == 0)
+    // runs longer than maxLen are dropped, not truncated
+    val longRun = docs((3L, "z w1 w2 w3 w4 z", "s")).drop("source")
+    val kept = TextAnalysis.rakeKeywords(longRun, "doc_id", "text", nStop = 1, maxLen = 3)
+      .collect()
+    assert(kept.isEmpty, "a 4-word run must be dropped at maxLen=3")
+  }
 }
