@@ -2132,6 +2132,51 @@ object Graph {
              |GROUP BY node ORDER BY node""".stripMargin),
     ),
 
+    // Degree assortativity of the co-purchase graph: the Pearson
+    // correlation of endpoint degrees over every edge (both
+    // orientations, the standard Newman 2002 estimator) — positive
+    // means hubs buy with hubs (the mixing signal that separates
+    // social-style graphs from transaction stars). One degree
+    // aggregate + two key-partitioned joins + one corr; house 1e-4
+    // rounding guard on the single double.
+    GraftQuery(
+      "q_assortativity",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        val und = copurchaseEdges(cp, minShared = 4)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct().localCheckpoint(false)
+        val bi = und.select(col("a").as("u"), col("b").as("v"))
+          .union(und.select(col("b").as("u"), col("a").as("v")))
+        val deg = bi.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+        bi.join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+          .agg(
+            (floor(corr(col("du").cast("double"), col("dv").cast("double"))
+              * lit(1e4) + lit(0.5)) / lit(1e4)).as("assortativity"),
+            (count(lit(1)) / 2).cast("long").as("n_edges"))
+      },
+      Some("""WITH cp AS (
+             |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e0 AS MATERIALIZED (
+             |  SELECT c1.c AS a, c2.c AS b
+             |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+             |  GROUP BY 1, 2 HAVING count(*) >= 4),
+             |bi AS MATERIALIZED (
+             |  SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+             |deg AS (SELECT u AS node, count(*) AS deg FROM bi GROUP BY u)
+             |SELECT
+             |  floor(corr(CAST(x.deg AS DOUBLE), CAST(y.deg AS DOUBLE))
+             |    * 1e4 + 0.5) / 1e4 AS assortativity,
+             |  CAST(count(*) / 2 AS BIGINT) AS n_edges
+             |FROM bi JOIN deg x ON x.node = bi.u JOIN deg y ON y.node = bi.v""".stripMargin),
+    ),
+
     // Pseudo-diameter of the co-purchase graph by the classic double
     // sweep, capped at a 6-hop horizon: BFS from the minimum node, take
     // the farthest node (tie → min id), BFS again from it — the second
