@@ -404,6 +404,72 @@ object Extended {
              |ORDER BY v.user_id""".stripMargin),
     ),
 
+    // Windowed funnel (the windowFunnel analytic): per user, the deepest
+    // view → click → purchase chain that completes within 72 h of its
+    // ANCHOR view — unlike q_funnel's greedy earliest-events chain, a
+    // late anchor can beat an early one whose window expired, so every
+    // view event is a candidate anchor and the user's depth is the max
+    // over anchors. Each step is a keyed join bounded by the time
+    // window (per-user event counts × window width — the O(rate ×
+    // horizon) shape, never a per-user cross product over history), and
+    // each anchor takes its step's MIN timestamp, so the chain is
+    // deterministic.
+    GraftQuery(
+      "q_window_funnel",
+      (s, dir) => {
+        val e = Tables(s, dir, "events").select("user_id", "event_type", "ts")
+        val v = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("vt"),
+            expr("ts + INTERVAL 72 HOURS").as("deadline"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("ct"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pt"))
+        val s2 = v.join(c, Seq("user_id"))
+          .filter(col("ct") > col("vt") && col("ct") <= col("deadline"))
+          .groupBy(col("user_id"), col("vt"), col("deadline"))
+          .agg(min("ct").as("t2"))
+        val s3 = s2.join(p, Seq("user_id"))
+          .filter(col("pt") > col("t2") && col("pt") <= col("deadline"))
+          .groupBy(col("user_id"), col("vt")).agg(min("pt").as("t3"))
+        val depth = v.select(col("user_id"), col("vt"))
+          .join(s2.select(col("user_id"), col("vt"), lit(1).as("has2")),
+            Seq("user_id", "vt"), "left")
+          .join(s3.select(col("user_id"), col("vt"), lit(1).as("has3")),
+            Seq("user_id", "vt"), "left")
+          .select(col("user_id"),
+            (lit(1) + coalesce(col("has2"), lit(0)) + coalesce(col("has3"), lit(0)))
+              .as("d"))
+        depth.groupBy("user_id")
+          .agg(max("d").as("max_depth"), count(lit(1)).cast("long").as("n_anchors"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, ts AS vt, ts + INTERVAL 72 HOUR AS deadline
+             |  FROM events WHERE event_type = 'view'),
+             |s2 AS (
+             |  SELECT v.user_id, v.vt, v.deadline, min(e.ts) AS t2
+             |  FROM v JOIN events e ON e.user_id = v.user_id
+             |    AND e.ts > v.vt AND e.ts <= v.deadline
+             |  WHERE e.event_type = 'click'
+             |  GROUP BY 1, 2, 3),
+             |s3 AS (
+             |  SELECT s2.user_id, s2.vt, min(e.ts) AS t3
+             |  FROM s2 JOIN events e ON e.user_id = s2.user_id
+             |    AND e.ts > s2.t2 AND e.ts <= s2.deadline
+             |  WHERE e.event_type = 'purchase'
+             |  GROUP BY 1, 2),
+             |depth AS (
+             |  SELECT v.user_id,
+             |    1 + (CASE WHEN s2.vt IS NULL THEN 0 ELSE 1 END)
+             |      + (CASE WHEN s3.vt IS NULL THEN 0 ELSE 1 END) AS d
+             |  FROM v
+             |  LEFT JOIN s2 ON s2.user_id = v.user_id AND s2.vt = v.vt
+             |  LEFT JOIN s3 ON s3.user_id = v.user_id AND s3.vt = v.vt)
+             |SELECT user_id, max(d) AS max_depth, count(*) AS n_anchors
+             |FROM depth GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
     // Date-spine gap fill: per user, a contiguous day range from first to
     // last activity left-joined to daily counts, absent days filled with 0 —
     // the calendar-alignment op behind retention/training-window features.

@@ -312,6 +312,93 @@ object Ml {
              |ORDER BY vec_id""".stripMargin),
     ),
 
+    // Full Lloyd iteration, 3 assignment rounds with 2 centroid
+    // recomputations between — q_kmeans_step run to an actual
+    // clustering, entirely in INTEGER milli-units: embeddings quantize
+    // once (floor at 1e3), centroid means are per-dimension integer
+    // `div` (floor), distances are exact BIGINT sums — so the whole
+    // trajectory, not just one step, is engine-exact. Assignment stays
+    // a map-side broadcast compare (no corpus shuffle); recomputation
+    // is one posexplode + keyed aggregate per round (the q_centroid
+    // shape). A cluster that loses all members simply drops out of the
+    // next round's centroid set (documented; both engines replay it).
+    GraftQuery(
+      "q_kmeans3",
+      (s, dir) => {
+        val k = 8
+        val e = Tables(s, dir, "embeddings")
+          .withColumn("q", transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long")))
+          .select("vec_id", "q").localCheckpoint(false)
+        def assign(cents: DataFrame): DataFrame = {
+          val d2 = aggregate(
+            zip_with(col("q"), col("cq"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x)
+          e.crossJoin(broadcast(cents))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(min(struct(col("d2"), col("cid"))).as("best"))
+            .select(col("vec_id"), col("best.cid").as("cluster"),
+              col("best.d2").as("d2"))
+        }
+        def recompute(asg: DataFrame): DataFrame =
+          e.join(asg.select(col("vec_id"), col("cluster").as("cid")), Seq("vec_id"))
+            .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
+            .groupBy("cid", "dim")
+            .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+            .select(col("cid"), col("dim"), expr("sv div n").as("cv"))
+            .groupBy("cid")
+            .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)")
+              .as("cq"))
+            .localCheckpoint(false)
+        val cents0 = e.orderBy("vec_id").limit(k)
+          .select(col("vec_id").as("cid"), col("q").as("cq")).localCheckpoint(false)
+        val a1 = assign(cents0).localCheckpoint(false)
+        val a2 = assign(recompute(a1)).localCheckpoint(false)
+        assign(recompute(a2)).orderBy("vec_id")
+      },
+      Some {
+        def roundSql(i: Int): String =
+          s"""asg$i AS MATERIALIZED (
+             |  SELECT vec_id, cid, d2 FROM (
+             |    SELECT p.vec_id, c.cid,
+             |      CAST(list_dot_product(p.q, p.q) - 2 * list_dot_product(p.q, c.cq)
+             |        + list_dot_product(c.cq, c.cq) AS BIGINT) AS d2,
+             |      row_number() OVER (PARTITION BY p.vec_id
+             |        ORDER BY CAST(list_dot_product(p.q, p.q)
+             |          - 2 * list_dot_product(p.q, c.cq)
+             |          + list_dot_product(c.cq, c.cq) AS BIGINT), c.cid) AS rn
+             |    FROM prep p CROSS JOIN cents${i - 1} c)
+             |  WHERE rn = 1),
+             |cd$i AS MATERIALIZED (
+             |  SELECT a.cid, pos, CAST(sum(q) // count(*) AS BIGINT) AS cv FROM (
+             |    SELECT vec_id, unnest(q) AS q, generate_subscripts(q, 1) AS pos
+             |    FROM prep) u
+             |  JOIN asg$i a ON a.vec_id = u.vec_id
+             |  GROUP BY 1, 2),
+             |cents$i AS MATERIALIZED (
+             |  SELECT cid, list(cv ORDER BY pos) AS cq FROM cd$i GROUP BY cid)""".stripMargin
+        (Seq(
+          """WITH prep AS MATERIALIZED (
+            |  SELECT vec_id,
+            |    list_transform(embedding,
+            |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+            |  FROM embeddings),
+            |cents0 AS (SELECT vec_id AS cid, q AS cq FROM prep ORDER BY vec_id LIMIT 8)""".stripMargin) ++
+          Seq(roundSql(1), roundSql(2))).mkString(",\n") +
+          """,
+            |final AS (
+            |  SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id
+            |    ORDER BY d2, cid) AS rn FROM (
+            |    SELECT p.vec_id, c.cid,
+            |      CAST(list_dot_product(p.q, p.q) - 2 * list_dot_product(p.q, c.cq)
+            |        + list_dot_product(c.cq, c.cq) AS BIGINT) AS d2
+            |    FROM prep p CROSS JOIN cents2 c))
+            |SELECT vec_id, cid AS cluster, d2 FROM final WHERE rn = 1
+            |ORDER BY vec_id""".stripMargin
+      },
+    ),
+
     // Distributed tie-aware ROC-AUC (Mann–Whitney rank-sum) of the frozen
     // logistic scorer against the 3-rule labels — the evaluation metric a
     // model-serving pipeline computes at corpus scale. The per-event score
