@@ -1455,6 +1455,87 @@ object Graph {
     }.toDF("a", "b", "w")
   }
 
+  /** Full core decomposition capped at `maxK`: coreness(v) = the largest
+    * k ≤ maxK such that v survives the k-core peel (nodes at the true
+    * core number ≥ maxK report maxK — the cap is what keeps the oracle's
+    * unrolled replay bounded). Below `localCutoff` edges this is ONE
+    * serial Matula–Beck bucket peel in an executor task (linear time,
+    * every core number in a single pass — the production path until the
+    * graph outgrows a task); above it, iterated [[kCore]] survivors
+    * (each of which internally runs distributed peel rounds with its own
+    * endgame), maxK−1 passes over the same pinned edge set. Output:
+    * (node, coreness ≥ 1) for every node with an edge.
+    */
+  def coreness(edges: DataFrame, maxK: Int,
+      localCutoff: Long = 1L << 20): DataFrame = {
+    require(maxK >= 2 && maxK <= 64, s"maxK must be in [2,64], got $maxK")
+    val und = edges
+      .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct().localCheckpoint(false)
+    if (localCutoff > 0 && und.count() <= localCutoff)
+      return localCoreness(und, maxK)
+    val base = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .distinct().select(col("node"), lit(1).as("k"))
+    val survivors = (2 to maxK).map { k =>
+      kCore(und.select(col("a").as("src"), col("b").as("dst")), k,
+          localCutoff = localCutoff)
+        .select(col("node"), lit(k).as("k"))
+    }
+    survivors.foldLeft(base)(_ unionByName _)
+      .groupBy("node").agg(max("k").as("coreness"))
+  }
+
+  /** The [[coreness]] endgame: serial Matula–Beck bucket peel in one
+    * executor task — every node's exact core number in linear time,
+    * capped at maxK to match the distributed contract.
+    */
+  private def localCoreness(und: DataFrame, maxK: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    und.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      it.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty[Long]) += a
+      }
+      val deg = scala.collection.mutable.HashMap.empty[Long, Int]
+      adj.foreach { case (n, ns) => deg(n) = ns.length }
+      // bucket queue over current degrees; peel in nondecreasing order
+      val maxDeg = if (deg.isEmpty) 0 else deg.valuesIterator.max
+      val buckets = Array.fill(maxDeg + 1)(scala.collection.mutable.ArrayBuffer.empty[Long])
+      deg.foreach { case (n, d) => buckets(d) += n }
+      val core = scala.collection.mutable.HashMap.empty[Long, Int]
+      val done = scala.collection.mutable.HashSet.empty[Long]
+      var k = 0
+      var d = 0
+      while (d <= maxDeg) {
+        val bucket = buckets(d)
+        if (bucket.isEmpty) d += 1
+        else {
+          val n = bucket.remove(bucket.length - 1)
+          // stale entries: a node sits in every bucket it passed through
+          if (!done(n) && deg(n) == d) {
+            done += n
+            k = math.max(k, d)
+            core(n) = k
+            // a neighbor's degree only ever drops to ≥ d here (it was
+            // > d), so the nondecreasing scan order is preserved
+            adj(n).foreach { m =>
+              if (!done(m) && deg(m) > d) {
+                deg(m) -= 1
+                buckets(deg(m)) += m
+              }
+            }
+          }
+        }
+      }
+      core.iterator.map { case (n, c) => (n, math.min(c, maxK)) }
+    }.toDF("node", "coreness")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // PageRank over the customer→supplier purchase graph (5 rounds):
@@ -2236,6 +2317,60 @@ object Graph {
              |SELECT s1.s AS start_node, f1.far1, f1.ecc1,
              |  f2.far2, f2.ecc2 AS pseudo_diameter
              |FROM s1, f1, f2""".stripMargin),
+    ),
+
+    // Full core decomposition of the co-purchase graph, capped at k=4:
+    // every customer's embeddedness tier in one column — the feature a
+    // risk model wants instead of the single k=3 membership bit q_kcore
+    // gives it. At fixture scale this is ONE serial Matula–Beck pass
+    // (the endgame); the oracle replays the definition as three
+    // independent unrolled peels (k = 2, 3, 4 — same 32-round chains as
+    // q_kcore's) and takes each node's max surviving k.
+    GraftQuery(
+      "q_coreness",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        val e = copurchaseEdges(cp, minShared = 4)
+        coreness(e, maxK = 4).orderBy("node")
+      },
+      Some {
+        def chain(k: Int): String = {
+          val head = s"e${k}_0 AS MATERIALIZED (SELECT a, b FROM e0)"
+          val rs = (1 to KcoreOracleRounds).map { i =>
+            s"""k${k}_$i AS MATERIALIZED (
+               |  SELECT id FROM (
+               |    SELECT a AS id FROM e${k}_${i - 1} UNION ALL SELECT b FROM e${k}_${i - 1})
+               |  GROUP BY id HAVING count(*) >= $k),
+               |e${k}_$i AS MATERIALIZED (
+               |  SELECT a, b FROM e${k}_${i - 1}
+               |  JOIN k${k}_$i ka ON ka.id = a JOIN k${k}_$i kb ON kb.id = b)""".stripMargin
+          }
+          (head +: rs).mkString(",\n")
+        }
+        val surv = (2 to 4).map { k =>
+          s"""SELECT id, $k AS k FROM (
+             |    SELECT a AS id FROM e${k}_$KcoreOracleRounds
+             |    UNION SELECT b FROM e${k}_$KcoreOracleRounds)""".stripMargin
+        }
+        (Seq(
+          """WITH cp AS (
+            |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+            |e0 AS MATERIALIZED (
+            |  SELECT c1.c AS a, c2.c AS b
+            |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+            |  GROUP BY 1, 2 HAVING count(*) >= 4)""".stripMargin) ++
+          (2 to 4).map(chain)).mkString(",\n") +
+          s"""
+             |SELECT node, CAST(max(k) AS INT) AS coreness FROM (
+             |  SELECT a AS node, 1 AS k FROM e0
+             |  UNION ALL SELECT b, 1 FROM e0
+             |  UNION ALL ${surv.mkString("\n  UNION ALL ")})
+             |GROUP BY node ORDER BY node""".stripMargin
+      },
     ),
 
     // Minimum spanning forest of the weighted purchase graph (weight =
