@@ -1536,6 +1536,48 @@ object Graph {
     }.toDF("node", "coreness")
   }
 
+  /** Per-community conductance in exact integer micros:
+    * φ(C) = ⌊1e6·cut(C) / min(vol(C), 2m − vol(C))⌋ — cut = edges with
+    * exactly one endpoint in C, vol = total degree of C's members. Low
+    * conductance = a well-separated community (the cut-quality twin of
+    * [[modularity]]'s density view; a partition can score well on one
+    * and badly on the other, which is why curation pipelines report
+    * both). Same plan shape as modularity: two key-partitioned label
+    * joins, one degree aggregate, one 1-row broadcast of 2m. The
+    * numerator runs in DECIMAL(38,0) (HUGEINT in the oracle): 1e6·cut
+    * wraps a BIGINT past cut ≈ 9.2e12 edges. The whole-graph community
+    * (min-volume side 0) abstains with null rather than dividing by
+    * zero.
+    */
+  def conductance(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct().localCheckpoint(false)
+    val lab = labels.select(col("node"), col("label")).localCheckpoint(false)
+    val labeled = und
+      .join(lab.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+    val cut = labeled.filter(col("la") =!= col("lb"))
+      .select(explode(array(col("la"), col("lb"))).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("cut"))
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    val vol = lab.join(deg, Seq("node"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum(coalesce(col("__d"), lit(0L))).as("vol"))
+    val m2 = und.agg((count(lit(1)) * 2).as("vol_all"))
+    vol.join(cut, Seq("label"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("cut"), lit(0L)).as("cut"), col("vol"),
+        when(least(col("vol"), col("vol_all") - col("vol")) > 0,
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * coalesce(cut, CAST(0 AS BIGINT)))" +
+            " div CAST(least(vol, vol_all - vol) AS DECIMAL(38,0))"))
+          .otherwise(lit(null).cast("long")).as("phi_micros"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // PageRank over the customer→supplier purchase graph (5 rounds):
@@ -1939,6 +1981,59 @@ object Graph {
           |    - (CAST(1000000 AS HUGEINT) * t.d_tot * t.d_tot)
           |      // (CAST(4 AS HUGEINT) * (SELECT m FROM mm) * (SELECT m FROM mm)) AS BIGINT) AS q_micros
           |FROM dt t LEFT JOIN m_in mi USING (label) ORDER BY label""".stripMargin),
+    ),
+
+    // Conductance of the LPA partition — the cut-quality report next to
+    // q_modularity's density report, over the identical edge build and
+    // 4-round LPA unroll so the oracle shares their proven CTEs.
+    GraftQuery(
+      "q_conductance",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        val edges = copurchaseEdges(cp, minShared = 4).localCheckpoint(false)
+        conductance(edges, labelPropagation(edges, rounds = 4))
+          .orderBy("label")
+      },
+      Some((Seq(
+        """WITH cp AS (
+          |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |e0 AS MATERIALIZED (
+          |  SELECT c1.c AS a, c2.c AS b
+          |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+          |  GROUP BY 1, 2 HAVING count(*) >= 4),
+          |bi AS MATERIALIZED (
+          |  SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+          |l0 AS (SELECT DISTINCT u AS node, u AS label FROM bi)""".stripMargin) ++
+        (1 to 4).map(lpaRoundSql) ++ Seq(
+        """mm AS (SELECT 2 * count(*) AS vol_all FROM e0),
+          |lb AS (
+          |  SELECT u.a, u.b, x.label AS la, y.label AS lbl
+          |  FROM e0 u JOIN l4 x ON x.node = u.a JOIN l4 y ON y.node = u.b),
+          |cut AS (
+          |  SELECT label, count(*) AS cut FROM (
+          |    SELECT la AS label FROM lb WHERE la <> lbl
+          |    UNION ALL SELECT lbl FROM lb WHERE la <> lbl)
+          |  GROUP BY label),
+          |deg AS (SELECT node, count(*) AS d FROM (
+          |  SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY node),
+          |vol AS (
+          |  SELECT l.label, count(*) AS n_nodes,
+          |    sum(coalesce(d.d, 0)) AS vol
+          |  FROM l4 l LEFT JOIN deg d ON d.node = l.node GROUP BY l.label)""".stripMargin))
+        .mkString(",\n") +
+        """
+          |SELECT v.label, v.n_nodes,
+          |  CAST(coalesce(c.cut, 0) AS BIGINT) AS cut,
+          |  CAST(v.vol AS BIGINT) AS vol,
+          |  CASE WHEN least(v.vol, (SELECT vol_all FROM mm) - v.vol) > 0
+          |    THEN CAST((CAST(1000000 AS HUGEINT) * coalesce(c.cut, 0))
+          |      // least(v.vol, (SELECT vol_all FROM mm) - v.vol) AS BIGINT)
+          |    ELSE NULL END AS phi_micros
+          |FROM vol v LEFT JOIN cut c USING (label) ORDER BY label""".stripMargin),
     ),
 
     // Blast radius over the customer co-purchase graph: hop distance from

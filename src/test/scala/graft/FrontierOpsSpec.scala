@@ -402,6 +402,57 @@ class FrontierOpsSpec extends SparkSuite {
     assert(modMap(es, labels) == serialModularity(es, labels))
   }
 
+  private def serialConductance(es: Seq[(Long, Long)],
+      labels: Map[Long, Long]): Map[Long, (Long, Long, Long, Option[Long])] = {
+    val und = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val volAll = 2L * und.size
+    val deg = und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    labels.values.toSeq.distinct.map { c =>
+      val members = labels.collect { case (n, l) if l == c => n }.toSet
+      val cut = und.count { case (a, b) => members(a) ^ members(b) }.toLong
+      val vol = members.toSeq.map(n => deg.getOrElse(n, 0L)).sum
+      val denom = math.min(vol, volAll - vol)
+      val phi = if (denom > 0) Some((BigInt(1000000) * cut / denom).toLong) else None
+      c -> ((members.size.toLong, cut, vol, phi))
+    }.toMap
+  }
+
+  private def condMap(es: Seq[(Long, Long)],
+      labels: Map[Long, Long]): Map[Long, (Long, Long, Long, Option[Long])] = {
+    val s = spark
+    import s.implicits._
+    Graph.conductance(edgeDf(es), labels.toSeq.toDF("node", "label"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+  }
+
+  test("conductance golden: bridged triangles cut once each; whole graph abstains") {
+    val tri1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val tri2 = Seq((4L, 5L), (5L, 6L), (4L, 6L))
+    val es = tri1 ++ tri2 ++ Seq((3L, 4L))
+    val twoComms = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+    val got = condMap(es, twoComms)
+    assert(got == serialConductance(es, twoComms))
+    // each side: cut 1, vol 7, min(7, 14−7) = 7 → ⌊1e6/7⌋ = 142857
+    assert(got(1L) == ((3L, 1L, 7L, Some(142857L))))
+    assert(got(4L) == ((3L, 1L, 7L, Some(142857L))))
+    // the all-one-community partition has min-side volume 0 → null
+    val one = condMap(es, (1L to 6L).map(_ -> 1L).toMap)
+    assert(one == Map(1L -> ((6L, 0L, 14L, None))))
+  }
+
+  test("conductance of the LPA partition matches the serial formula on a random graph") {
+    val rnd = new scala.util.Random(37)
+    val es = Seq.fill(250)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val labels = lpaMap(es, 4)
+    assert(condMap(es, labels) == serialConductance(es, labels))
+  }
+
   test("modularity: a community with d_tot ≥ 4e6 stays exact (decimal intermediate)") {
     // Two stars: 4e6 and 1e6 leaves, one community each. The big
     // community's null-model numerator is 1e6·(8e6)² = 6.4e19 — past
