@@ -72,7 +72,11 @@ object Bench {
     val zipfBlock =
       if (zipf.isEmpty) ""
       else zipf.map { case (k, ts) =>
-        val v = if (ts.isEmpty) "-1" else s"[${fmt(ts.min)},${fmt(ts.max)}]"
+        // failed-query sentinel: [] — the SAME sentinel the
+        // SPARK_GRAFT_BENCH_OUT raw-times dump writes, so downstream
+        // parsers of the two artifacts share one code path (ADVICE r15;
+        // the earlier -1 scalar here forced divergent handling)
+        val v = if (ts.isEmpty) "[]" else s"[${fmt(ts.min)},${fmt(ts.max)}]"
         "\"" + k + "\":" + v
       }.mkString(""","zipf":{""", ",", "}")
     def line(entries: Seq[(String, Double)], otherSum: Option[Double]): String = {

@@ -60,16 +60,17 @@ object Graph {
     pr.select(col("node"), col("r").as("rank"))
   }
 
-  /** HITS scale: 1e12, matching [[Scale]]. Each round multiplies a raw
-    * mutual-reinforcement sum (≤ N·HitsScale) by HitsScale before the
-    * normalizing floor division; that product is computed in
-    * DECIMAL(38,0) (HUGEINT on the oracle side), bounded by
+  /** HITS scale: 1e12, matching [[Scale]]. Each round sums per-node
+    * scores (each ≤ HitsScale) over in-edges and multiplies the sum by
+    * HitsScale before the normalizing floor division. BOTH steps run
+    * wide: the sum itself is accumulated in DECIMAL(38,0) (DuckDB's
+    * sum(BIGINT) widens to HUGEINT on the oracle side; the single-task
+    * endgame accumulates in BigInt), so no in-degree wraps it — a plain
+    * BIGINT sum would overflow at in-degree ~9.2e6 at this scale — and
+    * the raw·HitsScale product stays DECIMAL(38,0), bounded by
     * N·HitsScale² = N·1e24 — inside 38 digits to N = 1e14 nodes, i.e.
-    * unbounded in practice. (The earlier BIGINT form capped the scale
-    * at 1e6 and still wrapped past in-degree ~9.2e6; the widened
-    * intermediate removes both the ceiling and the resolution trade.)
-    * The normalized quotient is ≤ HitsScale, so the BIGINT `div` result
-    * never overflows.
+    * unbounded in practice. The normalized quotient is ≤ HitsScale, so
+    * the BIGINT `div` result never overflows.
     */
   val HitsScale: Long = 1000000000000L
 
@@ -100,8 +101,12 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(false)
     var st = nodes.select(col("node"), lit(scale).as("h"), lit(0L).as("a"))
     for (i <- 1 to iters) {
+      // sum in DECIMAL(38,0): a BIGINT sum of ≤-scale scores wraps at
+      // in-degree ~9.2e6 (ADVICE r14) — the oracle's sum(BIGINT) widens
+      // to HUGEINT, so the narrow sum would diverge exactly there
       val aRaw = e.join(st, e("src") === st("node"))
-        .groupBy(e("dst").as("n")).agg(sum("h").as("raw"))
+        .groupBy(e("dst").as("n"))
+        .agg(sum(expr("CAST(h AS DECIMAL(38,0))")).as("raw"))
       val aMax = aRaw.agg(greatest(max("raw"), lit(1L)).as("mx"))
       val aNew = nodes.join(aRaw, nodes("node") === aRaw("n"), "left")
         .crossJoin(broadcast(aMax))
@@ -109,7 +114,8 @@ object Graph {
           expr(s"(CAST(coalesce(raw, CAST(0 AS BIGINT)) AS DECIMAL(38,0)) * $scale)" +
             " div CAST(mx AS DECIMAL(38,0))").as("a"))
       val hRaw = e.join(aNew, e("dst") === aNew("node"))
-        .groupBy(e("src").as("n")).agg(sum("a").as("raw"))
+        .groupBy(e("src").as("n"))
+        .agg(sum(expr("CAST(a AS DECIMAL(38,0))")).as("raw"))
       val hMax = hRaw.agg(greatest(max("raw"), lit(1L)).as("mx"))
       st = nodes.join(hRaw, nodes("node") === hRaw("n"), "left")
         .crossJoin(broadcast(hMax))
@@ -134,20 +140,24 @@ object Graph {
       val nodes = es.flatMap(x => Array(x._1, x._2)).distinct
       var h = scala.collection.mutable.HashMap(nodes.map(_ -> scale): _*)
       var a = scala.collection.mutable.HashMap(nodes.map(_ -> 0L): _*)
+      // BigInt end-to-end on the raw side: the SUM itself (not just the
+      // ×scale product) passes Long.Max once in-degree·scale ≥ 9.2e18 —
+      // reachable here despite the 2^20-edge cutoff whenever the caller
+      // raises `scale` (the distributed path sums in DECIMAL(38,0) for
+      // the same reason; ADVICE r14). Cost is irrelevant: the endgame is
+      // ≤ 2^20 edges by construction.
+      val zero = BigInt(0)
       for (_ <- 1 to iters) {
-        val ar = scala.collection.mutable.HashMap.empty[Long, Long]
-        es.foreach { case (s, d) => ar.update(d, ar.getOrElse(d, 0L) + h(s)) }
-        val am = math.max(if (ar.isEmpty) 0L else ar.valuesIterator.max, 1L)
-        // BigInt multiply-divide: raw*scale passes Long.Max at in-degree
-        // 10 with scale 1e12, exactly like the distributed path's
-        // DECIMAL(38,0) intermediate
+        val ar = scala.collection.mutable.HashMap.empty[Long, BigInt]
+        es.foreach { case (s, d) => ar.update(d, ar.getOrElse(d, zero) + h(s)) }
+        val am = (if (ar.isEmpty) zero else ar.valuesIterator.max).max(BigInt(1))
         a = scala.collection.mutable.HashMap(
-          nodes.map(n => n -> (BigInt(ar.getOrElse(n, 0L)) * scale / am).toLong): _*)
-        val hr = scala.collection.mutable.HashMap.empty[Long, Long]
-        es.foreach { case (s, d) => hr.update(s, hr.getOrElse(s, 0L) + a(d)) }
-        val hm = math.max(if (hr.isEmpty) 0L else hr.valuesIterator.max, 1L)
+          nodes.map(n => n -> (ar.getOrElse(n, zero) * scale / am).toLong): _*)
+        val hr = scala.collection.mutable.HashMap.empty[Long, BigInt]
+        es.foreach { case (s, d) => hr.update(s, hr.getOrElse(s, zero) + a(d)) }
+        val hm = (if (hr.isEmpty) zero else hr.valuesIterator.max).max(BigInt(1))
         h = scala.collection.mutable.HashMap(
-          nodes.map(n => n -> (BigInt(hr.getOrElse(n, 0L)) * scale / hm).toLong): _*)
+          nodes.map(n => n -> (hr.getOrElse(n, zero) * scale / hm).toLong): _*)
       }
       nodes.iterator.map(n => (n, h(n), a(n)))
     }.toDF("node", "hub", "auth")
@@ -2472,9 +2482,16 @@ object Graph {
     // lineitem multiplicity): the cheapest backbone connecting every
     // customer and supplier — the skeleton a network-simplification /
     // hierarchy-extraction pass keeps. Unique under the strict
-    // (w, a, b) order, so the oracle's unrolled Borůvka (12 rounds
-    // covers 4096 components; later rounds are no-ops) must produce the
-    // IDENTICAL edge set to whichever strategy the Spark side took.
+    // (w, a, b) order, so the oracle's unrolled Borůvka must produce the
+    // IDENTICAL edge set to whichever strategy the Spark side took. The
+    // unroll depth is DERIVED from the fixture (oracleGen): Borůvka at
+    // least halves the component count per round, so ceil(log2(nodes))
+    // rounds are guaranteed sufficient for ANY graph shape —
+    // |customer| + |supplier| upper-bounds the node count, so the bound
+    // holds without reading the edges (ADVICE r15: the earlier fixed
+    // 12-round unroll only GUARANTEED 4096 initial components and was
+    // converging on sf0.1's ~16k nodes by hub luck, not by proof).
+    // Converged extra rounds are cheap: ce_i is empty, sel_i empty.
     GraftQuery(
       "q_msf",
       (s, dir) => {
@@ -2485,19 +2502,26 @@ object Graph {
           .agg(count(lit(1)).as("w"))
         msf(raw).orderBy("a", "b")
       },
-      Some((Seq(
-        """WITH RECURSIVE e AS MATERIALIZED (
-          |  SELECT o_custkey AS a, CAST(l_suppkey AS BIGINT) + 10000000 AS b,
-          |    count(*) AS w
-          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-          |  GROUP BY 1, 2),
-          |comp0 AS (
-          |  SELECT node, node AS c
-          |  FROM (SELECT a AS node FROM e UNION SELECT b FROM e))""".stripMargin) ++
-        (1 to 12).map(msfRoundSql)).mkString(",\n") +
-        "\nSELECT a, b, w FROM (" +
-        (1 to 12).map(i => s"SELECT a, b, w FROM sel$i").mkString(" UNION ") +
-        ") ORDER BY a, b"),
+      None,
+      oracleGen = Some((s, dir) => {
+        val n = Tables(s, dir, "customer").count() +
+          Tables(s, dir, "supplier").count()
+        val rounds = math.max(1,
+          math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2.0)).toInt)
+        (Seq(
+          """WITH RECURSIVE e AS MATERIALIZED (
+            |  SELECT o_custkey AS a, CAST(l_suppkey AS BIGINT) + 10000000 AS b,
+            |    count(*) AS w
+            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            |  GROUP BY 1, 2),
+            |comp0 AS (
+            |  SELECT node, node AS c
+            |  FROM (SELECT a AS node FROM e UNION SELECT b FROM e))""".stripMargin) ++
+          (1 to rounds).map(msfRoundSql)).mkString(",\n") +
+          "\nSELECT a, b, w FROM (" +
+          (1 to rounds).map(i => s"SELECT a, b, w FROM sel$i").mkString(" UNION ") +
+          ") ORDER BY a, b"
+      }),
     ),
   )
 

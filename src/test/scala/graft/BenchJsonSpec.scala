@@ -88,7 +88,9 @@ class BenchJsonSpec extends AnyFunSuite {
     val s = Bench.renderJson(Seq("q_a" -> 1.0), "/x", zipf = zipf)
     parseable(s)
     assert(s.contains(
-      ""","zipf":{"q_setsim_prefix":[3.210,3.900],"q_edit_threshold":[1.500,1.800],"q_broken":-1}"""))
+      // failed-query sentinel is [] — same as the raw-times dump's
+      // (ADVICE r15 aligned the two emitters)
+      ""","zipf":{"q_setsim_prefix":[3.210,3.900],"q_edit_threshold":[1.500,1.800],"q_broken":[]}"""))
     assert(s.contains(""""value":1.000""")) // zipf rows excluded from total
     // no zipf given -> no block at all (older-round parsers see the old shape)
     assert(!Bench.renderJson(Seq("q_a" -> 1.0), "/x").contains("zipf"))

@@ -285,14 +285,16 @@ class FrontierOpsSpec extends SparkSuite {
     val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct
     var h: Map[Long, Long] = nodes.map(_ -> scale).toMap
     var a: Map[Long, Long] = nodes.map(_ -> 0L).toMap
+    // BigInt on the SUM as well as the product, like the operator: at
+    // scale ≥ 1e18 the raw sum alone passes Long.Max at in-degree 10
+    val zero = BigInt(0)
     for (_ <- 1 to iters) {
-      val ar = e.groupBy(_._2).map { case (d, in) => d -> in.map(x => h(x._1)).sum }
-      val am = math.max(if (ar.isEmpty) 0L else ar.values.max, 1L)
-      // BigInt like the operator: raw*scale wrecks a Long at raw > 9.2e6
-      a = nodes.map(n => n -> (BigInt(ar.getOrElse(n, 0L)) * scale / am).toLong).toMap
-      val hr = e.groupBy(_._1).map { case (s, out) => s -> out.map(x => a(x._2)).sum }
-      val hm = math.max(if (hr.isEmpty) 0L else hr.values.max, 1L)
-      h = nodes.map(n => n -> (BigInt(hr.getOrElse(n, 0L)) * scale / hm).toLong).toMap
+      val ar = e.groupBy(_._2).map { case (d, in) => d -> in.map(x => BigInt(h(x._1))).sum }
+      val am = (if (ar.isEmpty) zero else ar.values.max).max(BigInt(1))
+      a = nodes.map(n => n -> (ar.getOrElse(n, zero) * scale / am).toLong).toMap
+      val hr = e.groupBy(_._1).map { case (s, out) => s -> out.map(x => BigInt(a(x._2))).sum }
+      val hm = (if (hr.isEmpty) zero else hr.values.max).max(BigInt(1))
+      h = nodes.map(n => n -> (hr.getOrElse(n, zero) * scale / hm).toLong).toMap
     }
     nodes.map(n => n -> ((h(n), a(n)))).toMap
   }
@@ -330,6 +332,25 @@ class FrontierOpsSpec extends SparkSuite {
     val got = hitsMap(es, 2)
     assert(got == serialHits(es, 2))
     assert(got(100L)._2 == Graph.HitsScale && got(1L)._1 == Graph.HitsScale)
+  }
+
+  test("hits: a raw SUM that passes Long.Max is exact in both strategies") {
+    // 10 leaves → one center at scale 1e18: auth raw(center) = 10·1e18 =
+    // 1e19 > Long.Max BEFORE the ×scale step. The r14 fix widened only
+    // the product — a plain BIGINT sum throws under ANSI on the
+    // distributed path and wraps silently in a Long-accumulating
+    // endgame; this pins the widened sum (DECIMAL(38,0) distributed,
+    // BigInt endgame; ADVICE r15).
+    val sc = 1000000000000000000L
+    val es = (1L to 10L).map(l => (l, 100L)) ++ Seq((100L, 200L))
+    def run(cutoff: Long): Map[Long, (Long, Long)] =
+      Graph.hits(edgeDf(es), 2, scale = sc, localCutoff = cutoff).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dist = run(0L)
+    val local = run(1L << 20)
+    assert(local == dist, "endgame diverged from distributed rounds past Long.Max")
+    assert(dist == serialHits(es, 2, sc))
+    assert(dist(100L)._2 == sc, "the star center must normalize to the scale max")
   }
 
   test("hits: serial-reference equivalence on a random graph, any partitioning") {
