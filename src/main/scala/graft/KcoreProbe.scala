@@ -56,8 +56,56 @@ object KcoreProbe {
     spark.stop()
   }
 
+  /** `runMain graft.KcoreProbe coreness <nNodes> <nEdges> <maxK>
+    * [hfirst|iterfirst]`: design-scale A/B of the two DISTRIBUTED core-
+    * decomposition strategies — the single-pass h-index fixpoint vs the
+    * superseded maxK−1 iterated k-core peels — on the same deterministic
+    * skewed random graph, both forced distributed (cutoff 0), plus an
+    * exact agreement check (VERDICT r14 task 2). Arm order is flippable:
+    * the first arm in a fresh JVM pays codegen/warmup.
+    */
+  private def corenessMain(args: Array[String]): Unit = {
+    val n = args(1).toLong
+    val m = args(2).toLong
+    val maxK = args(3).toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_PROBE_AQE", "true"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // skewed endpoints (quadratic map u²/n over a uniform hash → low ids
+    // are hubs; u ≤ n so u² stays far inside BIGINT) so the core
+    // structure is tiered like a real copurchase graph, not the
+    // near-critical uniform regime synthMain probes
+    val edges = spark.range(m).selectExpr(
+        s"(pmod(xxhash64(id, 'a'), ${n}L) * pmod(xxhash64(id, 'a'), ${n}L)) div ${n}L AS src",
+        s"(pmod(xxhash64(id, 'b'), ${n}L) * pmod(xxhash64(id, 'b'), ${n}L)) div ${n}L AS dst")
+      .localCheckpoint()
+    println(s"[corenessprobe] synth n=$n m=${edges.count()} maxK=$maxK")
+    def run(tag: String, fn: () => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val t0 = System.nanoTime()
+      val res = fn().localCheckpoint()
+      val rows = res.count()
+      println(f"[corenessprobe] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s, nodes=$rows")
+      res
+    }
+    def hArm() = run("h-index fixpoint (cutoff=0)",
+      () => graft.operators.Graph.coreness(edges, maxK, localCutoff = 0L))
+    def iArm() = run("iterated k-cores (cutoff=0)",
+      () => graft.operators.Graph.corenessIterated(edges, maxK))
+    val flip = args.length > 4 && args(4) == "iterfirst"
+    val (h, it) = if (flip) { val i2 = iArm(); (hArm(), i2) } else { val h2 = hArm(); (h2, iArm()) }
+    val diff = h.unionByName(it).distinct().count() - h.count()
+    println(s"[corenessprobe] strategy disagreement rows: $diff (0 = identical)")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("synth")) { synthMain(args); return }
+    if (args.headOption.contains("coreness")) { corenessMain(args); return }
     val sfDir = args(0)
     val minShared = if (args.length > 1) args(1).toLong else 3L
     val kArg = if (args.length > 2) args(2).toInt else 3

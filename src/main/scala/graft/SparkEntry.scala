@@ -16,7 +16,8 @@ object SparkEntry {
       operators.BloomPrune.queries ++ operators.SkewLayout.queries ++
       operators.Graph.queries ++ operators.Spatial.queries ++
       operators.Scale.queries ++
-      operators.Retrieval.queries ++ operators.Bpe.queries
+      operators.Retrieval.queries ++ operators.Bpe.queries ++
+      operators.Mining.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1145,6 +1145,45 @@ object Analytics {
              |FROM l ORDER BY o_orderpriority, month_start""".stripMargin),
     ),
 
+    // Exact weighted median per group: the smallest p_size whose
+    // cumulative weight reaches half the brand's total (lower weighted
+    // median — the deterministic convention), weight = how many lineitems
+    // reference the part. Pure integers: one weight aggregate, one
+    // running-sum window ordered by the value, one min — the exact
+    // distributed two-pass shape (weight histogram, then rank scan) that
+    // replaces a global sort at scale, since the window partitions by
+    // group and the per-group value domain is small.
+    GraftQuery(
+      "q_weighted_median",
+      (s, dir) => {
+        val w = Tables(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("pk")).agg(count(lit(1)).as("w"))
+        val pw = Tables(s, dir, "part")
+          .join(w, col("pk") === col("p_partkey"))
+          .groupBy("p_brand", "p_size").agg(sum("w").as("w"))
+        val byBrand = Window.partitionBy("p_brand")
+        val cum = pw
+          .withColumn("cw", sum("w").over(byBrand.orderBy("p_size")))
+          .withColumn("tw", sum("w").over(byBrand))
+        cum.filter(col("cw") * 2 >= col("tw"))
+          .groupBy("p_brand").agg(min("p_size").as("wmedian"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH w AS (
+             |  SELECT l_partkey AS pk, count(*) AS w FROM lineitem GROUP BY 1),
+             |pw AS (
+             |  SELECT p_brand, p_size, sum(w) AS w
+             |  FROM part JOIN w ON pk = p_partkey GROUP BY 1, 2),
+             |c AS (
+             |  SELECT p_brand, p_size,
+             |    sum(w) OVER (PARTITION BY p_brand ORDER BY p_size) AS cw,
+             |    sum(w) OVER (PARTITION BY p_brand) AS tw
+             |  FROM pw)
+             |SELECT p_brand, min(p_size) AS wmedian FROM c
+             |WHERE 2 * cw >= tw
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    ),
+
     // Activity bitmaps: each user's January compressed to one 30-bit
     // BIGINT mask (bit d-1 = active on day d) via bit_or — the bitmap-
     // index layout engagement rollups use at scale, because week/cohort

@@ -26,6 +26,31 @@ object Graph {
 
   val Scale: Long = 1000000000000L // 1e12: 12 digits of rank resolution
 
+  /** Checkpoint `df` into `parts` partitions AND reset its planner
+    * statistics to the defaults.
+    *
+    * Why the reset exists: Spark's localCheckpoint PRESERVES the origin
+    * plan's statistics on the resulting LogicalRDD, and the size-only
+    * stats visitor estimates a join as the PRODUCT of its children's
+    * sizeInBytes (BigInt, uncapped). An iterative loop whose round-r
+    * frame enters round r+1's plan through MORE THAN ONE multiplicative
+    * path therefore SQUARES the preserved size every round — digits
+    * double per round (measured in the h-index fixpoint: 133 → 272 →
+    * 550 → … → 569,354 digits by round 15), and the driver ends up
+    * spending its time in Toom-Cook BigInteger multiplies inside
+    * join-stat estimation (a frontier-36 round took 45 s of pure
+    * planning). Rebuilding the frame from its checkpointed RDD through
+    * the public Row API drops the poisoned stats back to the 19-digit
+    * default; the loops that use this pin make all their own broadcast
+    * decisions with explicit count-gated hints, so losing the preserved
+    * stats costs nothing. Linear chains (pageRank-style pr → pr once per
+    * round) only ADD digits per round and don't need this.
+    */
+  private[graft] def pinFresh(df: DataFrame, parts: Int): DataFrame = {
+    val cp = df.coalesce(parts).localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** `iters` damped PageRank rounds over `edges` (src, dst), d = 0.85.
     * Output: (node, rank) for every node appearing as src or dst.
     * The edge/node/out-degree frames are materialized once (they feed
@@ -228,7 +253,7 @@ object Graph {
   /** The oracle's unrolled twin of one [[weightedPageRank]] round — the
     * same two-term overflow-safe floor(r·w / W).
     */
-  private def wprRoundSql(i: Int, scale: Long): String =
+  private[operators] def wprRoundSql(i: Int, scale: Long): String =
     s"""pr$i AS (
        |  SELECT n.node,
        |    CAST(${scale * 15 / 100} + (85 * CAST(coalesce(c.m, 0) AS BIGINT)) // 100 AS BIGINT) AS r
@@ -858,6 +883,242 @@ object Graph {
     dist
   }
 
+  /** k-truss (Cohen 2008): the maximal subgraph in which every edge is
+    * supported by at least k−2 triangles — the cohesion filter that is
+    * stricter than k-core (every edge must sit in dense neighborhoods,
+    * not just every node) and the standard community-backbone extractor.
+    * Computed by support peeling to a fixpoint: count per-edge triangle
+    * support, drop edges below k−2, repeat (dropping an edge can destroy
+    * a neighbor edge's triangle). The fixpoint is unique (confluent
+    * peel), so strategies interchange freely.
+    *
+    * Support counting is degree-oriented exactly like [[triangles]]:
+    * wedges enumerate at each edge's lower-(deg, id) endpoint, so hub
+    * fan-out is bounded by oriented out-degree (O(√m) arboricity bound)
+    * and each triangle is found once, then exploded to its three edges
+    * for one count shuffle. Below `localCutoff` edges the whole peel is
+    * one serial pass in an executor task. Output: (a, b, support) for
+    * the surviving canonical edges, support measured IN the truss.
+    */
+  def ktruss(edges: DataFrame, k: Int, localCutoff: Long = 1L << 20,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 3 && k <= 64, s"k must be in [3,64], got $k")
+    val und = edges
+      .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct().localCheckpoint(false)
+    if (localCutoff > 0 && und.count() <= localCutoff)
+      return localKtruss(und, k)
+    var live = und
+    var liveCnt = live.count()
+    var round = 0
+    var result: DataFrame = null
+    while (result == null) {
+      round += 1
+      require(round <= maxRounds, s"k-truss did not converge in $maxRounds rounds")
+      val sup = edgeSupport(live).localCheckpoint(false)
+      val next = live.join(sup.filter(col("support") >= k - 2)
+          .select("a", "b"), Seq("a", "b"), "left_semi")
+        .localCheckpoint(false)
+      val nextCnt = next.count()
+      if (nextCnt == liveCnt)
+        // converged: this round's support was measured on the final edge
+        // set, so it IS the in-truss support
+        result = live.join(sup, Seq("a", "b"))
+      else { live = next; liveCnt = nextCnt }
+    }
+    result
+  }
+
+  /** Per-edge triangle support via degree-oriented wedge enumeration
+    * (each triangle found once at its lowest-(deg, id) corner, then
+    * exploded to its three canonical edges). Edges in no triangle are
+    * absent — callers treat absence as support 0.
+    */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val bi = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+    // orient u→v if (deg, id)(u) < (deg, id)(v)
+    val ori = bi
+      .join(deg.select(col("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"), col("du"), col("dv"))
+      .localCheckpoint(false)
+    val wedges = ori.select(col("u"), col("v").as("v1"),
+        col("dv").as("d1"))
+      .join(ori.select(col("u"), col("v").as("v2"), col("dv").as("d2")), Seq("u"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    val tri = wedges.join(ori.select(col("v").as("v2"), col("u").as("v1")),
+      Seq("v1", "v2"), "left_semi")
+    tri.select(explode(array(
+        struct(least(col("u"), col("v1")).as("a"), greatest(col("u"), col("v1")).as("b")),
+        struct(least(col("u"), col("v2")).as("a"), greatest(col("u"), col("v2")).as("b")),
+        struct(least(col("v1"), col("v2")).as("a"), greatest(col("v1"), col("v2")).as("b"))))
+        .as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+  }
+
+  /** The [[ktruss]] endgame: the identical support peel replayed serially
+    * in one executor task with adjacency sets (common-neighbor
+    * intersection per edge), to the same unique fixpoint.
+    */
+  private def localKtruss(und: DataFrame, k: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    und.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      var edges = it.toSet
+      val need = k - 2
+      def adjOf(es: Set[(Long, Long)]): Map[Long, Set[Long]] =
+        es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+      var supports = Map.empty[(Long, Long), Long]
+      var converged = false
+      while (!converged) {
+        val adj = adjOf(edges)
+        supports = edges.iterator.map { case (a, b) =>
+          (a, b) -> (adj(a) & adj(b)).size.toLong
+        }.toMap
+        val keep = edges.filter(e => supports(e) >= need)
+        converged = keep.size == edges.size
+        edges = keep
+      }
+      edges.iterator.map { case (a, b) => (a, b, supports((a, b))) }
+    }.toDF("a", "b", "support")
+  }
+
+  /** The number of peel passes [[ktruss]] needs to reach its fixpoint
+    * (counting the final no-change pass), for the oracle's unroll depth.
+    * VERIFY-TIME ONLY: runs the serial peel on collected edges — the
+    * oracle generator needs one integer, not a distributed plan, and the
+    * depth is engine-derived so the unrolled SQL can never be too
+    * shallow without the result comparison catching it (an under-unrolled
+    * oracle still holds edges the engine's true fixpoint dropped).
+    */
+  private[graft] def ktrussPeelRounds(und: Seq[(Long, Long)], k: Int): Int = {
+    var edges = und.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val need = k - 2
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+      val keep = edges.filter { case (a, b) => (adj(a) & adj(b)).size >= need }
+      converged = keep.size == edges.size
+      edges = keep
+    }
+    rounds
+  }
+
+  /** Harmonic centrality from the `nSources` lowest-id nodes, hop-capped:
+    * harmonic(v) = Σ_s ⌊1e6 / d(s,v)⌋ over sources s that reach v within
+    * `maxHops` (v itself excluded — d = 0 contributes nothing, matching
+    * the standard convention of summing over OTHER nodes). The sampled-
+    * source, bounded-horizon form is the one that scales: exact all-pairs
+    * harmonic centrality is O(n·m) and no 100 TB plan runs it, while a
+    * deterministic pivot set (lowest ids — reproducible, no RNG) with a
+    * hop cap is the estimator the centrality literature uses (Eppstein–
+    * Wang style pivot sampling), and the integer micros make the sum
+    * engine-exact.
+    *
+    * One TAGGED multi-source BFS, NOT nSources sequential walks: state is
+    * (tag, node, hops), the frontier join carries all sources at once, so
+    * the round count is maxHops regardless of nSources (the same
+    * all-at-once discipline that replaced iterated kCore in [[coreness]]).
+    * Visited-set semantics per tag via the (tag, node) anti-join.
+    * Output: (node, harmonic_micros, n_reached) for nodes reached by ≥ 1
+    * source at d ≥ 1.
+    */
+  def harmonicCentrality(edges: DataFrame, nSources: Int, maxHops: Int,
+      localCutoff: Long = 1L << 20): DataFrame = {
+    require(nSources >= 1 && nSources <= 64, s"nSources must be in [1,64], got $nSources")
+    require(maxHops >= 1 && maxHops <= 50, s"maxHops must be in [1,50], got $maxHops")
+    val e = edges
+      .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+    val bi = e.select(col("x").as("u"), col("y").as("v"))
+      .union(e.select(col("y").as("u"), col("x").as("v")))
+      .distinct().localCheckpoint(false)
+    // deterministic pivots: the nSources lowest node ids (a 1-row-per-
+    // source global top-k, not a full sort — limit pushes the k-floor
+    // into the partial sort)
+    val seeds = bi.select(col("u").as("node")).distinct()
+      .orderBy("node").limit(nSources).localCheckpoint(false)
+    val dist =
+      if (localCutoff > 0 && bi.count() + nSources <= localCutoff)
+        localTaggedBfs(seeds, bi, maxHops)
+      else {
+        var d = seeds.select(col("node").as("tag"), col("node"),
+          lit(0).as("hops")).localCheckpoint()
+        var frontier = d.select("tag", "node")
+        var h = 1
+        var exhausted = false
+        while (h <= maxHops && !exhausted) {
+          val next = frontier.join(bi, frontier("node") === bi("u"))
+            .select(col("tag"), col("v").as("node")).distinct()
+            .join(d.select("tag", "node"), Seq("tag", "node"), "left_anti")
+            .withColumn("hops", lit(h))
+            .localCheckpoint()
+          exhausted = next.isEmpty
+          if (!exhausted) {
+            d = d.unionByName(next).localCheckpoint()
+            frontier = next.select("tag", "node")
+          }
+          h += 1
+        }
+        d
+      }
+    dist.filter(col("hops") > 0)
+      .groupBy("node")
+      .agg(sum(expr("1000000 div hops")).as("harmonic_micros"),
+        count(lit(1)).as("n_reached"))
+  }
+
+  /** The tagged-BFS endgame: all sources walked serially in one executor
+    * task (not a driver collect). Hop distances are unique, so it is
+    * bit-identical to the distributed tagged rounds.
+    */
+  private def localTaggedBfs(seedsN: DataFrame, bi: DataFrame,
+      maxHops: Int): DataFrame = {
+    val spark = bi.sparkSession
+    import spark.implicits._
+    val tagged = bi.select(lit(1L).as("t"), col("u"), col("v"))
+      .unionByName(seedsN.select(lit(0L).as("t"), col("node").as("u"), lit(0L).as("v")))
+    tagged.as[(Long, Long, Long)].coalesce(1).mapPartitions { it =>
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      val seedBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach { case (t, u, v) =>
+        if (t == 0L) seedBuf += u
+        else adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty[Long]) += v
+      }
+      seedBuf.iterator.flatMap { s =>
+        val dist = scala.collection.mutable.HashMap.empty[Long, Int]
+        var frontier = Array(s)
+        dist.update(s, 0)
+        var h = 1
+        while (h <= maxHops && frontier.nonEmpty) {
+          val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+          frontier.foreach { u =>
+            adj.getOrElse(u, Nil).foreach { v =>
+              if (!dist.contains(v)) { dist.update(v, h); next += v }
+            }
+          }
+          frontier = next.toArray
+          h += 1
+        }
+        dist.iterator.map { case (n, d) => (s, n, d) }
+      }
+    }.toDF("tag", "node", "hops")
+  }
+
   /** The BFS endgame on a coalesced single partition: seeds and adjacency
     * arrive as one tagged frame (no driver collect), the level walk runs
     * in-memory in one executor task. Identical output: BFS hop distance
@@ -1471,21 +1732,190 @@ object Graph {
     * unrolled replay bounded). Below `localCutoff` edges this is ONE
     * serial Matula–Beck bucket peel in an executor task (linear time,
     * every core number in a single pass — the production path until the
-    * graph outgrows a task); above it, iterated [[kCore]] survivors
-    * (each of which internally runs distributed peel rounds with its own
-    * endgame), maxK−1 passes over the same pinned edge set. Output:
-    * (node, coreness ≥ 1) for every node with an edge.
+    * graph outgrows a task); above it, ONE distributed h-index fixpoint
+    * ([[hIndexCoreness]]) — every core number in a single iterative
+    * pass, regardless of maxK. Output: (node, coreness ≥ 1) for every
+    * node with an edge.
     */
   def coreness(edges: DataFrame, maxK: Int,
       localCutoff: Long = 1L << 20): DataFrame = {
     require(maxK >= 2 && maxK <= 64, s"maxK must be in [2,64], got $maxK")
-    val und = edges
-      .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
-      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-      .distinct().localCheckpoint(false)
+    val und = corenessEdges(edges)
     if (localCutoff > 0 && und.count() <= localCutoff)
       return localCoreness(und, maxK)
+    hIndexCoreness(und, maxK)
+  }
+
+  private def corenessEdges(edges: DataFrame): DataFrame = edges
+    .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
+    .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+    .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+    .distinct().localCheckpoint(false)
+
+  /** Distributed core decomposition as ONE iterative fixpoint (the
+    * locality result of Montresor, De Pellegrini & Miorandi,
+    * "Distributed k-Core Decomposition", 2011): start every node at
+    * c₀(v) = min(deg(v), maxK) and repeatedly lower c(v) to the h-index
+    * of its neighbors' current estimates — the largest k with ≥ k
+    * neighbors of c ≥ k. Estimates are monotone non-increasing and the
+    * fixpoint is exactly min(core(v), maxK): capping commutes with the
+    * h-index (for k ≤ maxK, "value ≥ k" and "min(value, maxK) ≥ k" are
+    * the same predicate), so the capped iteration converges to the
+    * capped core numbers. This replaces the earlier iterated-[[kCore]]
+    * form ([[corenessIterated]], kept for the design-scale A/B): at
+    * maxK = 64 that ran 63 full peels over the pinned edge set; this
+    * runs ONE pass whose rounds touch only the changed frontier.
+    *
+    * Scale design — the iteration is MESSAGE-PASSING over incrementally
+    * maintained counts, not a per-round re-gather:
+    *
+    *   - Per-node state is (est, cnt₁..cnt_maxK) where cnt_k = how many
+    *     neighbors currently have est ≥ k. The h-index is then a pure
+    *     row-local expression, greatest over k·(cnt_k ≥ k) — no per-node
+    *     sort, no Window, no neighbor re-gather.
+    *   - A round ships only DELTAS: each node whose estimate dropped from
+    *     `old` to `new` messages its neighbors, and a receiver decrements
+    *     cnt_k for new < k ≤ old. Message volume is frontier-proportional
+    *     (Σ deg over changed nodes), so the long chain-shaped convergence
+    *     tail this fixpoint is known for (a drop propagates one hop per
+    *     round through tree filaments; the naive re-gather form spent
+    *     20+ rounds × full-graph joins on a double-digit frontier in the
+    *     1M-node probe) costs one pinned-adjacency scan per round and
+    *     kilobytes of state churn.
+    *   - State writes go to a DELTA OVERLAY (only touched rows
+    *     materialize; current = base minus touched ∪ overlay), folded
+    *     into a fresh base every `foldEvery` rounds — the n-row state
+    *     frame is re-checkpointed O(rounds/foldEvery) times, not
+    *     O(rounds) times.
+    *
+    * The trajectory is exactly the synchronous Jacobi iteration (counts
+    * at round start reflect all estimates after the previous round), so
+    * the fixpoint — and every intermediate state — matches the re-gather
+    * form bit for bit.
+    */
+  private[graft] def hIndexCoreness(und: DataFrame, maxK: Int,
+      maxRounds: Int = 10000, foldEvery: Int = 8): DataFrame = {
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(false)
+    val kCols = (1 to maxK).map(k => s"k$k")
+    val hExpr = greatest((1 to maxK).map(k =>
+      when(col(s"k$k") >= k, k).otherwise(0)): _*)
+    val trace = sys.env.contains("GRAFT_CORENESS_TRACE")
+    // initial estimates est₀ = min(deg, maxK), then initial counts from
+    // one full gather — the only graph-sized shuffle pass in the run
+    val est0 = adj.groupBy(col("u").as("node"))
+      .agg(least(count(lit(1)), lit(maxK.toLong)).cast("int").as("est"))
+    var base = adj
+      .join(est0.select(col("node").as("v"), col("est").as("ve")), Seq("v"))
+      .groupBy(col("u").as("node"))
+      .agg(sum(when(col("ve") >= 1, 1L).otherwise(0L)).cast("int").as("k1"),
+        (2 to maxK).map(k =>
+          sum(when(col("ve") >= k, 1L).otherwise(0L)).cast("int").as(s"k$k")): _*)
+      .join(est0, Seq("node"))
+      .select(col("node") +: col("est") +: kCols.map(col): _*)
+      .localCheckpoint(false)
+    var overlay = base.filter(lit(false)).localCheckpoint(false)
+    var overlayCnt = 0L
+    // explicit broadcast hints, gated on known (checkpointed) row counts:
+    // without stats the planner sort-merges, and AQE only demotes to
+    // broadcast AFTER paying the big side's shuffle map stage — so a
+    // 40-round tail re-shuffled the 2·m adjacency 40 times. The counts
+    // are one cheap action each on an already-materialized frame. The
+    // gate is deliberately modest: a broadcast build is driver-serial,
+    // so bulk rounds (frontier ~ n) should take the shuffle path.
+    val bcastCutoff = 256L << 10
+    def hinted(df: DataFrame, cnt: Long): DataFrame =
+      if (cnt <= bcastCutoff) broadcast(df) else df
+    def cur: DataFrame = base
+      .join(hinted(overlay.select("node"), overlayCnt), Seq("node"), "left_anti")
+      .unionByName(overlay)
+    // round 0: apply the h-index to the initial counts map-side — the
+    // first wave of drops needs no messages
+    var chg = base.withColumn("h", hExpr)
+      .filter(col("h") < col("est"))
+      .select(col("node"), col("est").as("old"), col("h").as("new"))
+      .localCheckpoint(false)
+    var chgCnt = chg.count()
+    overlay = base.join(hinted(chg.select(col("node"), col("new")), chgCnt), Seq("node"))
+      .select(col("node") +: col("new").as("est") +: kCols.map(col): _*)
+      .localCheckpoint(false)
+    overlayCnt = chgCnt
+    var round = 0
+    while (chgCnt > 0) {
+      round += 1
+      val tRound = System.nanoTime()
+      require(round <= maxRounds, s"h-index coreness did not converge in $maxRounds rounds")
+      // deltas: a neighbor of a dropped node decrements cnt_k for
+      // new < k ≤ old; one adjacency scan, message volume = Σ deg(chg)
+      val msgs = adj.join(hinted(chg.withColumnRenamed("node", "u"), chgCnt), Seq("u"))
+      val decs = msgs.groupBy(col("v").as("node"))
+        .agg(sum(when(col("new") < 1 && col("old") >= 1, 1L).otherwise(0L))
+            .cast("int").as("d1"),
+          (2 to maxK).map(k =>
+            sum(when(col("new") < k && col("old") >= k, 1L).otherwise(0L))
+              .cast("int").as(s"d$k")): _*)
+        .localCheckpoint(false)
+      val decsCnt = decs.count()
+      // touched is NOT checkpointed: both consumers below re-derive it
+      // from the pinned base/overlay/decs in one scan each — cheaper
+      // than writing an n-proportional frame every round
+      val touched = cur.join(hinted(decs, decsCnt), Seq("node"))
+        .select(col("node") +: col("est") +:
+          (1 to maxK).map(k => (col(s"k$k") - col(s"d$k")).as(s"k$k")): _*)
+        .withColumn("h", hExpr)
+        .withColumn("nest", least(col("est"), col("h")))
+      // coalesce before every per-round checkpoint: union/anti chains SUM
+      // their inputs' partition counts and localCheckpoint pins the
+      // result, so without this the overlay (and, through the fold, the
+      // base) compounds to thousands of near-empty partitions by round
+      // ~15 — each later stage then schedules thousands of no-op tasks
+      // and the block manager drowns (measured: a frontier-109 round
+      // taking 100 s of pure task/block churn)
+      // chg and overlay re-enter the next round's plan through MULTIPLE
+      // multiplicative paths, so they pin through [[pinFresh]] (stats
+      // reset), not plain localCheckpoint — see pinFresh for the
+      // exponential-planning-cost failure this prevents
+      chg = pinFresh(touched.filter(col("nest") < col("est"))
+        .select(col("node"), col("est").as("old"), col("nest").as("new")), 8)
+      chgCnt = chg.count()
+      val newRows = touched
+        .select(col("node") +: col("nest").as("est") +: kCols.map(col): _*)
+      overlay = pinFresh(overlay
+        .join(hinted(decs.select("node"), decsCnt), Seq("node"), "left_anti")
+        .unionByName(newRows), 16)
+      overlayCnt += decsCnt // upper bound (replaced rows counted twice): a
+                            // hint gate only needs the order of magnitude
+      if (round % foldEvery == 0) {
+        base = pinFresh(cur, 32)
+        overlay = base.filter(lit(false)).localCheckpoint()
+        overlayCnt = 0L
+        // superseded per-round checkpoint blocks (old overlays, chg,
+        // decs) are MEMORY_AND_DISK and only reclaimed when their RDD
+        // objects are GC'd — across a long fixpoint they pile into
+        // block-manager pressure that makes every later round slower
+        // (the round-6 bench finding, inside one query). The vars above
+        // dropped the references; one GC per fold lets the
+        // ContextCleaner actually release the blocks.
+        System.gc()
+      }
+      if (trace)
+        System.err.println(f"[hindex] round $round frontier=$chgCnt" +
+          f" touched=$decsCnt ${(System.nanoTime() - tRound) / 1e9}%.2fs" +
+          s" statDigits=${overlay.queryExecution.optimizedPlan.stats.sizeInBytes.toString.length}")
+    }
+    if (trace) System.err.println(s"[hindex] converged in $round rounds")
+    cur.select(col("node"), col("est").as("coreness"))
+  }
+
+  /** The superseded distributed form — maxK−1 iterated [[kCore]] peels
+    * over the pinned edge set — kept ONLY as the baseline arm of the
+    * design-scale A/B (see KcoreProbe's coreness mode): O(maxK)
+    * sequential full peels where [[hIndexCoreness]] runs one fixpoint.
+    */
+  private[graft] def corenessIterated(edges: DataFrame, maxK: Int,
+      localCutoff: Long = 0L): DataFrame = {
+    val und = corenessEdges(edges)
     val base = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
       .distinct().select(col("node"), lit(1).as("k"))
     val survivors = (2 to maxK).map { k =>
@@ -2082,6 +2512,45 @@ object Graph {
              |GROUP BY node ORDER BY node""".stripMargin),
     ),
 
+    // Harmonic centrality from 4 deterministic pivots (lowest node ids)
+    // over the same minShared=3 co-purchase graph as q_bfs_hops, hop cap
+    // 6: harmonic(v) = Σ_s ⌊1e6/d(s,v)⌋ — the closeness-family score
+    // that, unlike closeness itself, is well-defined on disconnected
+    // graphs (unreached pairs simply contribute 0). One TAGGED
+    // multi-source BFS (state (tag, node, hops)) — 6 frontier rounds
+    // total, not 4 sequential walks. The oracle replays it as one
+    // recursive CTE whose tuples carry the tag.
+    GraftQuery(
+      "q_harmonic",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        harmonicCentrality(copurchaseEdges(cp, minShared = 3),
+          nSources = 4, maxHops = 6).orderBy("node")
+      },
+      Some("""WITH RECURSIVE cp AS (
+             |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+             |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+             |e0 AS MATERIALIZED (
+             |  SELECT c1.c AS a, c2.c AS b
+             |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+             |  GROUP BY 1, 2 HAVING count(*) >= 3),
+             |bi AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+             |su AS (SELECT DISTINCT u FROM bi ORDER BY u LIMIT 4),
+             |reach(tag, node, d) AS (
+             |  SELECT u, u, 0 FROM su
+             |  UNION
+             |  SELECT r.tag, bi.v, r.d + 1 FROM reach r JOIN bi ON bi.u = r.node
+             |  WHERE r.d < 6),
+             |md AS (SELECT tag, node, min(d) AS d FROM reach GROUP BY 1, 2)
+             |SELECT node, CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micros,
+             |  count(*) AS n_reached
+             |FROM md WHERE d > 0
+             |GROUP BY node ORDER BY node""".stripMargin),
+    ),
+
     // Label-propagation communities over the minShared=4 co-purchase graph
     // (the same projection whose clustering coefficients show ring-like
     // nuclei): 4 synchronous rounds split the big components into
@@ -2422,6 +2891,63 @@ object Graph {
              |SELECT s1.s AS start_node, f1.far1, f1.ecc1,
              |  f2.far2, f2.ecc2 AS pseudo_diameter
              |FROM s1, f1, f2""".stripMargin),
+    ),
+
+    // 6-truss of the minShared=4 co-purchase graph: the edges embedded in
+    // ≥ 4 triangles after peeling — the cohesion backbone one notch
+    // stricter than q_kcore's node-degree tiers (an edge must sit in
+    // dense COMMON neighborhoods, so chains and stars that survive a
+    // degree peel fall out here). The oracle replays the identical
+    // support peel; its unroll depth is ENGINE-DERIVED at verify time
+    // (oracleGen runs the serial peel once to count the passes, then
+    // unrolls exactly that many — never too shallow without the final
+    // comparison catching it, never the fixed-depth gamble the q_msf
+    // oracle was called out for).
+    GraftQuery(
+      "q_ktruss",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false)
+        ktruss(copurchaseEdges(cp, minShared = 4), k = 6).orderBy("a", "b")
+      },
+      None,
+      oracleGen = Some((s, dir) => {
+        import s.implicits._
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+        val es = copurchaseEdges(cp, minShared = 4)
+          .select(col("src"), col("dst")).as[(Long, Long)].collect().toSeq
+        val rounds = ktrussPeelRounds(es, 6)
+        val head =
+          """WITH cp AS (
+            |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+            |e1 AS MATERIALIZED (
+            |  SELECT c1.c AS a, c2.c AS b
+            |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+            |  GROUP BY 1, 2 HAVING count(*) >= 4)""".stripMargin
+        def supSql(i: Int): String =
+          s"""bi$i AS MATERIALIZED (
+             |  SELECT a AS u, b AS v FROM e$i UNION SELECT b, a FROM e$i),
+             |sup$i AS MATERIALIZED (
+             |  SELECT e.a, e.b, count(*) AS c
+             |  FROM e$i e JOIN bi$i x ON x.u = e.a
+             |              JOIN bi$i y ON y.u = e.b AND y.v = x.v
+             |  GROUP BY 1, 2)""".stripMargin
+        def nextSql(i: Int): String =
+          s"""e${i + 1} AS MATERIALIZED (
+             |  SELECT e.a, e.b FROM e$i e
+             |  JOIN sup$i s ON s.a = e.a AND s.b = e.b AND s.c >= 4)""".stripMargin
+        val body = (1 until rounds).map(i => supSql(i) + ",\n" + nextSql(i)) :+ supSql(rounds)
+        (head +: body).mkString(",\n") +
+          s"""
+             |SELECT e.a, e.b, s.c AS support
+             |FROM e$rounds e JOIN sup$rounds s ON s.a = e.a AND s.b = e.b
+             |ORDER BY e.a, e.b""".stripMargin
+      }),
     ),
 
     // Full core decomposition of the co-purchase graph, capped at k=4:

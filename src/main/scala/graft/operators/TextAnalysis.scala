@@ -842,6 +842,92 @@ object TextAnalysis {
              |FROM final ORDER BY doc_id""".stripMargin),
     ),
 
+    // Hashing-trick featurizer (Weinberger et al. 2009): tokens hashed
+    // into a fixed 64-bucket count vector per document — the
+    // vocabulary-free featurization that feeds linear quality
+    // classifiers at corpus scale (no dictionary to build, broadcast, or
+    // grow; collisions are the accepted trade). Bucket = first 8 hex
+    // chars of md5(token) mod 64, the same engine-shared hash
+    // q_rolling_hash folds (Spark conv() vs DuckDB's hex fold produce
+    // identical integers), so the vectors are engine-exact. Output is
+    // the sparse form (doc_id, bucket, cnt) — the layout a trainer
+    // ingests directly; one explode + one map-side-combinable count
+    // aggregate, at scan speed.
+    GraftQuery(
+      "q_feature_hash",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("w")), 1, 8), 16, 10).cast(LongType)
+              % 64).as("bucket"))
+          .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some("""SELECT doc_id, wv % 64 AS bucket, count(*) AS cnt FROM (
+             |  SELECT doc_id,
+             |    list_reduce(
+             |      list_transform(string_split_regex(substr(md5(w), 1, 8), ''),
+             |        c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+             |      (a, b) -> a * 16 + b) AS wv
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |        FROM documents))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+
+    // TextRank (Mihalcea & Tarau 2004): keyword ranking = PageRank over
+    // the word co-occurrence graph. Adjacent-word bigrams (the same
+    // tokenization as q_pmi) become undirected weighted edges (count ≥ 2
+    // noise floor — singleton co-occurrences are the bulk of the edge
+    // list and carry no signal), each fed both directions into the
+    // SAME scaled-integer weighted PageRank the purchase graph uses —
+    // node keys are words (the operator is key-type-generic), so rank
+    // is engine-exact and the oracle replays the identical unrolled
+    // rounds over an identically-built edge CTE. The graph-based twin
+    // of q_rake_keywords' frequency-based scoring: RAKE favors words in
+    // long phrases, TextRank words central to the co-occurrence
+    // topology. Top 50 by (rank, word) — deterministic total order.
+    GraftQuery(
+      "q_textrank",
+      (s, dir) => {
+        val big = Tables(s, dir, "documents")
+          .select(explode(Curation.gramsOf(col("text"), 2)).as("g"))
+          .select(split(col("g"), " ").getItem(0).as("w1"),
+            split(col("g"), " ").getItem(1).as("w2"))
+          .filter(col("w1") =!= col("w2"))
+        val und = big
+          .select(least(col("w1"), col("w2")).as("a"),
+            greatest(col("w1"), col("w2")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        val e = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        Graph.weightedPageRank(e, iters = 4)
+          .orderBy(col("rank").desc, col("node"))
+          .limit(50)
+          .select(col("node").as("word"), col("rank"))
+      },
+      Some((Seq(
+        s"""WITH base AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           |big AS (
+           |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+           |  FROM base, unnest(range(1, greatest(len(ws), 1))) AS t(i)
+           |  WHERE ws[i] <> ws[i + 1]),
+           |und AS (
+           |  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, count(*) AS w
+           |  FROM big GROUP BY 1, 2 HAVING count(*) >= 2),
+           |e AS (SELECT a AS src, b AS dst, w FROM und
+           |      UNION ALL SELECT b, a, w FROM und),
+           |ew AS (
+           |  SELECT e.src, e.dst, e.w, t.tw
+           |  FROM e JOIN (SELECT src, sum(w) AS tw FROM e GROUP BY src) t
+           |    ON t.src = e.src),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |pr0 AS (SELECT node, CAST(${Graph.Scale} AS BIGINT) AS r FROM nodes)""".stripMargin) ++
+        (1 to 4).map(Graph.wprRoundSql(_, Graph.Scale))).mkString(",\n") +
+        "\nSELECT node AS word, r AS rank FROM pr4 ORDER BY r DESC, node LIMIT 50"),
+    ),
+
     // RAKE keyword extraction (Rose et al. 2010), made engine-exact:
     // stopwords = the corpus's nStop most frequent tokens (data-derived,
     // deterministic tie-break), candidate phrases = stopword-delimited

@@ -39,12 +39,21 @@ class CorenessSpec extends SparkSuite {
     nodes.map(n => n -> (1 to maxK).filter(kcore(_).contains(n)).max).toMap
   }
 
+  /** All THREE strategies on every scenario: the Matula–Beck endgame,
+    * the h-index fixpoint (the production distributed path), and the
+    * superseded iterated-kCore form it replaced (kept as the A/B
+    * baseline — if it ever disagrees, one of the two distributed
+    * derivations is wrong).
+    */
   private def corMap(es: Seq[(Long, Long)], maxK: Int): Map[Long, Int] = {
     val local = Graph.coreness(edgeDf(es), maxK).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val dist = Graph.coreness(edgeDf(es).repartition(7), maxK, localCutoff = 0L)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(local == dist, "Matula–Beck endgame diverged from iterated k-cores")
+    assert(local == dist, "Matula–Beck endgame diverged from the h-index fixpoint")
+    val iter = Graph.corenessIterated(edgeDf(es), maxK)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(iter == dist, "iterated k-cores diverged from the h-index fixpoint")
     local
   }
 

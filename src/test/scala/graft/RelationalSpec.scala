@@ -21,7 +21,10 @@ class RelationalSpec extends SparkSuite {
       .filter(q => q.oracle.isEmpty && q.oracleGen.isEmpty).map(_.name)
     assert(noOracle.isEmpty, s"queries with NO oracle of either kind: $noOracle")
     val generated = SparkEntry.all.filter(_.oracleGen.isDefined).map(_.name).sorted
-    assert(generated == Seq("q_ann_ivfpq", "q_bpe_tokens"),
+    // r15 additions: q_ktruss (unroll depth = engine-derived peel-round
+    // count) and q_msf (unroll depth = ceil(log2(|customer|+|supplier|)),
+    // ADVICE r15)
+    assert(generated == Seq("q_ann_ivfpq", "q_bpe_tokens", "q_ktruss", "q_msf"),
       s"verify-time-generated oracles changed: $generated")
     assert(SparkEntry.all.forall(q => q.oracle.isEmpty || q.oracleGen.isEmpty),
       "a query must not carry both a static and a generated oracle")
