@@ -148,7 +148,11 @@ object Graph {
           expr(s"(CAST(coalesce(raw, CAST(0 AS BIGINT)) AS DECIMAL(38,0)) * $scale)" +
             " div CAST(mx AS DECIMAL(38,0))").as("h"))
         .join(aNew.select(col("node"), col("a")), Seq("node"))
-      if (i % 2 == 0 && i < iters) st = st.localCheckpoint(false)
+      // pinFresh, not plain localCheckpoint: st re-enters the next block's
+      // plan through several multiplicative paths (aRaw feeds aNew twice
+      // via its own max; hRaw twice more), so preserved checkpoint stats
+      // would compound exponentially — see [[pinFresh]]
+      if (i % 2 == 0 && i < iters) st = pinFresh(st, 32)
     }
     st.select(col("node"), col("h").as("hub"), col("a").as("auth"))
   }
@@ -603,12 +607,14 @@ object Graph {
       // neighbors to the smallest of them. Orientation is again invariant:
       // every emitted pair points a larger id at a smaller one.
       val smin = large.groupBy("hi").agg(min("lo").as("m"))
-      val next = large.join(smin, Seq("hi"))
+      // pinFresh, not plain localCheckpoint: e enters this plan through
+      // two multiplicative inner-join paths (bi ⋈ lmin(bi)), so preserved
+      // checkpoint stats would square per round — see [[pinFresh]]
+      val next = pinFresh(large.join(smin, Seq("hi"))
         .filter(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(smin.select(col("hi"), col("m").as("lo")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(), 32)
       val nextCnt = next.count()
       changed =
         if (nextCnt != eCnt) 1L
@@ -1348,11 +1354,13 @@ object Graph {
       val cand = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
         .groupBy("node").agg(min("nd").as("nd"))
-      val merged = dist.join(cand, Seq("node"), "full")
+      // pinFresh: dist re-enters through BOTH full-join sides (cand is
+      // frontier-derived, frontier ⊂ last round's merged), so preserved
+      // checkpoint stats would double per round — see [[pinFresh]]
+      val merged = pinFresh(dist.join(cand, Seq("node"), "full")
         .select(col("node"),
           least(coalesce(col("dist"), col("nd")), coalesce(col("nd"), col("dist"))).as("dist"),
-          (col("nd").isNotNull && (col("dist").isNull || col("nd") < col("dist"))).as("__imp"))
-        .localCheckpoint()
+          (col("nd").isNotNull && (col("dist").isNull || col("nd") < col("dist"))).as("__imp")), 32)
       frontier = merged.filter(col("__imp")).select("node", "dist")
       dist = merged.select("node", "dist")
       r += 1
@@ -1477,10 +1485,11 @@ object Graph {
             val upd = liveE
               .join(cfront.select(col("node").as("src"), col("c")), Seq("src"))
               .groupBy(col("dst").as("node")).agg(min("c").as("nc"))
-            val c2 = c.join(upd, Seq("node"), "left")
+            // pinFresh: c enters through both join sides (upd is built
+            // from cfront ⊂ last round's c2) — see [[pinFresh]]
+            val c2 = pinFresh(c.join(upd, Seq("node"), "left")
               .select(col("node"), least(col("c"), coalesce(col("nc"), col("c"))).as("c"),
-                (col("nc").isNotNull && col("nc") < col("c")).as("__imp"))
-              .localCheckpoint()
+                (col("nc").isNotNull && col("nc") < col("c")).as("__imp")), 32)
             cfront = c2.filter(col("__imp")).select("node", "c")
             c = c2.select("node", "c")
           }
@@ -1691,8 +1700,13 @@ object Graph {
           .select(col("ca").as("src"), col("cb").as("dst"))
         val newLab = connectedComponents(comp.select(col("c").as("id")).distinct(),
           compEdges)
-        comp = comp.join(newLab.select(col("node").as("c"), col("component")), Seq("c"))
-          .select(col("node"), col("component").as("c")).localCheckpoint()
+        // pinFresh: comp enters the next round's plan ~6× (twice in ce,
+        // twice in compEdges, once in the CC node set, once here) — the
+        // worst multiplicative fan-out of any loop in this file; see
+        // [[pinFresh]] and the r15 q_msf exponent re-measurement
+        comp = pinFresh(comp
+          .join(newLab.select(col("node").as("c"), col("component")), Seq("c"))
+          .select(col("node"), col("component").as("c")), 32)
         live = ce.select("a", "b", "w").localCheckpoint()
       }
     }
