@@ -264,7 +264,15 @@ object Bench {
       // link prediction's wedge mass is degree-skew-shaped exactly like
       // q_triangles' (birth zipf 4.42; one-offs: random_walks 3.91,
       // msf 1.25 — recorded, not standing)
-      "q_hits", "q_link_predict")
+      "q_hits", "q_link_predict",
+      // round 15: the post-window r14 rows whose design axis IS degree
+      // skew (VERDICT r15 #3) — coreness rides the kcore floor,
+      // conductance the modularity floor — plus the round's k-truss,
+      // whose wedge-support mass is q_triangles-shaped (birth zipf 3.56;
+      // one-offs recorded, not standing: kmeans3 1.57, textrank 3.48,
+      // harmonic 7.76, item_knn 1.69, freq_itemsets 1.23,
+      // assoc_rules 1.64, feature_hash 0.77)
+      "q_coreness", "q_conductance", "q_ktruss")
     val zipfResults: Seq[(String, Seq[Double])] =
       if (sys.env.get("SPARK_GRAFT_ZIPF").contains("0")) Seq.empty
       else try {

@@ -100,7 +100,8 @@ class BenchJsonSpec extends AnyFunSuite {
     val zfull = Seq("q_setsim_prefix", "q_setsim_topk", "q_dedup_minhash",
       "q_dedup_simhash", "q_edit_threshold", "q_hybrid_rrf", "q_hybrid_rrf_capped",
       "q_hybrid_rrf_lsh", "q_similarity_lsh", "q_ann_ivfpq", "q_triangles",
-      "q_pagerank", "q_kcore", "q_label_prop", "q_clustering_coef", "q_hits")
+      "q_pagerank", "q_kcore", "q_label_prop", "q_clustering_coef", "q_hits",
+      "q_link_predict", "q_coreness", "q_conductance", "q_ktruss")
       .map(_ -> Seq(123.456, 200.0))
     val full = Bench.renderJson(r, "/root/testdata/sf0.1", zipf = zfull)
     parseable(full)
