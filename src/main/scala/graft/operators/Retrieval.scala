@@ -597,5 +597,99 @@ object Retrieval {
              |FROM imp i LEFT JOIN top t ON i.doc_id = t.doc_id
              |ORDER BY i.doc_id""".stripMargin),
     ),
+
+    // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    // pick 10 results that are RELEVANT but not REDUNDANT — step t takes
+    // argmax of 7·rel(c) − 3·maxSim(c, selected) (λ = 0.7 in tenths, all
+    // integer) over the candidate pool, ties on vec_id. rel and sim are
+    // exact BIGINT dot products of ×1000-quantized embeddings (the
+    // q_kmeans3 quantization), query = the lowest vec_id, pool = its
+    // top-50 by relevance. Scale shape: the DISTRIBUTED work is the pool
+    // build (at 100 TB that is the ANN shortlist path — q_ann_ivfpq);
+    // the greedy itself is inherently sequential and O(k·pool) on a
+    // k-bounded pool, so it runs on collected arrays (50 rel rows +
+    // 50×50 sims — bounded by construction, the Lloyd-centroid
+    // precedent), never on the corpus. The oracle unrolls the 10 greedy
+    // steps as chained argmax CTEs.
+    GraftQuery(
+      "q_mmr",
+      (s, dir) => {
+        import s.implicits._
+        val pool = 50
+        val k = 10
+        val q = Tables(s, dir, "embeddings")
+          .withColumn("q", transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast(LongType)))
+          .select("vec_id", "q").localCheckpoint(false)
+        val qid = q.agg(min("vec_id")).head().getLong(0)
+        val qv = q.filter(col("vec_id") === qid).select(col("q").as("qq"))
+        def dot(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+        val rel = q.filter(col("vec_id") =!= qid).crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("q"), dot(col("q"), col("qq")).as("rel"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(pool)
+          .localCheckpoint(false)
+        val pd = rel.select(col("vec_id").as("a"), col("q").as("qa"))
+          .crossJoin(rel.select(col("vec_id").as("b"), col("q").as("qb")))
+          .filter(col("a") =!= col("b"))
+          .select(col("a"), col("b"), dot(col("qa"), col("qb")).as("dot"))
+        val relArr = rel.select("vec_id", "rel").as[(Long, Long)].collect()
+          .sortBy { case (id, r) => (-r, id) }
+        val sims = pd.as[(Long, Long, Long)].collect()
+          .map { case (a, b, d) => (a, b) -> d }.toMap
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        for (t <- 1 to math.min(k, relArr.length)) {
+          val cand = relArr.filter { case (id, _) => !selected.exists(_._2 == id) }
+            .map { case (id, r) =>
+              val pen = if (selected.isEmpty) 0L
+                else selected.map(sel => sims((id, sel._2))).max
+              (id, 7L * r - 3L * pen)
+            }
+          val (bid, bscore) = cand.minBy { case (id, sc) => (-sc, id) }
+          selected += ((t, bid, bscore))
+        }
+        selected.toSeq.toDF("rk", "vec_id", "score").orderBy("rk")
+      },
+      Some {
+        val head =
+          """WITH prep AS MATERIALIZED (
+            |  SELECT vec_id,
+            |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+            |  FROM embeddings),
+            |qv AS MATERIALIZED (
+            |  SELECT q FROM prep WHERE vec_id = (SELECT min(vec_id) FROM prep)),
+            |rel AS MATERIALIZED (
+            |  SELECT p.vec_id, p.q, CAST(list_dot_product(p.q, qv.q) AS BIGINT) AS rel
+            |  FROM prep p CROSS JOIN qv
+            |  WHERE p.vec_id <> (SELECT min(vec_id) FROM prep)
+            |  ORDER BY rel DESC, p.vec_id LIMIT 50),
+            |pd AS MATERIALIZED (
+            |  SELECT a.vec_id AS a, b.vec_id AS b,
+            |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+            |  FROM rel a JOIN rel b ON a.vec_id <> b.vec_id),
+            |sel1 AS MATERIALIZED (
+            |  SELECT 1 AS rk, vec_id, 7 * rel AS score FROM rel
+            |  ORDER BY rel DESC, vec_id LIMIT 1),
+            |selu1 AS MATERIALIZED (SELECT vec_id FROM sel1)""".stripMargin
+        // every sel/selu MATERIALIZED: the selu chain is referenced twice
+        // per step (join + NOT IN) and DuckDB otherwise INLINES chained
+        // CTEs — exponential re-expansion (the q_msf oracle lesson)
+        val steps = (2 to 10).map { t =>
+          s"""sel$t AS MATERIALIZED (
+             |  SELECT $t AS rk, c.vec_id, 7 * c.rel - 3 * max(p.dot) AS score
+             |  FROM rel c
+             |  JOIN pd p ON p.a = c.vec_id
+             |  JOIN selu${t - 1} s ON s.vec_id = p.b
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM selu${t - 1})
+             |  GROUP BY c.vec_id, c.rel
+             |  ORDER BY score DESC, c.vec_id LIMIT 1),
+             |selu$t AS MATERIALIZED (
+             |  SELECT vec_id FROM selu${t - 1} UNION ALL SELECT vec_id FROM sel$t)""".stripMargin
+        }
+        (head +: steps).mkString(",\n") + "\n" +
+          (1 to 10).map(t => s"SELECT rk, vec_id, score FROM sel$t")
+            .mkString(" UNION ALL ") + " ORDER BY rk"
+      },
+    ),
   )
 }

@@ -304,5 +304,45 @@ object Sketches {
              |FROM x GROUP BY event_type, q
              |ORDER BY event_type, q""".stripMargin),
     ),
+
+    // HyperLogLog register table (Flajolet et al. 2007) over part keys:
+    // bucket = low 6 hash bits, ρ = position of the highest set bit of
+    // the remaining 26 (via the integer bit-length identity
+    // ρ = 27 − len(bin(w)), no float log), register = max ρ per bucket.
+    // The registers ARE the sketch: O(64) state, mergeable by max —
+    // partition-invariant by construction, the cardinality summary a
+    // 100 TB profiler ships between stages where q_kmv_distinct ships
+    // its k minima (HLL trades KMV's exactness-of-threshold for
+    // constant 64-byte state). The engine-shared md5-hex hash keeps both
+    // engines on identical registers; the float-free estimate fold
+    // (α·m²·2²⁷ as one BIGINT literal over Σ2^(27−ρ), absent buckets
+    // counting ρ = 0) lives in SketchesSpec, asserted against the exact
+    // distinct count.
+    GraftQuery(
+      "q_hll_registers",
+      (s, dir) => {
+        val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+          .cast(LongType)
+        Tables(s, dir, "lineitem")
+          .select((h % 64).as("bucket"), (h.cast(LongType) / 64).cast(LongType).as("w"))
+          .select(col("bucket"),
+            when(col("w") === 0, 27)
+              .otherwise(lit(27) - length(bin(col("w")))).cast("int").as("rho"))
+          .groupBy("bucket").agg(max("rho").as("register"))
+          .orderBy("bucket")
+      },
+      Some("""WITH h AS (
+             |  SELECT list_reduce(
+             |    list_transform(string_split_regex(substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8), ''),
+             |      c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+             |    (a, b) -> a * 16 + b) AS hv
+             |  FROM lineitem),
+             |b AS (
+             |  SELECT hv % 64 AS bucket, hv // 64 AS w FROM h)
+             |SELECT bucket,
+             |  CAST(max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS INT)
+             |    AS register
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+    ),
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -873,6 +874,92 @@ object TextAnalysis {
              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
              |        FROM documents))
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+
+    // Multinomial Naive Bayes language classifier, trained and scored on
+    // the corpus itself (the classic bootstrapped labeler a curation
+    // pipeline runs when it has a seed labeling — here the lang column —
+    // and wants a scorer it can apply to unlabeled text at scan speed).
+    // Laplace-smoothed log-likelihoods ⌊1e6·ln((c+1)/(ntok+V))⌋ and
+    // priors are quantized to integer micros from bit-identical double
+    // ratios (the q_kn_score/q_lm_score ln discipline), unseen words
+    // fall to the per-class smoothing floor via a left join, and the
+    // per-doc argmax breaks ties on class name. Scale shape: the model
+    // is a (word, class) table joined to per-doc term frequencies on the
+    // word key — the vocabulary-sized dim join AQE broadcasts when it
+    // fits and hash-partitions when it doesn't; scoring itself is one
+    // sum aggregate, map-side combinable.
+    GraftQuery(
+      "q_naive_bayes",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").localCheckpoint(false)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w")).localCheckpoint(false)
+        val cls = tok.groupBy("lang")
+          .agg(countDistinct("doc_id").as("ndocs"), count(lit(1)).as("ntok"))
+        val tot = docs.agg(count(lit(1)).as("nd"))
+        val voc = tok.agg(countDistinct("w").as("v"))
+        val wc = tok.groupBy("w", "lang").agg(count(lit(1)).as("c"))
+        val micro = (x: Column) => floor(log(x) * lit(1e6) + lit(0.5)).cast(LongType)
+        val model = wc.join(broadcast(cls), Seq("lang")).crossJoin(broadcast(voc))
+          .select(col("w"), col("lang"),
+            micro((col("c") + 1).cast("double") /
+              (col("ntok") + col("v")).cast("double")).as("lp"))
+        val prior = cls.crossJoin(broadcast(tot)).crossJoin(broadcast(voc))
+          .select(col("lang"),
+            micro(col("ndocs").cast("double") / col("nd").cast("double")).as("lp0"),
+            micro(lit(1.0) / (col("ntok") + col("v")).cast("double")).as("lpu"))
+        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val scored = tf.crossJoin(broadcast(prior))
+          .join(model, Seq("w", "lang"), "left")
+          .groupBy("doc_id", "lang", "lp0")
+          .agg(sum(col("tf") * coalesce(col("lp"), col("lpu"))).as("s"))
+          .select(col("doc_id"), col("lang"), (col("lp0") + col("s")).as("score"))
+        scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))))
+          .filter(col("rn") === 1)
+          .join(docs.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang").as("pred_lang"),
+            col("score").as("score_micros"), col("actual"),
+            (col("lang") === col("actual")).as("correct"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+             |cls AS (
+             |  SELECT lang, count(DISTINCT doc_id) AS ndocs, count(*) AS ntok
+             |  FROM tok GROUP BY lang),
+             |tot AS (SELECT count(*) AS nd FROM documents),
+             |voc AS (SELECT count(DISTINCT w) AS v FROM tok),
+             |wc AS (SELECT w, lang, count(*) AS c FROM tok GROUP BY 1, 2),
+             |model AS (
+             |  SELECT wc.w, wc.lang,
+             |    CAST(floor(ln(CAST(wc.c + 1 AS DOUBLE)
+             |      / CAST(cls.ntok + voc.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lp
+             |  FROM wc JOIN cls ON cls.lang = wc.lang CROSS JOIN voc),
+             |prior AS (
+             |  SELECT cls.lang,
+             |    CAST(floor(ln(CAST(cls.ndocs AS DOUBLE) / CAST(tot.nd AS DOUBLE))
+             |      * 1e6 + 0.5) AS BIGINT) AS lp0,
+             |    CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(cls.ntok + voc.v AS DOUBLE))
+             |      * 1e6 + 0.5) AS BIGINT) AS lpu
+             |  FROM cls CROSS JOIN tot CROSS JOIN voc),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT t.doc_id, p.lang,
+             |    CAST(p.lp0 + sum(t.tf * coalesce(m.lp, p.lpu)) AS BIGINT) AS score
+             |  FROM tf t CROSS JOIN prior p
+             |  LEFT JOIN model m ON m.w = t.w AND m.lang = p.lang
+             |  GROUP BY t.doc_id, p.lang, p.lp0),
+             |pred AS (
+             |  SELECT doc_id, lang, score,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+             |  FROM scored)
+             |SELECT p.doc_id, p.lang AS pred_lang, p.score AS score_micros,
+             |  d.lang AS actual, (p.lang = d.lang) AS correct
+             |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+             |WHERE p.rn = 1 ORDER BY p.doc_id""".stripMargin),
     ),
 
     // TextRank (Mihalcea & Tarau 2004): keyword ranking = PageRank over
