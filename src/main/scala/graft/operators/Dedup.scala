@@ -1095,8 +1095,11 @@ object Dedup {
     while (changed > 0 && iter < 50) {
       val prop = edges.join(labels, edges("a") === labels("id"))
         .select(col("b").as("id"), col("lab"))
-      val next = labels.select("id", "lab").union(prop)
-        .groupBy("id").agg(min("lab").as("lab")).localCheckpoint()
+      // pinFresh, not plain localCheckpoint: labels enters this plan
+      // twice (the union arm AND the propagation join), so preserved
+      // checkpoint stats would double per round — see [[Graph.pinFresh]]
+      val next = Graph.pinFresh(labels.select("id", "lab").union(prop)
+        .groupBy("id").agg(min("lab").as("lab")), 32)
       changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.lab") =!= col("o.lab")).count()
       labels = next
