@@ -1145,6 +1145,63 @@ object Analytics {
              |FROM l ORDER BY o_orderpriority, month_start""".stripMargin),
     ),
 
+    // Interval-union coverage per user: treat each event as the interval
+    // [ts, ts + ⌊value⌋ seconds], merge overlaps, and report total
+    // covered micros + the merged-island count — the machine-utilization
+    // / "time actually engaged" rollup that double-counts nothing when
+    // activities overlap (q_sessionize's gap-based islands answer a
+    // different question: it chains events CLOSE to each other; this
+    // merges events that literally overlap). The classic one-window
+    // sweep: an island starts where start > running max of prior ends
+    // (ROWS … 1 PRECEDING), island id = running sum of starts, one
+    // aggregate per island, one per user — all integer micros, two
+    // window passes over the same (user, start) sort order so the sort
+    // is paid once.
+    GraftQuery(
+      "q_interval_coverage",
+      (s, dir) => {
+        val iv = Tables(s, dir, "events")
+          .select(col("user_id"),
+            unix_micros(col("ts")).as("s0"),
+            (unix_micros(col("ts")) +
+              floor(col("value")).cast(LongType) * 1000000L).as("e0"))
+        val byU = Window.partitionBy("user_id").orderBy(col("s0"), col("e0"))
+        val flagged = iv
+          .withColumn("pmax", max("e0").over(byU.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("newi",
+            when(col("pmax").isNull || col("s0") > col("pmax"), 1L).otherwise(0L))
+          .withColumn("island", sum("newi").over(byU))
+        flagged.groupBy("user_id", "island")
+          .agg(min("s0").as("is0"), max("e0").as("ie0"))
+          .groupBy("user_id")
+          .agg(sum(col("ie0") - col("is0")).as("covered_us"),
+            count(lit(1)).as("n_islands"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id,
+             |    epoch_us(ts) AS s0,
+             |    epoch_us(ts) + CAST(floor(value) AS BIGINT) * 1000000 AS e0
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, s0, e0,
+             |    max(e0) OVER (PARTITION BY user_id ORDER BY s0, e0
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |  FROM iv),
+             |g AS (
+             |  SELECT user_id, s0, e0,
+             |    sum(CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY s0, e0) AS island
+             |  FROM f),
+             |isl AS (
+             |  SELECT user_id, island, min(s0) AS is0, max(e0) AS ie0
+             |  FROM g GROUP BY 1, 2)
+             |SELECT user_id,
+             |  CAST(sum(ie0 - is0) AS BIGINT) AS covered_us,
+             |  count(*) AS n_islands
+             |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
     // Exact weighted median per group: the smallest p_size whose
     // cumulative weight reaches half the brand's total (lower weighted
     // median — the deterministic convention), weight = how many lineitems

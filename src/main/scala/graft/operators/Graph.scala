@@ -2565,6 +2565,64 @@ object Graph {
              |GROUP BY node ORDER BY node""".stripMargin),
     ),
 
+    // Bounded critical path over the id-oriented co-purchase DAG: orient
+    // every weighted edge low→high customer id (acyclic BY CONSTRUCTION —
+    // no cycle check needed, the standard trick for turning an undirected
+    // affinity graph into a DAG deterministically), then 6 relaxation
+    // rounds of L(v) = max(L(v), max over in-edges (u,v) of L(u) + w) —
+    // the heaviest ≤6-edge chain ending at each node, the
+    // accumulation-path score a risk pipeline uses where q_sssp's
+    // SHORTEST paths measure proximity. Bounding the hop count is what
+    // makes longest-path tractable (unbounded longest path is NP-hard on
+    // general graphs and needs full topological depth even on DAGs);
+    // each round is one key-partitioned join + max aggregate, the round
+    // carry pins through [[pinFresh]] (L enters twice: carry + relax).
+    GraftQuery(
+      "q_critical_path",
+      (s, dir) => {
+        val cp = Tables(s, dir, "orders")
+          .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+        val e = cp.as("x").join(cp.as("y"),
+            col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+          .groupBy(col("x.c").as("a"), col("y.c").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 3)
+          .localCheckpoint(false)
+        val nodes = e.select(col("a").as("node"))
+          .union(e.select(col("b").as("node"))).distinct().localCheckpoint(false)
+        var lp = nodes.withColumn("pl", lit(0L))
+        for (_ <- 1 to 6) {
+          val relax = e.join(lp.withColumnRenamed("node", "a"), Seq("a"))
+            .groupBy(col("b").as("node")).agg(max(col("pl") + col("w")).as("m"))
+          lp = pinFresh(lp.join(relax, Seq("node"), "left")
+            .select(col("node"),
+              greatest(col("pl"), coalesce(col("m"), col("pl"))).as("pl")), 32)
+        }
+        lp.select(col("node"), col("pl").as("crit_w")).orderBy("node")
+      },
+      Some((Seq(
+        """WITH cp AS (
+          |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |e AS MATERIALIZED (
+          |  SELECT c1.c AS a, c2.c AS b, count(*) AS w
+          |  FROM cp c1 JOIN cp c2 ON c1.p = c2.p AND c1.c < c2.c
+          |  GROUP BY 1, 2 HAVING count(*) >= 3),
+          |nodes AS MATERIALIZED (
+          |  SELECT a AS node FROM e UNION SELECT b FROM e),
+          |l0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS pl FROM nodes)""".stripMargin) ++
+        (1 to 6).map { h =>
+          s"""r$h AS MATERIALIZED (
+             |  SELECT e.b AS node, max(l.pl + e.w) AS m
+             |  FROM l${h - 1} l JOIN e ON e.a = l.node GROUP BY e.b),
+             |l$h AS MATERIALIZED (
+             |  SELECT l.node, greatest(l.pl, coalesce(r.m, l.pl)) AS pl
+             |  FROM l${h - 1} l LEFT JOIN r$h r ON r.node = l.node)""".stripMargin
+        }).mkString(",\n") +
+        "\nSELECT node, pl AS crit_w FROM l6 ORDER BY node"),
+    ),
+
     // Label-propagation communities over the minShared=4 co-purchase graph
     // (the same projection whose clustering coefficients show ring-like
     // nuclei): 4 synchronous rounds split the big components into

@@ -74,6 +74,55 @@ class Round15Spec extends SparkSuite {
     assert(got.count(_._2 == "en") == 3 && got.count(_._2 == "de") == 3)
   }
 
+  test("interval coverage golden: overlap merges, gap splits, zero-length inert") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("iv").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: [0,10] ∪ [5,15] merge → 15 s; [100,101] separate island
+    // user 2: [0,0] zero-length (value < 1 floors to 0) → island of 0 us
+    Seq(
+      (1L, ts(0), 1L, "a", 10.9, "{}"),
+      (2L, ts(5), 1L, "a", 10.0, "{}"),
+      (3L, ts(100), 1L, "a", 1.0, "{}"),
+      (4L, ts(0), 2L, "a", 0.7, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("q_interval_coverage")(s, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 16000000L, 2L), (2L, 0L, 1L)))
+  }
+
+  test("critical path golden: the heaviest chain wins, not the longest") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cpth").toString
+    // baskets shaped so the co-purchase DAG (a<b, w = shared parts >= 3)
+    // is 1→2 (w=3), 2→4 (w=4), 1→3 (w=5): crit(4) = 3+4 = 7 via the
+    // 2-edge chain, crit(3) = 5 via the single heavy edge
+    def basket(oid: Long, cust: Long, parts: Seq[Long]) =
+      parts.map(p => (oid, p, cust))
+    val rows =
+      basket(1, 1, Seq(101, 102, 103, 201, 202, 203, 204, 205)) ++
+      basket(2, 2, Seq(101, 102, 103, 301, 302, 303, 304)) ++
+      basket(3, 3, Seq(201, 202, 203, 204, 205)) ++
+      basket(4, 4, Seq(301, 302, 303, 304))
+    rows.map { case (o, p, c) => (o, p, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    rows.map(_._1).distinct.map(o => (o, o, "F", 1.0,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = SparkEntry.queries("q_critical_path")(s, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 5L, 4L -> 7L))
+  }
+
   test("naive bayes on the fixture: one prediction per doc, scores negative") {
     val got = SparkEntry.queries("q_naive_bayes")(spark, dir).collect()
     val nDocs = Tables(spark, dir, "documents").count()
