@@ -46,6 +46,14 @@ object Bench {
     }
   }
 
+  /** Pass-major zipf rep order: (name, pass) for pass 1..reps, the WHOLE
+    * family per pass. A row's reps are thus separated by a full family
+    * sweep, so one box-level contention episode cannot depress every rep
+    * of the same row (the min-of-N floor's blind spot when reps ran
+    * back-to-back — VERDICT r15 #1). Pinned by BenchJsonSpec. */
+  private[graft] def zipfSchedule(family: Seq[String], reps: Int): Seq[(String, Int)] =
+    for { pass <- 1 to reps; name <- family } yield (name, pass)
+
   /** Render the JSON result line, guaranteed <= MaxLine chars.
     * `failures` = queries with no successful rep (their reported time is the
     * slowest FAILING rep's wall time — conservative, never a phantom
@@ -75,7 +83,12 @@ object Bench {
         // failed-query sentinel: [] — the SAME sentinel the
         // SPARK_GRAFT_BENCH_OUT raw-times dump writes, so downstream
         // parsers of the two artifacts share one code path (ADVICE r15;
-        // the earlier -1 scalar here forced divergent handling)
+        // the earlier -1 scalar here forced divergent handling).
+        // ARTIFACT NOTE (ADVICE r15): this was a format break at r15 —
+        // BENCH_r11..r14.json artifacts carry the old scalar -1 for a
+        // failed zipf row; any parser reading across rounds must
+        // normalize -1 to [] (treat both as "no successful rep").
+        // BENCH_r15+.json uses [] exclusively.
         val v = if (ts.isEmpty) "[]" else s"[${fmt(ts.min)},${fmt(ts.max)}]"
         "\"" + k + "\":" + v
       }.mkString(""","zipf":{""", ",", "}")
@@ -289,19 +302,32 @@ object Bench {
         // noise, not signal. The main suite keeps honoring REPS (its
         // total must stay comparable across rounds); the zipf rows are
         // excluded from "value", so extra reps here change no headline.
+        //
+        // PASS-MAJOR rep layout (round 16, VERDICT r15 #1): reps of one row
+        // used to run back-to-back, so a single box-level contention episode
+        // of ~30 s depressed BOTH reps and survived the min — the recurring
+        // adjudication class behind the r13 q_edit_threshold 12.6 s, the
+        // r14 dedup-family elevation, and the r15 coreness/conductance/
+        // setsim spikes (every one exonerated in-session). Now the whole
+        // family runs pass 1, then the whole family pass 2 (`zipfSchedule`,
+        // pinned by BenchJsonSpec): the same row's reps are separated by a
+        // full family sweep (~60 s), so min-of-2 across separated passes
+        // rejects any transient shorter than a sweep.
         val zipfReps = math.max(2, reps)
-        zipfFamily.map { name =>
+        val runTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
+          .withDefaultValue(Vector.empty)
+        zipfSchedule(zipfFamily, zipfReps).foreach { case (name, _) =>
           val fn = SparkEntry.queries(name)
-          val times = (1 to zipfReps).flatMap { _ =>
-            spark.catalog.clearCache()
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = false))
-            val t0 = System.nanoTime()
-            try { fn(spark, zipfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-            catch { case _: Throwable => None }
-          }
-          name -> times
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, zipfDir).count()
+            runTimes(name) = runTimes(name) :+ (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => () }
         }
+        zipfFamily.map(name => name -> runTimes(name))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] zipf block failed: ${e.getMessage}")
         Seq.empty

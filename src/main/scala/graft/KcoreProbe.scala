@@ -96,10 +96,25 @@ object KcoreProbe {
       () => graft.operators.Graph.coreness(edges, maxK, localCutoff = 0L))
     def iArm() = run("iterated k-cores (cutoff=0)",
       () => graft.operators.Graph.corenessIterated(edges, maxK))
-    val flip = args.length > 4 && args(4) == "iterfirst"
-    val (h, it) = if (flip) { val i2 = iArm(); (hArm(), i2) } else { val h2 = hArm(); (h2, iArm()) }
-    val diff = h.unionByName(it).distinct().count() - h.count()
-    println(s"[corenessprobe] strategy disagreement rows: $diff (0 = identical)")
+    // the serial Matula–Beck endgame forced at any size — the arm the
+    // localCutoff crossover derivation needs (VERDICT r15 #4)
+    def sArm() = run("serial Matula-Beck (cutoff=max)",
+      () => graft.operators.Graph.coreness(edges, maxK, localCutoff = Long.MaxValue))
+    val arms = (if (args.length > 4) args(4) else "h,iter") match {
+      case "hfirst" => Seq("h", "iter")   // back-compat spellings
+      case "iterfirst" => Seq("iter", "h")
+      case s => s.split(",").toSeq
+    }
+    val results = arms.map {
+      case "h" => hArm()
+      case "iter" => iArm()
+      case "serial" => sArm()
+      case a => sys.error(s"unknown arm '$a' (h|iter|serial)")
+    }
+    results.sliding(2).filter(_.size == 2).foreach { case Seq(x, y) =>
+      val diff = x.unionByName(y).distinct().count() - x.count()
+      println(s"[corenessprobe] strategy disagreement rows: $diff (0 = identical)")
+    }
     spark.stop()
   }
 

@@ -45,6 +45,15 @@ object Graph {
     * decisions with explicit count-gated hints, so losing the preserved
     * stats costs nothing. Linear chains (pageRank-style pr → pr once per
     * round) only ADD digits per round and don't need this.
+    *
+    * Known cost (ADVICE r15, accepted as measured): the rebuild goes
+    * through `cp.rdd` — an external `Row` RDD — so every downstream scan
+    * of the pinned frame pays a per-row InternalRow↔Row conversion. At
+    * the measured call sites (narrow loop-state frames, ≤ maxK+2 int
+    * columns) this is noise next to the planning time it removes; if a
+    * wide-state profile ever shows the conversion, the alternative is a
+    * schema-preserving InternalRow-path rebuild (cache + recreate) that
+    * keeps the stats reset without the Row round-trip.
     */
   private[graft] def pinFresh(df: DataFrame, parts: Int): DataFrame = {
     val cp = df.coalesce(parts).localCheckpoint()
@@ -117,11 +126,23 @@ object Graph {
       localCutoff: Long = 1L << 20): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    val edgeCount = e.count()
     // single-task endgame, same rationale as [[kCore]]'s — and HITS has
     // the strongest case: each round pays TWO global-max barriers on top
     // of the joins, all for per-round data that fits one task
-    if (localCutoff > 0 && e.count() <= localCutoff)
+    if (localCutoff > 0 && edgeCount <= localCutoff)
       return localHits(e, iters, scale)
+    // Distributed-path headroom guard (ADVICE r15): the renormalization
+    // product raw·scale ≤ maxInDegree·scale² must fit DECIMAL(38,0) — a
+    // non-ANSI overflow yields NULL, which the left-join coalesce below
+    // would silently map to score 0, indistinguishable from a node with
+    // no in-edges. maxInDegree ≤ edgeCount (already counted for the
+    // cutoff), so the precise precondition is checkable for free here
+    // rather than documented as a scale-dependent footnote.
+    require(BigInt(scale) * BigInt(scale) * BigInt(edgeCount) < BigInt(10).pow(38),
+      s"hits: scale^2 * edges = ${BigInt(scale) * BigInt(scale) * BigInt(edgeCount)} " +
+        s"exceeds DECIMAL(38,0) headroom (scale=$scale, edges=$edgeCount); " +
+        "lower `scale` or raise `localCutoff` (the local path sums in BigInt)")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(false)
     var st = nodes.select(col("node"), lit(scale).as("h"), lit(0L).as("a"))
@@ -1825,6 +1846,7 @@ object Graph {
     */
   private[graft] def hIndexCoreness(und: DataFrame, maxK: Int,
       maxRounds: Int = 10000, foldEvery: Int = 8): DataFrame = {
+    val spark = und.sparkSession
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(false)
@@ -1926,8 +1948,13 @@ object Graph {
         // block-manager pressure that makes every later round slower
         // (the round-6 bench finding, inside one query). The vars above
         // dropped the references; one GC per fold lets the
-        // ContextCleaner actually release the blocks.
-        System.gc()
+        // ContextCleaner actually release the blocks. A full GC is
+        // driver-wide, so a session sharing the JVM with concurrent
+        // queries can opt out (ADVICE r15): the blocks then drain on the
+        // JVM's own GC schedule instead, trading reclaim latency for no
+        // stop-the-world pauses on neighbors.
+        if (spark.conf.get("graft.hindex.gcPerFold", "true").toBoolean)
+          System.gc()
       }
       if (trace)
         System.err.println(f"[hindex] round $round frontier=$chgCnt" +

@@ -223,6 +223,49 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** Ranking-quality metrics (nDCG + MRR) over a per-query ranked list with
+    * graded relevance labels — the grader every retrieval operator in this
+    * repo answers to in production (AUC/PR/KS grade classifiers; nothing
+    * graded rankings until this).
+    *
+    * Input: (query_id, rank, rel) — rank 1-based within query, rel a small
+    * non-negative integer grade. Per query:
+    *   - DCG@k  = Σ (2^rel − 1) · w(rank),  w(p) = ln 2 / ln(p+1)  (= 1/log2(p+1))
+    *   - IDCG@k = same sum with the SAME label multiset re-ranked ideally
+    *     (rel DESC, original rank as tie-break) — the list-local ideal, the
+    *     sklearn convention when only the retrieved list is labeled
+    *   - nDCG = DCG/IDCG (0 when IDCG = 0), MRR = 1/first relevant rank.
+    *
+    * Determinism discipline: position weights are quantized to integer
+    * micros from the ln-ratio double (the q_naive_bayes ln discipline —
+    * ln, not log2, so both engines evaluate the identical IEEE expression);
+    * gains are exact integers; per-query sums are BIGINT — order-free; the
+    * final nDCG is one integer floor-division to micros. Scale shape: one
+    * k-bounded window per query for the ideal re-rank plus one
+    * partial-aggregated groupBy — the input is already k·|queries| rows,
+    * so this runs at whatever scale the ranker's output has.
+    * Output: (query_id, dcg_micros, idcg_micros, ndcg, mrr).
+    */
+  def rankingMetrics(ranked: DataFrame): DataFrame = {
+    val wMicros = (pos: Column) =>
+      floor(lit(1e6) * log(lit(2.0)) / log(pos.cast("double") + lit(1.0)) + lit(0.5))
+        .cast(LongType)
+    val wi = Window.partitionBy("query_id").orderBy(col("rel").desc, col("rank"))
+    val staged = ranked
+      .withColumn("gain", expr("CAST(shiftleft(1L, CAST(rel AS INT)) - 1 AS BIGINT)"))
+      .withColumn("w_pos", wMicros(col("rank")))
+      .withColumn("ideal_pos", row_number().over(wi).cast(LongType))
+      .withColumn("w_ideal", wMicros(col("ideal_pos")))
+    staged.groupBy("query_id").agg(
+        sum(col("gain") * col("w_pos")).as("dcg_micros"),
+        sum(col("gain") * col("w_ideal")).as("idcg_micros"),
+        min(when(col("rel") > 0, col("rank"))).as("first_rel"))
+      .select(col("query_id"), col("dcg_micros"), col("idcg_micros"),
+        (when(col("idcg_micros") > 0, expr("dcg_micros * 1000000 div idcg_micros"))
+          .otherwise(lit(0L)).cast("double") / lit(1e6)).as("ndcg"),
+        (coalesce(expr("1000000 div first_rel"), lit(0L)).cast("double") / lit(1e6)).as("mrr"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, re-expressed over raw
     * unigrams): per-word log-likelihood ratio of the TARGET distribution
     * (rows matching `targetPred`) vs the full corpus, add-1 smoothed;
@@ -375,6 +418,111 @@ object Retrieval {
               |  doc_id, CAST(rrf_micros AS DOUBLE) / 1e6 AS rrf, r_lex, r_dense
               |FROM fused QUALIFY rank <= 5
               |ORDER BY query_id, rank""".stripMargin),
+    ),
+
+    // Ranking metrics (nDCG@10 + MRR) grading the hybrid-retrieval output
+    // against a deterministic graded relevance label (2·same-source +
+    // 1·similar-length) — completes the eval family next to AUC/PR/KS.
+    // The oracle replays the full uncapped hybrid pipeline at top-10 (the
+    // q_hybrid_rrf CTE chain), the label join, and the integer-micros
+    // DCG/IDCG sums with the ln-quantized position weights.
+    GraftQuery(
+      "q_ndcg",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val hyb = hybridRrf(docs, Tables(s, dir, "embeddings"),
+          queryPred = col("doc_id") % 100 === 0, topOut = 10,
+          maxDfFrac = None, maxQueryTerms = None)
+        val meta = docs.select(col("doc_id").cast(LongType).as("doc_id"),
+          col("source"), size(split(col("text"), " ")).cast(LongType).as("toks"))
+        val labeled = hyb
+          .join(meta.select(col("doc_id").as("query_id"), col("source").as("qsrc"),
+            col("toks").as("qtoks")), "query_id")
+          .join(meta.select(col("doc_id"), col("source").as("dsrc"),
+            col("toks").as("dtoks")), "doc_id")
+          .withColumn("rel",
+            (when(col("qsrc") === col("dsrc"), 2L).otherwise(0L) +
+              when(abs(col("qtoks") - col("dtoks")) <= 10, 1L).otherwise(0L))
+              .cast(LongType))
+          .select("query_id", "rank", "rel")
+        rankingMetrics(labeled).orderBy("query_id")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS ws,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              |  FROM documents),
+              |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM toks),
+              |tf AS (
+              |  SELECT doc_id, dl, w, count(*) AS tf
+              |  FROM (SELECT doc_id, dl, unnest(ws) AS w FROM toks) GROUP BY 1, 2, 3),
+              |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+              |qterms AS (
+              |  SELECT DISTINCT doc_id AS query_id, w FROM tf WHERE doc_id % 100 = 0),
+              |contrib AS (
+              |  SELECT q.query_id, tf.doc_id,
+              |    CAST(floor(
+              |      (ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * (tf * 2.2)) /
+              |        (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+              |      * 1e6 + 0.5) AS BIGINT) AS c_micros
+              |  FROM qterms q JOIN tf USING (w) JOIN dfq USING (w) CROSS JOIN stats
+              |  WHERE tf.doc_id <> q.query_id),
+              |lex AS (
+              |  SELECT query_id, doc_id, sum(c_micros) AS lex_micros
+              |  FROM contrib GROUP BY 1, 2),
+              |lex_top AS (
+              |  SELECT query_id, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY lex_micros DESC, doc_id) AS BIGINT) AS r_lex
+              |  FROM lex QUALIFY r_lex <= 20),
+              |prep AS (
+              |  SELECT vec_id, $quantizedSql AS q FROM embeddings),
+              |normed AS (
+              |  SELECT vec_id, q, list_dot_product(q, q) AS nrm FROM prep),
+              |dense AS (
+              |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+              |    CAST(floor(list_dot_product(a.q, b.q) / (sqrt(a.nrm) * sqrt(b.nrm)) * 1e6 + 0.5) AS BIGINT) AS cos_micros
+              |  FROM normed a JOIN normed b ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id),
+              |dense_top AS (
+              |  SELECT query_id, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_micros DESC, doc_id) AS BIGINT) AS r_dense
+              |  FROM dense QUALIFY r_dense <= 20),
+              |fused AS (
+              |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+              |    coalesce(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+              |    coalesce(CAST(floor(1e6 / (60.0 + l.r_lex)) AS BIGINT), 0) +
+              |      coalesce(CAST(floor(1e6 / (60.0 + d.r_dense)) AS BIGINT), 0) AS rrf_micros
+              |  FROM lex_top l FULL OUTER JOIN dense_top d
+              |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+              |hyb AS (
+              |  SELECT query_id,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_micros DESC, doc_id) AS BIGINT) AS rank,
+              |    doc_id
+              |  FROM fused QUALIFY rank <= 10),
+              |meta AS (
+              |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS mtoks FROM documents),
+              |labeled AS (
+              |  SELECT h.query_id, h.rank,
+              |    CAST(CASE WHEN q.source = d.source THEN 2 ELSE 0 END +
+              |         CASE WHEN abs(q.mtoks - d.mtoks) <= 10 THEN 1 ELSE 0 END AS BIGINT) AS rel
+              |  FROM hyb h JOIN meta q ON q.doc_id = h.query_id JOIN meta d ON d.doc_id = h.doc_id),
+              |staged AS (
+              |  SELECT query_id, rank, rel,
+              |    CAST((1 << rel) - 1 AS BIGINT) AS gain,
+              |    CAST(floor(1e6 * ln(2) / ln(rank + 1.0) + 0.5) AS BIGINT) AS w_pos,
+              |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, rank) AS BIGINT) AS ideal_pos
+              |  FROM labeled),
+              |perq AS (
+              |  SELECT query_id,
+              |    sum(gain * w_pos) AS dcg_micros,
+              |    sum(gain * CAST(floor(1e6 * ln(2) / ln(ideal_pos + 1.0) + 0.5) AS BIGINT)) AS idcg_micros,
+              |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel
+              |  FROM staged GROUP BY 1)
+              |SELECT query_id,
+              |  CAST(dcg_micros AS BIGINT) AS dcg_micros,
+              |  CAST(idcg_micros AS BIGINT) AS idcg_micros,
+              |  CAST(CASE WHEN idcg_micros > 0 THEN dcg_micros * 1000000 // idcg_micros ELSE 0 END AS DOUBLE) / 1e6 AS ndcg,
+              |  CAST(coalesce(1000000 // first_rel, 0) AS DOUBLE) / 1e6 AS mrr
+              |FROM perq ORDER BY query_id""".stripMargin),
     ),
 
     // The PRODUCTION hybrid-search path, oracle-pinned: same fusion, but

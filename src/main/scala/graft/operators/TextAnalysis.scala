@@ -449,6 +449,57 @@ object TextAnalysis {
              |FROM c ORDER BY doc_id""".stripMargin),
     ),
 
+    // Best-fit-decreasing sequence packing (sample packing for training
+    // sequences). Oracle: an independent DuckDB replay of the same
+    // deterministic policy — a recursive CTE carrying each (source, chunk)
+    // pack's open-sequence residuals as a BIGINT[] list column, one doc
+    // placed per recursion step; best-fit-by-(capacity, id) is
+    // list_sort(list_filter(list_zip(residuals, idx)))[1] (struct sort =
+    // capacity then id, exactly the engine's tie-break).
+    GraftQuery(
+      "q_seq_pack",
+      (s, dir) => seqPack(Tables(s, dir, "documents"), "doc_id", "text", "source", 512L, 256)
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE d0 AS MATERIALIZED (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+             |  FROM documents
+             |),
+             |d AS MATERIALIZED (
+             |  SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY source ORDER BY tokens DESC, doc_id) - 1 AS BIGINT) AS rk
+             |  FROM d0
+             |),
+             |dc AS MATERIALIZED (
+             |  SELECT doc_id, source, tokens, rk // 256 AS chunk, rk % 256 AS step FROM d
+             |),
+             |step AS (
+             |  SELECT source, chunk, CAST(-1 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS residuals,
+             |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS tokens,
+             |         CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS seq_offset
+             |  FROM (SELECT DISTINCT source, chunk FROM dc)
+             |  UNION ALL
+             |  SELECT source, chunk, i,
+             |    CASE WHEN best_idx IS NULL THEN list_append(residuals, 512 - tokens)
+             |         ELSE list_transform(list_zip(residuals, range(1, len(residuals)+1)),
+             |                z -> CASE WHEN z[2] = best_idx THEN z[1] - tokens ELSE z[1] END)
+             |    END AS residuals,
+             |    doc_id, tokens,
+             |    COALESCE(best_idx, len(residuals)+1) - 1 AS bin,
+             |    CASE WHEN best_idx IS NULL THEN CAST(0 AS BIGINT)
+             |         ELSE 512 - residuals[CAST(best_idx AS INT)] END AS seq_offset
+             |  FROM (
+             |    SELECT s.source, s.chunk, s.i + 1 AS i, s.residuals, c.doc_id, c.tokens,
+             |      list_sort(list_filter(list_zip(s.residuals, range(1, len(s.residuals)+1)),
+             |        z -> z[1] >= c.tokens))[1][2] AS best_idx
+             |    FROM step s JOIN dc c
+             |      ON c.source = s.source AND c.chunk = s.chunk AND c.step = s.i + 1
+             |  )
+             |)
+             |SELECT doc_id, source, tokens, chunk * 256 + bin AS seq_id, seq_offset
+             |FROM step WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin),
+    ),
+
     // Corpus balancing: per-source quality quota (top-k per domain).
     GraftQuery(
       "q_domain_quota",
@@ -1200,6 +1251,64 @@ object TextAnalysis {
         expr(s"cum_before div $budget").as("shard_id"),
         (col("cum_before") - expr(s"cum_before div $budget") * lit(budget)).as("shard_offset"),
       )
+  }
+
+  /** Best-fit-decreasing sequence packing (the LLM sample-packing operator):
+    * pack variable-length documents into fixed `budget`-token training
+    * sequences, minimizing the padding fragmentation [[shardPack]]'s
+    * running-sum split leaves behind. Deterministic policy: within each
+    * (source, chunk), docs are placed in (tokens DESC, doc_id ASC) order;
+    * each goes to the open sequence with the SMALLEST residual capacity
+    * that still fits (ties → smallest sequence id); no fit → a new
+    * sequence (a doc larger than `budget` gets a dedicated overflow
+    * sequence — its negative residual never fits again).
+    *
+    * Scale shape: packing is chunked — docs are ranked per source and cut
+    * into `chunkDocs`-doc chunks, each packed independently in one task
+    * (`flatMapGroups`, state = O(chunkDocs)); no global single-task pack
+    * and no driver collect. Chunking costs at most one under-filled
+    * sequence per chunk boundary vs an unbounded per-source BFD, and is
+    * what makes a 10 TB source packable on 1000 executors. The per-source
+    * rank window is the one sequential structure; at extreme per-source
+    * cardinality swap it for [[Scale.distributedNtile]]'s value-bucketed
+    * two-phase rank (same total order, no single-partition sort).
+    *
+    * Output: (doc_id, source, tokens, seq_id, seq_offset) — seq_id unique
+    * per source (chunk * chunkDocs + local bin), seq_offset = tokens
+    * already packed into the doc's sequence at placement time.
+    */
+  def seqPack(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      partCol: String, budget: Long, chunkDocs: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("doc_id"), col(partCol).as("source"),
+        size(split(col(textCol), " ")).cast(LongType).as("tokens"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("tokens").desc, col("doc_id")))
+        .cast(LongType) - 1)
+      .select(col("doc_id"), col("source"), col("tokens"),
+        expr(s"rk div $chunkDocs").as("chunk"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._2, r._4))
+      .flatMapGroups { (key: (String, Long), it: Iterator[(Long, String, Long, Long)]) =>
+        val (source, chunk) = key
+        val docs = it.toArray.sortBy(r => (-r._3, r._1))
+        val residuals = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.map { case (docId, _, tokens, _) =>
+          var best = -1
+          var i = 0
+          while (i < residuals.length) {
+            if (residuals(i) >= tokens && (best < 0 || residuals(i) < residuals(best)))
+              best = i
+            i += 1
+          }
+          val (bin, offset) =
+            if (best < 0) { residuals += (budget - tokens); (residuals.length - 1, 0L) }
+            else { val off = budget - residuals(best); residuals(best) -= tokens; (best, off) }
+          (docId, source, tokens, chunk * chunkDocs + bin, offset)
+        }.iterator
+      }
+      .toDF("doc_id", "source", "tokens", "seq_id", "seq_offset")
   }
 
   /** Corpus-LM fluency score: each document's average corpus-wide bigram

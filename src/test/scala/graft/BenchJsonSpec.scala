@@ -120,6 +120,26 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!Bench.renderJson(Seq("q_a" -> 1.0), "/x").contains("stream"))
   }
 
+  test("zipf rep schedule is pass-major: full family sweep between a row's reps") {
+    // VERDICT r15 #1: back-to-back per-row reps let one box-level contention
+    // episode depress BOTH reps of a row and survive the min (the recurring
+    // r13/r14/r15 adjudication class). Pass-major order separates a row's
+    // reps by a full family sweep.
+    val fam = Seq("q_x", "q_y", "q_z")
+    val sched = Bench.zipfSchedule(fam, 2)
+    assert(sched == Seq("q_x" -> 1, "q_y" -> 1, "q_z" -> 1,
+      "q_x" -> 2, "q_y" -> 2, "q_z" -> 2))
+    // every row gets exactly `reps` runs, and consecutive entries never
+    // repeat a name (for families of size >= 2)
+    assert(sched.groupBy(_._1).values.forall(_.size == 2))
+    assert(sched.sliding(2).forall(w => w.size < 2 || w(0)._1 != w(1)._1))
+    // minimum separation between a row's two reps = family size
+    fam.foreach { n =>
+      val idx = sched.zipWithIndex.collect { case ((`n`, _), i) => i }
+      assert(idx(1) - idx(0) == fam.size)
+    }
+  }
+
   test("flaky count surfaces in the line; default is zero") {
     // a query that crashed in one rep but succeeded in another must not be
     // invisible: failures stays 0 (its min is a real success) but flaky > 0

@@ -247,6 +247,80 @@ class CurationSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("seqPack: hand-computed BFD placements, capacity-then-id tie-break") {
+    val s = spark
+    import s.implicits._
+    // budget 10, tokens 7 6 4 3 2 2 in decreasing-size placement order:
+    //   7 -> new seq0 (res 3); 6 -> no fit -> seq1 (res 4); 4 -> best fit
+    //   seq1 (res 4) at offset 6; 3 -> seq0 (res 3) at offset 7; 2 -> no
+    //   fit -> seq2; 2 -> seq2 at offset 2.
+    val docs = Seq(
+      (1L, "a a a a a a a"), (2L, "b b b b b b"), (3L, "c c c c"),
+      (4L, "d d d"), (5L, "e e"), (6L, "f f"),
+    ).map { case (id, t) => (id, t, "s") }.toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis
+      .seqPack(docs, "doc_id", "text", "source", 10L, 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 1L, 6L),
+      (4L, 0L, 7L), (5L, 2L, 0L), (6L, 2L, 2L)))
+
+    // equal residuals -> smallest sequence id wins: 6 6 4 4 leaves seq0 and
+    // seq1 both at res 4; the first 4 must land in seq0, the second in seq1.
+    val tie = Seq((1L, "a a a a a a"), (2L, "b b b b b b"),
+      (3L, "c c c c"), (4L, "d d d d")).map { case (id, t) => (id, t, "s") }
+      .toDF("doc_id", "text", "source")
+    val gotTie = graft.operators.TextAnalysis
+      .seqPack(tie, "doc_id", "text", "source", 10L, 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(gotTie == Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 6L), (4L, 1L, 6L)))
+  }
+
+  test("seqPack: chunk boundaries, overflow docs, and partition invariance") {
+    val s = spark
+    import s.implicits._
+    // chunkDocs = 2: ranked desc 9 8 2 2 cuts into chunks {9,8} and {2,2};
+    // the 2s pack together in the second chunk's first local bin
+    // (seq_id = 1*2 + 0 = 2) instead of topping up chunk 0's bins.
+    val docs = Seq(
+      (1L, ("x " * 9).trim), (2L, ("y " * 8).trim),
+      (3L, "z z"), (4L, "w w"),
+    ).map { case (id, t) => (id, t, "s") }.toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis
+      .seqPack(docs, "doc_id", "text", "source", 10L, 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 2L, 0L), (4L, 2L, 2L)))
+
+    // an overflow doc (tokens > budget) gets a dedicated sequence whose
+    // negative residual never fits again; fills elsewhere stay <= budget
+    val over = Seq((1L, ("o " * 25).trim), (2L, "p p p p p"),
+      (3L, "q q q q")).map { case (id, t) => (id, t, "s") }
+      .toDF("doc_id", "text", "source")
+    val gotOver = graft.operators.TextAnalysis
+      .seqPack(over, "doc_id", "text", "source", 10L, 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(gotOver == Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 1L, 5L)))
+
+    // partition invariance + the packing invariant on a larger mixed corpus
+    val big = (1L to 40L).map(i =>
+      (i, ("t " * (1 + (i * 7 % 13)).toInt).trim, s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    def run(parts: Int) = graft.operators.TextAnalysis
+      .seqPack(big.repartition(parts), "doc_id", "text", "source", 16L, 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val a = run(1)
+    assert(a == run(7))
+    // per-(source, seq) fill <= budget unless a single overflow doc
+    a.groupBy(r => (r._2, r._4)).foreach { case (_, rows) =>
+      val fill = rows.map(_._3).sum
+      assert(fill <= 16L || rows.size == 1)
+    }
+  }
+
   test("dupSpans: partition-invariant and rejects n < 2") {
     val s = spark
     import s.implicits._

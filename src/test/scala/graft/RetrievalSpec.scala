@@ -220,6 +220,41 @@ class RetrievalSpec extends SparkSuite {
     assert(!Set(2L, 3L).contains(byAnchor(3L)._3), "negative outside anchor 3's cluster")
   }
 
+  test("rankingMetrics: hand-computed nDCG/MRR goldens, edge cases") {
+    val s = spark
+    import s.implicits._
+    // Independent scalar replay of the quantized position weight.
+    def w(p: Long): Long =
+      math.floor(1e6 * math.log(2.0) / math.log(p + 1.0) + 0.5).toLong
+    assert(w(1) == 1000000L) // ln2/ln2 = 1 exactly
+    // q1: rels by rank [0, 2, 1] -> DCG = 3·w(2) + 1·w(3);
+    //     ideal order [2, 1, 0] -> IDCG = 3·w(1) + 1·w(2); first rel rank 2.
+    // q2: all irrelevant -> everything 0.
+    // q3: single perfect hit at rank 1 -> nDCG 1, MRR 1.
+    val ranked = Seq(
+      (1L, 1L, 0L), (1L, 2L, 2L), (1L, 3L, 1L),
+      (2L, 1L, 0L), (2L, 2L, 0L),
+      (3L, 1L, 3L),
+    ).toDF("query_id", "rank", "rel")
+    val got = Retrieval.rankingMetrics(ranked).orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val dcg1 = 3 * w(2) + 1 * w(3)
+    val idcg1 = 3 * w(1) + 1 * w(2)
+    val ndcg1 = (dcg1 * 1000000L / idcg1).toDouble / 1e6
+    assert(got(0) == ((1L, dcg1, idcg1, ndcg1, 0.5)))
+    assert(got(1) == ((2L, 0L, 0L, 0.0, 0.0)))
+    assert(got(2) == ((3L, 7 * w(1), 7 * w(1), 1.0, 1.0)))
+    // a perfectly-ordered list always scores nDCG 1; swapping two graded
+    // ranks strictly lowers it
+    val perfect = Seq((9L, 1L, 2L), (9L, 2L, 1L), (9L, 3L, 0L))
+      .toDF("query_id", "rank", "rel")
+    val swapped = Seq((9L, 1L, 1L), (9L, 2L, 2L), (9L, 3L, 0L))
+      .toDF("query_id", "rank", "rel")
+    val np = Retrieval.rankingMetrics(perfect).collect()(0).getDouble(3)
+    val ns = Retrieval.rankingMetrics(swapped).collect()(0).getDouble(3)
+    assert(np == 1.0 && ns < 1.0, s"perfect=$np swapped=$ns")
+  }
+
   test("importanceWeights: no unpartitioned window in the plan") {
     val docs = docsDf((0L, "a b", "en"), (1L, "b c", "zh"))
     val plan = Retrieval.importanceWeights(docs, col("lang") === "en", keep = 1)
