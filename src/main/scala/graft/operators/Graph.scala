@@ -1787,9 +1787,22 @@ object Graph {
     * ([[hIndexCoreness]]) — every core number in a single iterative
     * pass, regardless of maxK. Output: (node, coreness ≥ 1) for every
     * node with an edge.
+    *
+    * `localCutoff` = 2^23 is MEASURED, not a time crossover (round 16,
+    * KcoreProbe `serial` arm, quadratic-skew synth, maxK 8, same-session
+    * A/Bs with 0 disagreement rows): serial beat the distributed fixpoint
+    * 18.3 vs 97.6 s at 2M edges and 24.6 vs 114.3 s at 8M — the fixpoint
+    * is round-barrier-bound at any size one task can hold, so no time
+    * crossover exists below the memory wall. The binding constraint is
+    * the single peel task's heap: the boxed adjacency + bucket queue run
+    * ~100–150 B per undirected edge, so 2^23 edges ≈ 1 GB — the largest
+    * point probe-validated end-to-end. Past the cutoff the h-index path
+    * is the right one anyway: its round count is maxK-independent and
+    * each round ships only frontier deltas, so it is the arm that
+    * survives a 100× scale-up where ANY single-task peel cannot.
     */
   def coreness(edges: DataFrame, maxK: Int,
-      localCutoff: Long = 1L << 20): DataFrame = {
+      localCutoff: Long = 1L << 23): DataFrame = {
     require(maxK >= 2 && maxK <= 64, s"maxK must be in [2,64], got $maxK")
     val und = corenessEdges(edges)
     if (localCutoff > 0 && und.count() <= localCutoff)

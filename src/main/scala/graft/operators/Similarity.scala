@@ -1350,6 +1350,44 @@ object Similarity {
       .agg(count(lit(1)).as("n_queries"), avg("__r").as("recall"))
   }
 
+  /** Johnson–Lindenstrauss sign random projection: reduce the quantized
+    * embedding to `k` dimensions via a deterministic ±1 matrix,
+    * y_j = Σ_i s(i,j)·q_i — the dimensionality-reduction front-end for
+    * ANN at scale (Achlioptas 2003: ±1 entries preserve pairwise
+    * distances within JL bounds; no Gaussian needed).
+    *
+    * Determinism: s(i,j) = parity of the engine-shared md5 fold of
+    * "i_j" (the q_feature_hash hash), computed in the DRIVER and baked
+    * into the expression as literals — at runtime each row pays exactly
+    * k·d long multiply-adds inside whole-stage codegen, no hashing, no
+    * shuffle, no UDF. The oracle recomputes the SAME signs from DuckDB's
+    * own md5, so the hash derivation is cross-checked engine-to-engine,
+    * not copied. Integer in, integer out: exact longs end-to-end
+    * (|y_j| ≤ d·max|q| ≪ 2^63). Output long form: (vec_id, j, y),
+    * one row per projected coordinate.
+    */
+  def randomProjection(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+    val d = emb.select(max(size(col("embedding"))).as("d")).head.getInt(0)
+    require(d >= 1, "empty embedding table")
+    def sign(i: Int, j: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+    val prep = emb.select(col("vec_id"), quantized("embedding").as("q"))
+    val ys = (0 until k).map { j =>
+      (0 until d).map { i =>
+        val t = element_at(col("q"), i + 1)
+        if (sign(i, j) > 0) t else -t
+      }.reduce(_ + _)
+    }
+    prep.select(col("vec_id"), posexplode(array(ys: _*)))
+      .toDF("vec_id", "j", "y")
+      .select(col("vec_id"), col("j").cast(LongType).as("j"), col("y"))
+  }
+
   // ---- verify queries ------------------------------------------------------
 
   // DuckDB list_dot_product returns double — exact here because every term
@@ -1382,6 +1420,32 @@ object Similarity {
       "q_similarity_cosine",
       (s, dir) => bruteForceTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding", 3),
       Some(oracleFor("a.vec_id <> b.vec_id")),
+    ),
+
+    // JL sign random projection to 16 dims: the oracle re-derives the ±1
+    // matrix from DuckDB's md5 (the engine-shared hash fold), so the
+    // driver-baked signs are cross-checked rather than replayed.
+    GraftQuery(
+      "q_rand_proj",
+      (s, dir) => randomProjection(Tables(s, dir, "embeddings"), 16)
+        .orderBy("vec_id", "j"),
+      Some(s"""WITH prep AS (
+              |  SELECT vec_id, $quantizedSql AS q FROM embeddings),
+              |xi AS (
+              |  SELECT vec_id, i, q[CAST(i AS INT)] AS qi
+              |  FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM prep)),
+              |sg AS (
+              |  SELECT i, j,
+              |    CASE WHEN list_reduce(
+              |      list_transform(string_split_regex(substr(md5((i - 1) || '_' || j), 1, 8), ''),
+              |        c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+              |      (a, b) -> a * 16 + b) % 2 = 0 THEN 1 ELSE -1 END AS s
+              |  FROM (SELECT unnest(range(1,
+              |      (SELECT CAST(max(len(q)) AS BIGINT) FROM prep) + 1)) AS i)
+              |    CROSS JOIN (SELECT unnest(range(0, 16)) AS j))
+              |SELECT x.vec_id, s.j, CAST(sum(x.qi * s.s) AS BIGINT) AS y
+              |FROM xi x JOIN sg s ON s.i = x.i
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
 
     // IVF-style bucketed variant using the label column as the coarse cell.

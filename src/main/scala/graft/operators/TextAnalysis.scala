@@ -449,6 +449,87 @@ object TextAnalysis {
              |FROM c ORDER BY doc_id""".stripMargin),
     ),
 
+    // Per-source KL divergence from the corpus unigram mix (see sourceKl).
+    GraftQuery(
+      "q_kl_source",
+      (s, dir) => sourceKl(Tables(s, dir, "documents"), "text", "source")
+        .orderBy("source"),
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+             |sw AS (SELECT source, w, count(*) AS csw FROM tok GROUP BY 1, 2),
+             |cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+             |ns AS (
+             |  SELECT source, CAST(sum(csw) AS BIGINT) AS n,
+             |    count(*) AS types
+             |  FROM sw GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM cw),
+             |lp AS (
+             |  SELECT s.source, s.csw, ns.n, ns.types,
+             |    CAST(floor((ln(CAST(s.csw AS DOUBLE) / CAST(ns.n AS DOUBLE)) -
+             |      ln(CAST(c.cw AS DOUBLE) / CAST(t.nn AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS lp
+             |  FROM sw s JOIN cw c USING (w) JOIN ns ON ns.source = s.source
+             |  CROSS JOIN tot t)
+             |SELECT source, max(n) AS n_tokens, CAST(max(types) AS BIGINT) AS n_types,
+             |  CAST(CAST(floor(CAST(sum(csw * lp) AS DOUBLE) / CAST(max(n) AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6 AS kl
+             |FROM lp GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
+    // ROUGE-1/ROUGE-2 overlap scoring between adjacent same-source doc
+    // pairs — the generation-eval row (clipped-count ROUGE, integer
+    // micros end-to-end; see rougePairs).
+    GraftQuery(
+      "q_rouge",
+      (s, dir) => rougePairs(Tables(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text,
+             |    string_split(text, ' ') AS ws
+             |  FROM documents),
+             |rk AS (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM base),
+             |pairs AS (
+             |  SELECT x.doc_id AS a, y.doc_id AS b
+             |  FROM rk x JOIN rk y ON y.source = x.source AND y.rn = x.rn + 1),
+             |tf1 AS (
+             |  SELECT doc_id, g, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(ws) AS g FROM base) GROUP BY 1, 2),
+             |t1 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS t FROM base),
+             |b2 AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS gs
+             |  FROM base),
+             |tf2 AS (
+             |  SELECT doc_id, g, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(gs) AS g FROM b2) GROUP BY 1, 2),
+             |t2 AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS t FROM b2),
+             |o1 AS (
+             |  SELECT p.a, p.b, CAST(sum(least(x.c, y.c)) AS BIGINT) AS ov
+             |  FROM pairs p JOIN tf1 x ON x.doc_id = p.a
+             |    JOIN tf1 y ON y.doc_id = p.b AND y.g = x.g
+             |  GROUP BY 1, 2),
+             |o2 AS (
+             |  SELECT p.a, p.b, CAST(sum(least(x.c, y.c)) AS BIGINT) AS ov
+             |  FROM pairs p JOIN tf2 x ON x.doc_id = p.a
+             |    JOIN tf2 y ON y.doc_id = p.b AND y.g = x.g
+             |  GROUP BY 1, 2),
+             |j AS (
+             |  SELECT p.a, p.b, coalesce(o1.ov, 0) AS ov1, coalesce(o2.ov, 0) AS ov2,
+             |    ta1.t AS ta1, tb1.t AS tb1, ta2.t AS ta2, tb2.t AS tb2
+             |  FROM pairs p
+             |  LEFT JOIN o1 ON o1.a = p.a AND o1.b = p.b
+             |  LEFT JOIN o2 ON o2.a = p.a AND o2.b = p.b
+             |  JOIN t1 ta1 ON ta1.doc_id = p.a JOIN t1 tb1 ON tb1.doc_id = p.b
+             |  JOIN t2 ta2 ON ta2.doc_id = p.a JOIN t2 tb2 ON tb2.doc_id = p.b)
+             |SELECT a AS doc_id, b AS ref_id, ov1, ov2,
+             |  CAST(CASE WHEN ta1 > 0 THEN CAST(floor(CAST(ov1 * 1000000 AS DOUBLE) / ta1) AS BIGINT) ELSE 0 END AS DOUBLE) / 1e6 AS rouge1_p,
+             |  CAST(CASE WHEN tb1 > 0 THEN CAST(floor(CAST(ov1 * 1000000 AS DOUBLE) / tb1) AS BIGINT) ELSE 0 END AS DOUBLE) / 1e6 AS rouge1_r,
+             |  CAST(CASE WHEN ta1 + tb1 > 0 THEN CAST(floor(CAST(ov1 * 2 * 1000000 AS DOUBLE) / (ta1 + tb1)) AS BIGINT) ELSE 0 END AS DOUBLE) / 1e6 AS rouge1_f,
+             |  CAST(CASE WHEN ta2 + tb2 > 0 THEN CAST(floor(CAST(ov2 * 2 * 1000000 AS DOUBLE) / (ta2 + tb2)) AS BIGINT) ELSE 0 END AS DOUBLE) / 1e6 AS rouge2_f
+             |FROM j ORDER BY doc_id""".stripMargin),
+    ),
+
     // Best-fit-decreasing sequence packing (sample packing for training
     // sequences). Oracle: an independent DuckDB replay of the same
     // deterministic policy — a recursive CTE carrying each (source, chunk)
@@ -1309,6 +1390,114 @@ object TextAnalysis {
         }.iterator
       }
       .toDF("doc_id", "source", "tokens", "seq_id", "seq_offset")
+  }
+
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the mixture diagnostic a curation pipeline reads before reweighting
+    * sources (a source with high KL is lexically unlike the blend it
+    * feeds). KL(P_s ‖ P_c) = Σ_{w∈s} p_s(w)·ln(p_s(w)/p_c(w)) with MLE
+    * estimates — the sum needs only OBSERVED (source, word) pairs
+    * (p_s = 0 elsewhere), and p_c(w) ≥ c_w/N > 0 whenever w ∈ s, so no
+    * smoothing term is required and the frame stays tf-aggregate-shaped
+    * (no source × vocabulary cross join).
+    *
+    * Determinism (the q_naive_bayes ln discipline): the per-type log
+    * ratio is evaluated once as ln(c_sw/n_s) − ln(c_w/N) (two lns of
+    * double divisions — each operand an exact-int double, both engines
+    * evaluate the identical IEEE expression; the single-ln product form
+    * would overflow 2^53 at corpus scale), quantized half-up to integer
+    * micros; the per-source total Σ c_sw·lp is an exact BIGINT sum
+    * (order-free), with ONE double division by n_s at the end, floored
+    * to a micro. Scale shape: two partial-aggregated tf shuffles (the
+    * (source, word) and corpus word counts), a vocabulary-keyed
+    * equi-join, one per-source sum.
+    * Output: (source, n_tokens, n_types, kl).
+    */
+  def sourceKl(df: org.apache.spark.sql.DataFrame, textCol: String,
+      partCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(partCol).as("source"),
+      explode(split(col(textCol), " ")).as("w"))
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("csw"))
+    val cw = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+    val ns = sw.groupBy("source")
+      .agg(sum("csw").as("n"), count(lit(1)).as("types"))
+    val tot = cw.agg(sum("cw").as("nn"))
+    sw.join(cw, "w")
+      .join(ns, "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", floor(
+        (log(col("csw").cast("double") / col("n").cast("double")) -
+          log(col("cw").cast("double") / col("nn").cast("double"))) * lit(1e6) + lit(0.5))
+        .cast(LongType))
+      .groupBy("source")
+      .agg(max("n").as("n_tokens"), max("types").as("n_types"),
+        sum(col("csw") * col("lp")).as("s"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (floor(col("s").cast("double") / col("n_tokens").cast("double"))
+          .cast(LongType).cast("double") / lit(1e6)).as("kl"))
+  }
+
+  /** ROUGE-style n-gram overlap scoring between deterministic document
+    * pairs (each doc vs the next doc_id in its source) — the
+    * generation-eval counterpart of [[Retrieval.rankingMetrics]]: ROUGE-1
+    * precision/recall/F1 and ROUGE-2 F1 from CLIPPED (multiset-min)
+    * n-gram counts, the standard ROUGE definition.
+    *
+    * Everything stays integer until the display division: overlap =
+    * Σ min(tf_a, tf_b) per shared gram (exact longs), and each metric is
+    * one integer floor-division to micros — F1 = 2·ov·10⁶ div (ta+tb)
+    * uses the identity 2PR/(P+R) = 2·ov/(ta+tb), so no intermediate
+    * float P, R exists to diverge. Scale shape: pairing is one
+    * per-source window on ids; the overlap is two gram-keyed equi-joins
+    * (tf frames are partial-aggregated, AQE handles the gram-key skew)
+    * and one pair-keyed sum — no all-pairs product anywhere.
+    * Output: (doc_id, ref_id, ov1, ov2, rouge1_p, rouge1_r, rouge1_f,
+    * rouge2_f), metrics rounded down at 1e-6.
+    */
+  def rougePairs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      partCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+      col(partCol).as("source"), col(textCol).as("text"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val ranked = base.withColumn("rn", row_number().over(w))
+    val pairs = ranked.select(col("source"), col("doc_id").as("a"), col("rn"))
+      .join(ranked.select(col("source"), col("doc_id").as("b"),
+        (col("rn") - 1).as("rn")), Seq("source", "rn"))
+      .select(col("a"), col("b"))
+    def grams(n: Int) =
+      if (n == 1) split(col("text"), " ") else Curation.gramsOf(col("text"), n)
+    def tf(n: Int) = base
+      .select(col("doc_id"), explode(grams(n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    def tot(n: Int) = base
+      .select(col("doc_id"), size(grams(n)).cast(LongType).as("t"))
+    def ov(n: Int) = pairs
+      .join(tf(n).select(col("doc_id").as("a"), col("g"), col("c").as("ca")), Seq("a"))
+      .join(tf(n).select(col("doc_id").as("b"), col("g"), col("c").as("cb")), Seq("b", "g"))
+      .groupBy("a", "b").agg(sum(least(col("ca"), col("cb"))).as("ov"))
+    val joined = pairs
+      .join(ov(1).select(col("a"), col("b"), col("ov").as("ov1")), Seq("a", "b"), "left")
+      .join(ov(2).select(col("a"), col("b"), col("ov").as("ov2")), Seq("a", "b"), "left")
+      .join(tot(1).select(col("doc_id").as("a"), col("t").as("ta1")), Seq("a"))
+      .join(tot(1).select(col("doc_id").as("b"), col("t").as("tb1")), Seq("b"))
+      .join(tot(2).select(col("doc_id").as("a"), col("t").as("ta2")), Seq("a"))
+      .join(tot(2).select(col("doc_id").as("b"), col("t").as("tb2")), Seq("b"))
+      .withColumn("ov1", coalesce(col("ov1"), lit(0L)))
+      .withColumn("ov2", coalesce(col("ov2"), lit(0L)))
+    // floor((num·10⁶)/den) over exact-int doubles: num·10⁶ ≤ ~2e8 and the
+    // quotient sits ≥ 1/den away from any integer unless exact, so the
+    // correctly-rounded double division can never cross a floor boundary —
+    // bit-identical to integer division, written identically in the oracle
+    val micro = (num: Column, den: Column) =>
+      when(den > 0,
+        floor((num * lit(1000000L)).cast("double") / den.cast("double")).cast(LongType))
+        .otherwise(lit(0L)).cast("double") / lit(1e6)
+    joined.select(col("a").as("doc_id"), col("b").as("ref_id"),
+      col("ov1"), col("ov2"),
+      micro(col("ov1"), col("ta1")).as("rouge1_p"),
+      micro(col("ov1"), col("tb1")).as("rouge1_r"),
+      micro(col("ov1") * 2, col("ta1") + col("tb1")).as("rouge1_f"),
+      micro(col("ov2") * 2, col("ta2") + col("tb2")).as("rouge2_f"))
   }
 
   /** Corpus-LM fluency score: each document's average corpus-wide bigram
