@@ -13,7 +13,121 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object Analytics {
 
+  /** Kaplan–Meier product-limit curve from per-subject observations:
+    * `subjects` carries (t: duration, obs: 1 = event observed, 0 =
+    * right-censored at t). Returns the step curve at death times only —
+    * (t, n_risk, deaths, survival) with S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)
+    * under the deaths-before-censorings-at-t risk-set convention.
+    * Factor lns are micro-quantized per step (the shared ln discipline);
+    * a saturated step (d = n) zeroes the curve via the running
+    * min(n − d) flag rather than ln(0). The cumulative windows run over
+    * DISTINCT durations (bounded by the time grid, not subjects), so the
+    * only subject-scaled work is the groupBy("t") partial aggregate.
+    */
+  def kaplanMeier(subjects: DataFrame): DataFrame = {
+    val byT = subjects.groupBy("t")
+      .agg(count(lit(1)).as("total"), sum("obs").as("deaths"))
+    val wAsc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("gone_before",
+        sum("total").over(wAsc) - col("total"))
+      .crossJoin(broadcast(subjects.agg(count(lit(1)).as("nu"))))
+      .withColumn("n_risk", col("nu") - col("gone_before"))
+      .filter(col("deaths") > 0)
+      .withColumn("lf",
+        when(col("deaths") < col("n_risk"),
+          floor(log(lit(1.0) - col("deaths").cast("double") / col("n_risk").cast("double"))
+            * lit(1e6) + lit(0.5)).cast(LongType)).otherwise(lit(0L)))
+      .withColumn("cum_lf", sum("lf").over(wAsc))
+      .withColumn("alive_min",
+        min(col("n_risk") - col("deaths")).over(wAsc))
+      .select(col("t"), col("n_risk"), col("deaths"),
+        when(col("alive_min") === 0, lit(0.0))
+          .otherwise(floor(exp(col("cum_lf").cast("double") / lit(1e6))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("survival"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+
+    // Kaplan–Meier survival curve (product-limit estimator), the classic
+    // time-to-failure analysis with right-censoring: per user, duration =
+    // hours from the first event to the FIRST 'error' event (the failure);
+    // users who never error are right-censored at study end (max ts over
+    // the table). S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over death times,
+    // emitted at death times only (the standard step curve), with the
+    // deaths-before-censorings-at-t risk-set convention.
+    //
+    // Scale shape: the distributed work is ONE per-user min/max
+    // aggregate (partial-combined); the curve itself lives on distinct
+    // durations — bounded by study length in hours, not by users — so
+    // the single-partition cumulative window is over ≤ |study hours|
+    // rows no matter how many users flow in. Float discipline: the
+    // factor lns are quantized to micros per step (q_kl_source rule),
+    // summed exactly, one exp at the end; a saturated risk set
+    // (d_t = n_t) zeroes the curve from that step on via the running
+    // min(n−d) flag, never through ln(0).
+    GraftQuery(
+      "q_survival",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"))
+        val endT = ev.agg(max("us").as("endus"))
+        val users = ev.groupBy("user_id")
+          .agg(min("us").as("f"),
+            min(when(col("event_type") === "error", col("us"))).as("e"))
+          .crossJoin(broadcast(endT))
+          .select(
+            when(col("e").isNotNull, col("e") - col("f"))
+              .otherwise(col("endus") - col("f")).cast(LongType).as("durus"),
+            col("e").isNotNull.cast("int").as("obs"))
+          .select((col("durus") / lit(3600000000L)).cast(LongType).as("t"),
+            col("obs"))
+        kaplanMeier(users).orderBy("t")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+             |endt AS (SELECT max(us) AS endus FROM ev),
+             |users AS (
+             |  SELECT
+             |    CASE WHEN e IS NOT NULL THEN e - f ELSE endus - f END
+             |      // 3600000000 AS t,
+             |    CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS obs
+             |  FROM (SELECT user_id, min(us) AS f,
+             |          min(CASE WHEN event_type = 'error' THEN us END) AS e
+             |        FROM ev GROUP BY 1),
+             |    endt),
+             |byt AS (
+             |  SELECT t, count(*) AS total, CAST(sum(obs) AS BIGINT) AS deaths
+             |  FROM users GROUP BY 1),
+             |cu AS (
+             |  SELECT t, total, deaths,
+             |    CAST(sum(total) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - total AS BIGINT)
+             |      AS gone_before,
+             |    (SELECT count(*) FROM users) AS nu
+             |  FROM byt),
+             |dth AS (
+             |  SELECT t, deaths, nu - gone_before AS n_risk,
+             |    CASE WHEN deaths < nu - gone_before
+             |      THEN CAST(floor(ln(1.0 - CAST(deaths AS DOUBLE)
+             |        / CAST(nu - gone_before AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+             |      ELSE 0 END AS lf
+             |  FROM cu WHERE deaths > 0),
+             |fin AS (
+             |  SELECT t, n_risk, deaths,
+             |    CAST(sum(lf) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_lf,
+             |    min(n_risk - deaths) OVER (ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS alive_min
+             |  FROM dth)
+             |SELECT t, n_risk, deaths,
+             |  CASE WHEN alive_min = 0 THEN 0.0
+             |    ELSE floor(exp(CAST(cum_lf AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
+             |  END AS survival
+             |FROM fin ORDER BY t""".stripMargin),
+    ),
 
     // Per-group OLS trend fit: SQL-standard regr_slope/intercept/r2 of
     // value on days-since-epoch-origin — the drift detector every metrics

@@ -124,7 +124,94 @@ object Sketches {
         col("n"))
   }
 
+  /** Count–min sketch (Cormode & Muthukrishnan 2005): `depth` hash rows ×
+    * `width` counters; every occurrence of a key increments one counter
+    * per row (bucket = engine-shared 48-bit md5 fold of "row_key" mod
+    * width), and a point estimate is the MIN of the key's `depth`
+    * counters — an overestimate by construction (collisions only add),
+    * within εn with probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+    *
+    * The sketch IS the aggregate: the build is one map-side posexplode
+    * (depth rows per input row, no key shuffle wider than depth·width
+    * counters) and the state merges by plain addition — the frequency
+    * summary a 100 TB profiler ships where exact per-key counts would
+    * shuffle the full key domain. Deterministic end-to-end: integer
+    * counters, engine-shared hash, no sampling — so the whole
+    * (row, bucket, cnt) table and every estimate replay exactly in
+    * DuckDB. Returns the sketch table (row, bucket, cnt).
+    */
+  def countMin(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 2,
+      s"need 1<=depth<=8, width>=2; got depth=$depth width=$width")
+    val rows = (0 until depth).map { i =>
+      (hash48(concat(lit(s"${i}_"), col(keyCol).cast("string"))) % width)
+        .as(s"b$i")
+    }
+    df.filter(col(keyCol).isNotNull)
+      .select(posexplode(array(rows: _*)))
+      .toDF("row", "bucket")
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMin]] sketch for every key in `probe`:
+    * est = min over the key's `depth` counters; guaranteed ≥ the true
+    * count. The sketch side is depth·width rows — broadcast — so the
+    * probe pays one map-side join, no shuffle of the probe keys.
+    */
+  def countMinEstimate(sketch: DataFrame, probe: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val rows = (0 until depth).map { i =>
+      (hash48(concat(lit(s"${i}_"), col(keyCol).cast("string"))) % width)
+        .as(s"b$i")
+    }
+    probe.select(col(keyCol).as("key"), posexplode(array(rows: _*)))
+      .toDF("key", "row", "bucket")
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy("key").agg(min("cnt").as("est"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+
+    // Count–min sketch over l_partkey (depth 4 × width 256 = 1024
+    // counters vs ~20k distinct keys at sf0.01 — collisions by design),
+    // probed back with every distinct key next to its exact count: est
+    // must dominate exact (overestimate-only), and the error column is
+    // the collision mass the ε-δ bound prices. Deterministic: integer
+    // counters + the engine-shared md5 fold, so the estimates replay
+    // exactly in DuckDB.
+    GraftQuery(
+      "q_cms",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val sk = countMin(li, "l_partkey", depth = 4, width = 256)
+        val exact = li.groupBy(col("l_partkey").as("key"))
+          .agg(count(lit(1)).as("exact"))
+        countMinEstimate(sk, exact.select("key"), "key", depth = 4, width = 256)
+          .join(exact, Seq("key"))
+          .select(col("key"), col("exact"), col("est"),
+            (col("est") - col("exact")).as("err"))
+          .orderBy("key")
+      },
+      Some(s"""WITH sk AS (
+              |  SELECT i AS row,
+              |    ${hash48Sql("i || '_' || CAST(l_partkey AS VARCHAR)")} % 256 AS bucket,
+              |    count(*) AS cnt
+              |  FROM lineitem CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+              |  GROUP BY 1, 2),
+              |exact AS (
+              |  SELECT l_partkey AS key, count(*) AS exact FROM lineitem GROUP BY 1),
+              |pb AS (
+              |  SELECT key, i AS row,
+              |    ${hash48Sql("i || '_' || CAST(key AS VARCHAR)")} % 256 AS bucket
+              |  FROM exact CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+              |est AS (
+              |  SELECT p.key, min(s.cnt) AS est
+              |  FROM pb p JOIN sk s ON s.row = p.row AND s.bucket = p.bucket
+              |  GROUP BY 1)
+              |SELECT e.key, x.exact, e.est, e.est - x.exact AS err
+              |FROM est e JOIN exact x ON x.key = e.key
+              |ORDER BY e.key""".stripMargin),
+    ),
 
     // Exact heavy hitters over l_partkey at support 0.00065 (~85 keys at
     // sf0.01). The oracle is the naive full groupBy — the MG candidate pass

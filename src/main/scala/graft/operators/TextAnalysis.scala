@@ -530,6 +530,75 @@ object TextAnalysis {
              |FROM j ORDER BY doc_id""".stripMargin),
     ),
 
+    // BLEU-2/BLEU-4 between the same adjacent same-source pairs as
+    // q_rouge — clipped precisions, brevity penalty, quantized-ln
+    // product (see bleuPairs).
+    GraftQuery(
+      "q_bleu",
+      (s, dir) => bleuPairs(Tables(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("doc_id"),
+      Some {
+        def gramsSql(n: Int) =
+          s"list_transform(range(1, greatest(len(ws) - ${n - 2}, 1)), " +
+            s"i -> array_to_string(list_slice(ws, i, i + ${n - 1}), ' '))"
+        def tfB(n: Int) =
+          if (n == 1)
+            s"""tf1 AS (
+               |  SELECT doc_id, g, count(*) AS c
+               |  FROM (SELECT doc_id, unnest(ws) AS g FROM base) GROUP BY 1, 2),
+               |t1 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS t FROM base)""".stripMargin
+          else
+            s"""tf$n AS (
+               |  SELECT doc_id, g, count(*) AS c
+               |  FROM (SELECT doc_id, unnest(${gramsSql(n)}) AS g FROM base) GROUP BY 1, 2),
+               |t$n AS (SELECT doc_id, CAST(len(${gramsSql(n)}) AS BIGINT) AS t FROM base)""".stripMargin
+        def ovB(n: Int) =
+          s"""o$n AS (
+             |  SELECT p.a, p.b, CAST(sum(least(x.c, y.c)) AS BIGINT) AS ov
+             |  FROM pairs p JOIN tf$n x ON x.doc_id = p.a
+             |    JOIN tf$n y ON y.doc_id = p.b AND y.g = x.g
+             |  GROUP BY 1, 2)""".stripMargin
+        val lpSql = (1 to 4).map(n =>
+          s"CASE WHEN ov$n > 0 THEN CAST(floor(ln(CAST(ov$n AS DOUBLE) / CAST(ta$n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) END AS lp$n").mkString(",\n    ")
+        def bleuSql(upTo: Int) = {
+          val s = (1 to upTo).map(n => s"lp$n").mkString(" + ")
+          s"coalesce(floor(exp(CAST(($s) AS DOUBLE) / ${upTo}e6 + bp) * 1e6 + 0.5) / 1e6, 0.0)"
+        }
+        s"""WITH base AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           |    string_split(text, ' ') AS ws
+           |  FROM documents),
+           |rk AS (
+           |  SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           |  FROM base),
+           |pairs AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b
+           |  FROM rk x JOIN rk y ON y.source = x.source AND y.rn = x.rn + 1),
+           |${(1 to 4).map(tfB).mkString(",\n")},
+           |${(1 to 4).map(ovB).mkString(",\n")},
+           |j AS (
+           |  SELECT p.a, p.b,
+           |    ${(1 to 4).map(n => s"coalesce(o$n.ov, 0) AS ov$n").mkString(", ")},
+           |    ${(1 to 4).map(n => s"ta$n.t AS ta$n").mkString(", ")},
+           |    tr.t AS r
+           |  FROM pairs p
+           |  ${(1 to 4).map(n => s"LEFT JOIN o$n ON o$n.a = p.a AND o$n.b = p.b").mkString("\n  ")}
+           |  ${(1 to 4).map(n => s"JOIN t$n ta$n ON ta$n.doc_id = p.a").mkString("\n  ")}
+           |  JOIN t1 tr ON tr.doc_id = p.b),
+           |k AS (
+           |  SELECT *,
+           |    least(CAST(0 AS DOUBLE),
+           |      CAST(ta1 - r AS DOUBLE) / CAST(ta1 AS DOUBLE)) AS bp,
+           |    $lpSql
+           |  FROM j)
+           |SELECT a AS doc_id, b AS ref_id, ov1, ov2, ov3, ov4,
+           |  ${bleuSql(2)} AS bleu2,
+           |  ${bleuSql(4)} AS bleu4
+           |FROM k ORDER BY doc_id""".stripMargin
+      },
+    ),
+
     // Best-fit-decreasing sequence packing (sample packing for training
     // sequences). Oracle: an independent DuckDB replay of the same
     // deterministic policy — a recursive CTE carrying each (source, chunk)
@@ -1498,6 +1567,71 @@ object TextAnalysis {
       micro(col("ov1"), col("tb1")).as("rouge1_r"),
       micro(col("ov1") * 2, col("ta1") + col("tb1")).as("rouge1_f"),
       micro(col("ov2") * 2, col("ta2") + col("tb2")).as("rouge2_f"))
+  }
+
+  /** BLEU (Papineni et al. 2002) over the same deterministic pairs as
+    * [[rougePairs]] (candidate = each doc, reference = the next doc_id in
+    * its source): modified (clipped) n-gram precisions p_n = ov_n/t_n for
+    * n ≤ 4, brevity penalty exp(min(0, (c−r)/c)), BLEU-N =
+    * BP·exp(Σ_{n≤N} ln p_n / N) — reported at N = 2 and N = 4, zero when
+    * any constituent overlap is zero (no smoothing; the honest sentence
+    * score for short docs is 0, and q_rouge carries the graded signal).
+    *
+    * Float discipline (the q_naive_bayes/q_kl_source ln rule): each
+    * ln p_n is quantized to integer micros immediately (half-up), summed
+    * exactly as BIGINTs; the exp argument is ONE double expression —
+    * sum/(N·10⁶) + min(0,(c−r)/c), every operand an exact-int double —
+    * evaluated identically in both engines, and the final score is
+    * floor(exp(arg)·10⁶+0.5)/10⁶ (the Ml.scala sigmoid precedent).
+    * Scale shape: identical to ROUGE — per-source id windows for the
+    * pairing, gram-keyed equi-joins on partial-aggregated tf frames,
+    * never an all-pairs product. Output: (doc_id, ref_id, ov1..ov4,
+    * bleu2, bleu4).
+    */
+  def bleuPairs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      partCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+      col(partCol).as("source"), col(textCol).as("text"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val ranked = base.withColumn("rn", row_number().over(w))
+    val pairs = ranked.select(col("source"), col("doc_id").as("a"), col("rn"))
+      .join(ranked.select(col("source"), col("doc_id").as("b"),
+        (col("rn") - 1).as("rn")), Seq("source", "rn"))
+      .select(col("a"), col("b"))
+    def grams(n: Int) =
+      if (n == 1) split(col("text"), " ") else Curation.gramsOf(col("text"), n)
+    def tf(n: Int) = base
+      .select(col("doc_id"), explode(grams(n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    def tot(n: Int) = base
+      .select(col("doc_id"), size(grams(n)).cast(LongType).as("t"))
+    def ov(n: Int) = pairs
+      .join(tf(n).select(col("doc_id").as("a"), col("g"), col("c").as("ca")), Seq("a"))
+      .join(tf(n).select(col("doc_id").as("b"), col("g"), col("c").as("cb")), Seq("b", "g"))
+      .groupBy("a", "b").agg(sum(least(col("ca"), col("cb"))).as("ov"))
+    val joined = (1 to 4).foldLeft(pairs) { (acc, n) =>
+      acc
+        .join(ov(n).select(col("a"), col("b"), col("ov").as(s"ov$n")), Seq("a", "b"), "left")
+        .join(tot(n).select(col("doc_id").as("a"), col("t").as(s"ta$n")), Seq("a"))
+        .withColumn(s"ov$n", coalesce(col(s"ov$n"), lit(0L)))
+    }.join(tot(1).select(col("doc_id").as("b"), col("t").as("r")), Seq("b"))
+    // ln p_n in integer micros, half-up — null marks "precision undefined
+    // or zero" and poisons the whole product, which IS the BLEU-0 rule
+    def lp(n: Int) =
+      when(col(s"ov$n") > 0,
+        floor(log(col(s"ov$n").cast("double") / col(s"ta$n").cast("double"))
+          * lit(1e6) + lit(0.5)).cast(LongType))
+    val bp = least(lit(0.0),
+      (col("ta1") - col("r")).cast("double") / col("ta1").cast("double"))
+    def bleu(upTo: Int) = {
+      val s = (1 to upTo).map(lp).reduce(_ + _)
+      coalesce(
+        floor(exp(s.cast("double") / lit(upTo * 1e6) + bp) * lit(1e6) + lit(0.5)) / lit(1e6),
+        lit(0.0))
+    }
+    joined.select(col("a").as("doc_id"), col("b").as("ref_id"),
+      col("ov1"), col("ov2"), col("ov3"), col("ov4"),
+      bleu(2).as("bleu2"), bleu(4).as("bleu4"))
   }
 
   /** Corpus-LM fluency score: each document's average corpus-wide bigram

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Similarity, TextAnalysis}
+import graft.operators.{Analytics, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-16 operators beyond the DuckDB hash gate: ROUGE clipped-count
@@ -96,6 +96,93 @@ class Round16Spec extends SparkSuite {
       .orderBy("vec_id", "j").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got7.toSeq == expect)
+  }
+
+  test("countMin: estimates dominate exact counts, and are exact without collisions") {
+    val df = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(9)("c") ++
+      (1 to 30).map(i => s"x$i")).toDF("k")
+    val exact = df.groupBy(col("k").as("key")).agg(count(lit(1)).as("exact"))
+    // narrow sketch: collisions certain across 33 keys in 8 buckets
+    val sk = Sketches.countMin(df, "k", depth = 3, width = 8)
+    val est = Sketches.countMinEstimate(sk, exact.select("key"), "key", 3, 8)
+      .join(exact, Seq("key")).collect()
+    assert(est.nonEmpty && est.forall(r => r.getAs[Long]("est") >= r.getAs[Long]("exact")))
+    // wide sketch: 2^16 buckets for 33 keys — any single collision across
+    // ALL 3 rows is effectively impossible, so every estimate is exact
+    val wide = Sketches.countMinEstimate(
+        Sketches.countMin(df, "k", depth = 3, width = 65536),
+        exact.select("key"), "key", 3, 65536)
+      .join(exact, Seq("key")).collect()
+    assert(wide.forall(r => r.getAs[Long]("est") == r.getAs[Long]("exact")))
+    // partition invariance: sketch content is a pure aggregate
+    val sk1 = sk.orderBy("row", "bucket").collect().toSeq
+    val sk7 = Sketches.countMin(df.repartition(7), "k", 3, 8)
+      .orderBy("row", "bucket").collect().toSeq
+    assert(sk1 == sk7)
+  }
+
+  test("bleuPairs: scalar replay golden, perfect pair = 1.0, disjoint = 0.0") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "s"), (2L, "the cat sat on a mat", "s"),
+      (3L, "p q r t u v", "t"), (4L, "p q r t u v", "t"),
+      (5L, "aa bb cc dd", "u"), (6L, "ee ff gg hh", "u"),
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.bleuPairs(docs, "doc_id", "text", "source")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    // (1,2): hand-counted clipped overlaps 5/3/2/1 of totals 6/5/4/3,
+    // c = r = 6 so BP term is 0; scalar replay of the quantized math
+    def lp(ov: Long, t: Long) = math.floor(math.log(ov.toDouble / t) * 1e6 + 0.5).toLong
+    def bleu(lps: Seq[Long]) =
+      math.floor(math.exp(lps.sum.toDouble / (lps.size * 1e6)) * 1e6 + 0.5) / 1e6
+    val b2 = bleu(Seq(lp(5, 6), lp(3, 5)))
+    val b4 = bleu(Seq(lp(5, 6), lp(3, 5), lp(2, 4), lp(1, 3)))
+    assert(got(0) == ((1L, 2L, 5L, 3L, 2L, 1L, b2, b4)))
+    assert(got(1) == ((3L, 4L, 6L, 5L, 4L, 3L, 1.0, 1.0)))
+    assert(got(2) == ((5L, 6L, 0L, 0L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("bleuPairs: brevity penalty bites short candidates") {
+    // candidate (4 tokens) is a perfect prefix of the reference (8):
+    // precisions are all 1 so BLEU = BP = exp((4-8)/4) = exp(-1)
+    val docs = Seq(
+      (1L, "a b c d", "s"), (2L, "a b c d e f g h", "s"),
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.bleuPairs(docs, "doc_id", "text", "source").collect()(0)
+    val expect = math.floor(math.exp(-1.0) * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(6) == expect && r.getDouble(7) == expect)
+  }
+
+  test("kaplanMeier: Freireich 6-MP leukemia golden (textbook curve)") {
+    // the classic 21-subject arm: deaths at 6,6,6,7,10,13,16,22,23;
+    // censored at 6,9,10,11,17,19,20,25,32,32,34,35
+    val subs = (Seq(6, 6, 6, 7, 10, 13, 16, 22, 23).map((_, 1)) ++
+      Seq(6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35).map((_, 0)))
+      .toDF("t", "obs").select(col("t").cast("long").as("t"), col("obs"))
+    val got = Analytics.kaplanMeier(subs).orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // textbook S(t): .857, .807, .753, .690, .627, .538, .448
+    val expect = Seq(
+      (6L, 21L, 3L, 0.857143), (7L, 17L, 1L, 0.806723),
+      (10L, 15L, 1L, 0.752941), (13L, 12L, 1L, 0.690196),
+      (16L, 11L, 1L, 0.627451), (22L, 7L, 1L, 0.537815),
+      (23L, 6L, 1L, 0.448179))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3, s"$g vs $e")
+      assert(math.abs(g._4 - e._4) < 2e-6, s"$g vs $e")
+    }
+  }
+
+  test("kaplanMeier: saturated last step zeroes the curve; all-censored is empty") {
+    val allDie = Seq((2L, 1), (2L, 1), (5L, 1)).toDF("t", "obs")
+    val got = Analytics.kaplanMeier(allDie).orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val s2 = math.floor(math.exp(
+      math.floor(math.log(1.0 / 3) * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6
+    assert(got.toSeq == Seq((2L, 3L, 2L, s2), (5L, 1L, 1L, 0.0)))
+    val none = Seq((4L, 0), (9L, 0)).toDF("t", "obs")
+    assert(Analytics.kaplanMeier(none).collect().isEmpty)
   }
 
   test("randomProjection: no shuffle in the plan (map-side only)") {
