@@ -79,6 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TopMinPairs.builder))
     e.injectFunction((PackedDot16.identifier, PackedDot16.info,
       PackedDot16.builder))
+    e.injectFunction((JaroWinklerMicros.identifier, JaroWinklerMicros.info,
+      JaroWinklerMicros.builder))
     e.injectOptimizerRule(_ => ZeroDistanceFold)
     // whole-operator tier: broadcast interval-index join replacing the
     // BNLJ plan for banded-dimension range joins (graft.plans)

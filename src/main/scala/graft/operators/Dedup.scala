@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.functions.JaroWinklerMicros
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1277,6 +1278,32 @@ object Dedup {
 
   // ---- verify queries ------------------------------------------------------
 
+  /** Blocked Jaro–Winkler fuzzy join: candidate pairs come from an
+    * equi-join on a cheap blocking key (first token + id order — the
+    * record-linkage standard; JW weights prefixes, so first-token blocks
+    * lose only pairs the prefix boost would score low anyway), and each
+    * candidate is priced by the exact-integer
+    * [[graft.functions.JaroWinklerMicros]] kernel inside whole-stage
+    * codegen. Never a cross product: candidate mass is Σ_block n_b², the
+    * same skew axis as every blocked dedup here — a hot block (one
+    * first-token bucket dominating) shows up on the zipf fixture, and the
+    * remedy at scale is the usual second blocking coordinate (length
+    * band), not a bigger cluster. Output: (a, b, jw_micros ≥ minMicros).
+    */
+  def jaroWinklerJoin(df: DataFrame, idCol: String, nameCol: String,
+      minMicros: Long): DataFrame = {
+    JaroWinklerMicros.register(df.sparkSession)
+    val p = df.select(col(idCol).as("id"), col(nameCol).as("nm"),
+      split(col(nameCol), " ").getItem(0).as("__blk"))
+    p.select(col("__blk"), col("id").as("a"), col("nm").as("na"))
+      .join(p.select(col("__blk"), col("id").as("b"), col("nm").as("nb")),
+        Seq("__blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("jw", expr("jaro_winkler_micros(na, nb)"))
+      .filter(col("jw") >= minMicros)
+      .select("a", "b", "jw")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -1548,6 +1575,30 @@ object Dedup {
              |  FROM d a JOIN d b
              |    ON a.source = b.source AND a.lenb = b.lenb AND a.doc_id < b.doc_id)
              |WHERE dist <= 8 ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+
+    // Blocked Jaro–Winkler fuzzy self-join over part names at ≥ 0.90 —
+    // the record-linkage pairing kernel as a native codegen expression.
+    // The oracle cross-checks the EXACT-INTEGER engine kernel against
+    // DuckDB's own double-valued jaro_winkler_similarity (independent
+    // implementations; micro-quantization is the meeting point), so both
+    // the match/transposition scan and the Winkler boost convention are
+    // verified engine-to-engine rather than replayed.
+    GraftQuery(
+      "q_jw_join",
+      (s, dir) => jaroWinklerJoin(Tables(s, dir, "part"), "p_partkey", "p_name",
+          minMicros = 900000L)
+        .orderBy("a", "b"),
+      Some("""WITH p AS (
+             |  SELECT p_partkey AS id, p_name AS nm,
+             |    split_part(p_name, ' ', 1) AS blk
+             |  FROM part)
+             |SELECT a, b, jw FROM (
+             |  SELECT x.id AS a, y.id AS b,
+             |    CAST(floor(jaro_winkler_similarity(x.nm, y.nm) * 1e6 + 0.5)
+             |      AS BIGINT) AS jw
+             |  FROM p x JOIN p y ON y.blk = x.blk AND x.id < y.id)
+             |WHERE jw >= 900000 ORDER BY a, b""".stripMargin),
     ),
 
     GraftQuery(

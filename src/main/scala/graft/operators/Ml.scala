@@ -155,7 +155,131 @@ object Ml {
           .as("auc"))
   }
 
+  /** Exact best decision stump by histogram split finding — the
+    * LightGBM-style scalable shape: each feature is bucketed onto a
+    * `bins`-cell grid over its own [min, max] (one partial-aggregated
+    * pass builds ALL features' histograms via posexplode — no per-feature
+    * scan), cumulative bin counts give every candidate split's left/right
+    * class totals from ONE window pass, and the best split minimizes the
+    * count-weighted Gini impurity
+    * G = [nl − (pl² + ql²)/nl + nr − (pr² + qr²)/nr] / n.
+    *
+    * Determinism: all counts are exact BIGINTs; G is ONE double
+    * expression over exact-int operands (both engines evaluate the same
+    * IEEE tree), micro-quantized; argmin tie-break is (g, feature, bin).
+    * The candidate table is features × bins rows — constants — so the
+    * final argmin sort touches O(f·bins) rows regardless of corpus size.
+    * `labeled` must carry (label: 0/1, f0..f{nf−1}: double features).
+    * Output: one row — (feature, threshold, gini, nl, posl, nr, posr).
+    */
+  def bestStump(labeled: DataFrame, nf: Int, bins: Int): DataFrame = {
+    require(nf >= 1 && bins >= 2 && bins <= 1024)
+    val lf = labeled.select(col("label").cast("long").as("label"),
+      posexplode(array((0 until nf).map(i => col(s"f$i").cast("double")): _*)))
+      .toDF("label", "feature", "v")
+      .filter(col("v").isNotNull)
+    val ranges = lf.groupBy("feature")
+      .agg(min("v").as("lo"), max("v").as("hi"))
+      .withColumn("w", (col("hi") - col("lo")) / lit(bins.toDouble))
+    val hist = lf.join(broadcast(ranges), Seq("feature"))
+      .select(col("feature"), col("label"),
+        when(col("w") > 0,
+          least(greatest(floor((col("v") - col("lo")) / col("w")), lit(0.0)),
+            lit((bins - 1).toDouble)).cast("long"))
+          .otherwise(lit(0L)).as("bin"))
+      .groupBy("feature", "bin")
+      .agg(count(lit(1)).as("n"), sum("label").as("pos"))
+    val wCum = Window.partitionBy("feature").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("feature")
+    val cand = hist
+      .withColumn("nl", sum("n").over(wCum))
+      .withColumn("pl", sum("pos").over(wCum))
+      .withColumn("nt", sum("n").over(wAll))
+      .withColumn("pt", sum("pos").over(wAll))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("pr", col("pt") - col("pl"))
+      .filter(col("nl") > 0 && col("nr") > 0)
+    val d = (c: Column) => c.cast("double")
+    val g = (d(col("nl")) - (d(col("pl")) * d(col("pl"))
+        + d(col("nl") - col("pl")) * d(col("nl") - col("pl"))) / d(col("nl"))
+      + d(col("nr")) - (d(col("pr")) * d(col("pr"))
+        + d(col("nr") - col("pr")) * d(col("nr") - col("pr"))) / d(col("nr"))) / d(col("nt"))
+    cand
+      .join(broadcast(ranges.select(col("feature"), col("lo"), col("w"))), Seq("feature"))
+      .select(col("feature"), col("bin"),
+        (col("lo") + (d(col("bin")) + lit(1.0)) * col("w")).as("threshold"),
+        (floor(g * lit(1e6) + lit(0.5)) / lit(1e6)).as("gini"),
+        col("nl"), col("pl").as("posl"), col("nr"), col("pr").as("posr"))
+      .orderBy(col("gini"), col("feature"), col("bin"))
+      .limit(1)
+      .select(col("feature"), col("threshold"), col("gini"),
+        col("nl"), col("posl"), col("nr"), col("posr"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+
+    // Best decision stump over three event features (value, hour, props
+    // length) predicting event_type = 'purchase' — histogram split
+    // finding with 64 bins per feature (see bestStump). One row out: the
+    // winning (feature, threshold) and its exact split counts.
+    GraftQuery(
+      "q_stump",
+      (s, dir) => bestStump(
+        Tables(s, dir, "events").select(
+          (col("event_type") === "purchase").cast("int").as("label"),
+          col("value").as("f0"),
+          hour(col("ts")).cast("double").as("f1"),
+          length(col("props")).cast("double").as("f2")),
+        nf = 3, bins = 64),
+      Some("""WITH lf AS (
+             |  SELECT CAST(event_type = 'purchase' AS BIGINT) AS label,
+             |    f.feature, f.v
+             |  FROM events, LATERAL (VALUES
+             |    (0, value),
+             |    (1, CAST(hour(ts) AS DOUBLE)),
+             |    (2, CAST(length(props) AS DOUBLE))) AS f(feature, v)
+             |  WHERE f.v IS NOT NULL),
+             |rg AS (
+             |  SELECT feature, min(v) AS lo, max(v) AS hi,
+             |    (max(v) - min(v)) / CAST(64 AS DOUBLE) AS w
+             |  FROM lf GROUP BY 1),
+             |hist AS (
+             |  SELECT l.feature,
+             |    CASE WHEN r.w > 0 THEN CAST(least(greatest(
+             |      floor((l.v - r.lo) / r.w), CAST(0 AS DOUBLE)),
+             |      CAST(63 AS DOUBLE)) AS BIGINT) ELSE 0 END AS bin,
+             |    count(*) AS n, CAST(sum(l.label) AS BIGINT) AS pos
+             |  FROM lf l JOIN rg r USING (feature) GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT feature, bin,
+             |    CAST(sum(n) OVER wc AS BIGINT) AS nl,
+             |    CAST(sum(pos) OVER wc AS BIGINT) AS pl,
+             |    CAST(sum(n) OVER wa AS BIGINT) AS nt,
+             |    CAST(sum(pos) OVER wa AS BIGINT) AS pt
+             |  FROM hist
+             |  WINDOW wc AS (PARTITION BY feature ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wa AS (PARTITION BY feature)),
+             |scored AS (
+             |  SELECT feature, bin, nl, pl, nt - nl AS nr, pt - pl AS pr,
+             |    floor((
+             |      CAST(nl AS DOUBLE)
+             |        - (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+             |           + CAST(nl - pl AS DOUBLE) * CAST(nl - pl AS DOUBLE))
+             |          / CAST(nl AS DOUBLE)
+             |      + CAST(nt - nl AS DOUBLE)
+             |        - (CAST(pt - pl AS DOUBLE) * CAST(pt - pl AS DOUBLE)
+             |           + CAST((nt - nl) - (pt - pl) AS DOUBLE) * CAST((nt - nl) - (pt - pl) AS DOUBLE))
+             |          / CAST(nt - nl AS DOUBLE)
+             |    ) / CAST(nt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
+             |  FROM cand WHERE nl > 0 AND nt - nl > 0)
+             |SELECT s.feature, r.lo + (CAST(s.bin AS DOUBLE) + 1.0) * r.w AS threshold,
+             |  s.gini, s.nl, s.pl AS posl, s.nr, s.pr AS posr
+             |FROM scored s JOIN rg r USING (feature)
+             |ORDER BY s.gini, s.feature, s.bin LIMIT 1""".stripMargin),
+    ),
+
     GraftQuery(
       "q_ml_score",
       (s, dir) => {

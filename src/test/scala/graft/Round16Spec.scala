@@ -185,6 +185,56 @@ class Round16Spec extends SparkSuite {
     assert(Analytics.kaplanMeier(none).collect().isEmpty)
   }
 
+  test("jaro_winkler_micros: literature goldens, boost threshold, prefix cap") {
+    import graft.functions.JaroWinklerFunctions.jwMicros
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = jwMicros(u(a), u(b))
+    assert(jw("MARTHA", "MARHTA") == 961111)   // Winkler's own example
+    assert(jw("DWAYNE", "DUANE") == 840000)
+    assert(jw("DIXON", "DICKSONX") == 813333)
+    // jaro = 2/3 < 0.7: the strict boost threshold must NOT fire despite
+    // the 4-char common prefix
+    assert(jw("abcdxxxx", "abcdyyyy") == 666667)
+    // 6-char common prefix capped at 4: jaro 23/24, jw 0.975 exactly
+    assert(jw("aaaaaabc", "aaaaaacb") == 975000)
+    assert(jw("", "abc") == 0 && jw("", "") == 0 && jw("ab", "ba") == 0)
+    assert(jw("same", "same") == 1000000)
+    // symmetry on an asymmetric-length pair
+    assert(jw("DIXON", "DICKSONX") == jw("DICKSONX", "DIXON"))
+  }
+
+  test("jaroWinklerJoin: finds planted near-duplicates, never the cross product") {
+    val parts = Seq(
+      (1L, "red widget"), (2L, "red widgit"), (3L, "red bolt"),
+      (4L, "blue widget"), (5L, "blue widget"),
+    ).toDF("p_partkey", "p_name")
+    val got = graft.operators.Dedup
+      .jaroWinklerJoin(parts, "p_partkey", "p_name", 900000L)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // (1,2) typo pair and (4,5) exact pair; (1,3)/(2,3) same block but low
+    // score; (1,4) crosses blocks and must never be priced
+    assert(got.toSeq == Seq((1L, 2L), (4L, 5L)))
+  }
+
+  test("bestStump: picks the perfect separator with deterministic tie-break") {
+    // f0 separates classes perfectly (0s at 1..4, 1s at 11..14); f1 is
+    // constant (zero-width grid -> all one bin -> no valid split)
+    val rows = (Seq(1.0, 2.0, 3.0, 4.0).map((_, 0)) ++
+      Seq(11.0, 12.0, 13.0, 14.0).map((_, 1)))
+      .map { case (v, l) => (l, v, 5.0) }.toDF("label", "f0", "f1")
+    val r = graft.operators.Ml.bestStump(rows, nf = 2, bins = 64).collect()(0)
+    assert(r.getAs[Int]("feature") == 0)
+    assert(r.getAs[Double]("gini") == 0.0)
+    assert(r.getAs[Long]("nl") == 4 && r.getAs[Long]("posl") == 0)
+    assert(r.getAs[Long]("nr") == 4 && r.getAs[Long]("posr") == 4)
+    // lowest clean bin wins the tie: v=4 lands in bin 14 of the
+    // [1,14]/64 grid, so threshold = 1 + 15*(13/64)
+    assert(math.abs(r.getAs[Double]("threshold") - (1.0 + 15.0 * 13.0 / 64)) < 1e-12)
+    // the split actually separates: everything <= threshold is class 0
+    assert(4.0 <= r.getAs[Double]("threshold") && 11.0 > r.getAs[Double]("threshold"))
+  }
+
   test("randomProjection: no shuffle in the plan (map-side only)") {
     val emb = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val plan = Similarity.randomProjection(emb, 8)
