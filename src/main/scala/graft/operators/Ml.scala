@@ -217,7 +217,96 @@ object Ml {
         col("nl"), col("posl"), col("nr"), col("posr"))
   }
 
+  /** Contingency-table feature scores — χ² independence statistic and
+    * mutual information between a categorical feature X and a bucketed
+    * value Y, the two classic filter-method feature selectors. One
+    * partial-aggregated groupBy builds the O_xy table; margins come from
+    * two window sums over the |X|·|Y|-row table (constants, not corpus-
+    * scaled).
+    *
+    * Float discipline: every cell term is ONE double expression over
+    * exact-int operands, quantized to micros at the CELL, then summed as
+    * exact BIGINTs (a raw double sum would be accumulation-order-
+    * dependent — the one nondeterminism this repo never ships). χ² cell:
+    * (O − E)²/E with E = rx·cy/n evaluated as the identical IEEE tree
+    * both engines; MI cell log-ratio: ln(O/n) − ln(rx/n) − ln(cy/n)
+    * (the q_kl_source form — products like O·n would outgrow 2⁵³ at
+    * corpus scale, differences of lns do not), weighted by exact O and
+    * floor-divided by n once at the end. Output: one row per X with its
+    * partial sums — (x, n_x, chi2_part, mi_part).
+    */
+  def contingencyScores(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val o = df.select(xCol.as("x"), yCol.as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("o"))
+    val wx = Window.partitionBy("x")
+    val wy = Window.partitionBy("y")
+    val wn = Window.partitionBy()
+    val d = (c: Column) => c.cast("double")
+    val cells = o
+      .withColumn("rx", sum("o").over(wx))
+      .withColumn("cy", sum("o").over(wy))
+      .withColumn("n", sum("o").over(wn))
+      .withColumn("e", d(col("rx")) * d(col("cy")) / d(col("n")))
+      .withColumn("chi2c",
+        floor((d(col("o")) - col("e")) * (d(col("o")) - col("e")) / col("e")
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("lr",
+        floor((log(d(col("o")) / d(col("n"))) - log(d(col("rx")) / d(col("n")))
+          - log(d(col("cy")) / d(col("n")))) * lit(1e6) + lit(0.5)).cast("long"))
+    cells.groupBy("x")
+      .agg(max("rx").as("n_x"),
+        sum("chi2c").as("c2"),
+        sum(col("o") * col("lr")).as("ml"),
+        max("n").as("nn"))
+      .select(col("x"), col("n_x"),
+        (d(col("c2")) / lit(1e6)).as("chi2_part"),
+        (floor(d(col("ml")) / d(col("nn"))).cast("long").cast("double")
+          / lit(1e6)).as("mi_part"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+
+    // χ² and mutual information between event_type and the value decile
+    // (50-wide buckets over [0, 500]) — the two filter-method feature
+    // selectors from one contingency pass (see contingencyScores).
+    GraftQuery(
+      "q_feature_scores",
+      (s, dir) => contingencyScores(Tables(s, dir, "events"),
+          col("event_type"),
+          least(greatest(floor(col("value") / lit(50.0)), lit(0.0)), lit(9.0))
+            .cast("long"))
+        .orderBy("x"),
+      Some("""WITH o AS (
+             |  SELECT event_type AS x,
+             |    CAST(least(greatest(floor(value / 50.0), CAST(0 AS DOUBLE)),
+             |      CAST(9 AS DOUBLE)) AS BIGINT) AS y,
+             |    count(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |cells AS (
+             |  SELECT x, o,
+             |    CAST(sum(o) OVER (PARTITION BY x) AS BIGINT) AS rx,
+             |    CAST(sum(o) OVER (PARTITION BY y) AS BIGINT) AS cy,
+             |    CAST(sum(o) OVER () AS BIGINT) AS n
+             |  FROM o),
+             |t AS (
+             |  SELECT x, o, rx, n,
+             |    CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+             |    CAST(floor((ln(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+             |      - ln(CAST(rx AS DOUBLE) / CAST(n AS DOUBLE))
+             |      - ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6 + 0.5)
+             |      AS BIGINT) AS lr
+             |  FROM cells),
+             |c2 AS (
+             |  SELECT x, o, rx, n, lr,
+             |    CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+             |      * 1e6 + 0.5) AS BIGINT) AS chi2c
+             |  FROM t)
+             |SELECT x, max(rx) AS n_x,
+             |  CAST(sum(chi2c) AS DOUBLE) / 1e6 AS chi2_part,
+             |  CAST(CAST(floor(CAST(sum(o * lr) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+             |    AS BIGINT) AS DOUBLE) / 1e6 AS mi_part
+             |FROM c2 GROUP BY x ORDER BY x""".stripMargin),
+    ),
 
     // Best decision stump over three event features (value, hour, props
     // length) predicting event_type = 'purchase' — histogram split

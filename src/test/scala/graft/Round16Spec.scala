@@ -235,6 +235,27 @@ class Round16Spec extends SparkSuite {
     assert(4.0 <= r.getAs[Double]("threshold") && 11.0 > r.getAs[Double]("threshold"))
   }
 
+  test("contingencyScores: 2x2 golden — chi2 = 20 exactly, MI via scalar replay") {
+    // a: 30 of y=0, 10 of y=1; b: the mirror. All E = 20, so
+    // chi2 = 4 * (10^2/20) = 20 (10 per cell, 20 per class)
+    val rows = (Seq.fill(30)(("a", 0L)) ++ Seq.fill(10)(("a", 1L)) ++
+      Seq.fill(10)(("b", 0L)) ++ Seq.fill(30)(("b", 1L))).toDF("x", "y")
+    val got = graft.operators.Ml.contingencyScores(rows, col("x"), col("y"))
+      .orderBy("x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    def lr(o: Double) = math.floor(
+      (math.log(o / 80) - math.log(40.0 / 80) - math.log(40.0 / 80)) * 1e6 + 0.5).toLong
+    val mi = math.floor((30 * lr(30) + 10 * lr(10)).toDouble / 80).toLong / 1e6
+    assert(got.toSeq == Seq(("a", 40L, 10.0, mi), ("b", 40L, 10.0, mi)))
+    assert(mi > 0)
+    // independence: uniform cells -> chi2 = 0 and MI = 0 (lr = ln 1 = 0)
+    val ind = (Seq.fill(10)(("a", 0L)) ++ Seq.fill(10)(("a", 1L)) ++
+      Seq.fill(10)(("b", 0L)) ++ Seq.fill(10)(("b", 1L))).toDF("x", "y")
+    val g2 = graft.operators.Ml.contingencyScores(ind, col("x"), col("y"))
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(g2.forall(_ == ((0.0, 0.0))))
+  }
+
   test("randomProjection: no shuffle in the plan (map-side only)") {
     val emb = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val plan = Similarity.randomProjection(emb, 8)
