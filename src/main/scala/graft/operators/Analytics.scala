@@ -48,6 +48,54 @@ object Analytics {
             * lit(1e6) + lit(0.5)) / lit(1e6)).as("survival"))
   }
 
+  /** Single change-point detection by binary segmentation: over a series
+    * of (t, p) points, pick the split minimizing SSE_left + SSE_right
+    * (the first step of the classic binary-segmentation recursion, and
+    * the variance twin of [[Ml.bestStump]]'s Gini split). Both prefix
+    * moments come from ONE cumulative window over the series — candidates
+    * are every interior boundary, so the scan is O(|series|), which is
+    * grid-bounded (hours), not row-bounded.
+    *
+    * Determinism: p must be an exact integer series (quantize upstream);
+    * prefix Σp and Σp² are exact BIGINTs, each candidate's cost
+    * SSE = (S2_L − S_L²/n_L) + (S2_R − S_R²/n_R) is one double
+    * expression over exact-int operands, micro-quantized; argmin
+    * tie-break (cost, t). Output: one row (t, cost, mean_l, mean_r) —
+    * t is the first point of the RIGHT segment, means floored to micros.
+    */
+  def changePoint(series: DataFrame, tCol: String, pCol: String): DataFrame = {
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val d = (c: Column) => c.cast("double")
+    val pre = series.select(col(tCol).as("t"), col(pCol).cast(LongType).as("p"))
+      .withColumn("nl", count(lit(1)).over(wCum))
+      .withColumn("sl", sum("p").over(wCum))
+      .withColumn("s2l", sum(col("p") * col("p")).over(wCum))
+      .withColumn("nt", count(lit(1)).over(wAll))
+      .withColumn("st", sum("p").over(wAll))
+      .withColumn("s2t", sum(col("p") * col("p")).over(wAll))
+      // split AFTER this row; drop the last (empty right segment)
+      .filter(col("nl") < col("nt"))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("sr", col("st") - col("sl"))
+      .withColumn("s2r", col("s2t") - col("s2l"))
+    val cost =
+      (d(col("s2l")) - d(col("sl")) * d(col("sl")) / d(col("nl"))) +
+      (d(col("s2r")) - d(col("sr")) * d(col("sr")) / d(col("nr")))
+    val nextT = lead("t", 1).over(Window.orderBy("t"))
+    pre
+      .withColumn("split_t", nextT)
+      .select(col("split_t").as("t"),
+        (floor(cost * lit(1e6) + lit(0.5)) / lit(1e6)).as("cost"),
+        (floor(d(col("sl")) / d(col("nl")) * lit(1e6)).cast(LongType)
+          .cast("double") / lit(1e6)).as("mean_l"),
+        (floor(d(col("sr")) / d(col("nr")) * lit(1e6)).cast(LongType)
+          .cast("double") / lit(1e6)).as("mean_r"))
+      .orderBy("cost", "t")
+      .limit(1)
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // Kaplan–Meier survival curve (product-limit estimator), the classic
@@ -127,6 +175,47 @@ object Analytics {
              |    ELSE floor(exp(CAST(cum_lf AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
              |  END AS survival
              |FROM fin ORDER BY t""".stripMargin),
+    ),
+
+    // Change-point over the hourly revenue series: events quantized to
+    // integer cents, summed per hour (exact BIGINTs), then the
+    // binary-segmentation split minimizing total within-segment SSE
+    // (see changePoint). One row out: the detected boundary hour.
+    GraftQuery(
+      "q_changepoint",
+      (s, dir) => changePoint(
+        Tables(s, dir, "events")
+          .select(date_trunc("hour", col("ts")).as("h"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("c"))
+          .groupBy("h").agg(sum("c").as("p")),
+        "h", "p"),
+      Some("""WITH hr AS (
+             |  SELECT date_trunc('hour', ts) AS t,
+             |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS p
+             |  FROM events GROUP BY 1),
+             |pre AS (
+             |  SELECT t, p,
+             |    CAST(count(*) OVER wc AS BIGINT) AS nl,
+             |    CAST(sum(p) OVER wc AS BIGINT) AS sl,
+             |    CAST(sum(p * p) OVER wc AS BIGINT) AS s2l,
+             |    CAST(count(*) OVER wa AS BIGINT) AS nt,
+             |    CAST(sum(p) OVER wa AS BIGINT) AS st,
+             |    CAST(sum(p * p) OVER wa AS BIGINT) AS s2t,
+             |    lead(t, 1) OVER (ORDER BY t) AS split_t
+             |  FROM hr
+             |  WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wa AS ()),
+             |cand AS (
+             |  SELECT split_t AS t, nl, sl, s2l, nt - nl AS nr, st - sl AS sr,
+             |    s2t - s2l AS s2r
+             |  FROM pre WHERE nl < nt)
+             |SELECT t,
+             |  floor(((CAST(s2l AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+             |    + (CAST(s2r AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)))
+             |    * 1e6 + 0.5) / 1e6 AS cost,
+             |  CAST(CAST(floor(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS mean_l,
+             |  CAST(CAST(floor(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS mean_r
+             |FROM cand ORDER BY cost, t LIMIT 1""".stripMargin),
     ),
 
     // Per-group OLS trend fit: SQL-standard regr_slope/intercept/r2 of

@@ -256,6 +256,21 @@ class Round16Spec extends SparkSuite {
     assert(g2.forall(_ == ((0.0, 0.0))))
   }
 
+  test("changePoint: finds a planted level shift exactly") {
+    // two flat segments -> within-segment SSE is 0 only at the true split
+    val series = ((1 to 10).map(t => (t.toLong, 100L)) ++
+      (11 to 20).map(t => (t.toLong, 500L))).toDF("t", "p")
+    val r = Analytics.changePoint(series, "t", "p").collect()(0)
+    assert(r.getLong(0) == 11L)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 100.0 && r.getDouble(3) == 500.0)
+    // noisy variant: split stays at the boundary, cost now > 0
+    val noisy = ((1 to 10).map(t => (t.toLong, 100L + (t % 3))) ++
+      (11 to 20).map(t => (t.toLong, 500L + (t % 3)))).toDF("t", "p")
+    val r2 = Analytics.changePoint(noisy, "t", "p").collect()(0)
+    assert(r2.getLong(0) == 11L && r2.getDouble(1) > 0.0)
+  }
+
   test("randomProjection: no shuffle in the plan (map-side only)") {
     val emb = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val plan = Similarity.randomProjection(emb, 8)
