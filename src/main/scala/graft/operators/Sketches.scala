@@ -140,18 +140,22 @@ object Sketches {
     * (row, bucket, cnt) table and every estimate replay exactly in
     * DuckDB. Returns the sketch table (row, bucket, cnt).
     */
-  def countMin(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+  /** The key's `depth` bucket coordinates — one per hash row — shared by
+    * the batch build, the probe side, and the streaming register
+    * maintenance ([[graft.streaming.CorpusStream.streamingCountMin]]). */
+  private[graft] def cmsBucketArray(key: Column, depth: Int, width: Int): Column = {
     require(depth >= 1 && depth <= 8 && width >= 2,
       s"need 1<=depth<=8, width>=2; got depth=$depth width=$width")
-    val rows = (0 until depth).map { i =>
-      (hash48(concat(lit(s"${i}_"), col(keyCol).cast("string"))) % width)
-        .as(s"b$i")
-    }
+    array((0 until depth).map { i =>
+      hash48(concat(lit(s"${i}_"), key.cast("string"))) % width
+    }: _*)
+  }
+
+  def countMin(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame =
     df.filter(col(keyCol).isNotNull)
-      .select(posexplode(array(rows: _*)))
+      .select(posexplode(cmsBucketArray(col(keyCol), depth, width)))
       .toDF("row", "bucket")
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
-  }
 
   /** Point estimates from a [[countMin]] sketch for every key in `probe`:
     * est = min over the key's `depth` counters; guaranteed ≥ the true
@@ -159,16 +163,12 @@ object Sketches {
     * probe pays one map-side join, no shuffle of the probe keys.
     */
   def countMinEstimate(sketch: DataFrame, probe: DataFrame, keyCol: String,
-      depth: Int, width: Int): DataFrame = {
-    val rows = (0 until depth).map { i =>
-      (hash48(concat(lit(s"${i}_"), col(keyCol).cast("string"))) % width)
-        .as(s"b$i")
-    }
-    probe.select(col(keyCol).as("key"), posexplode(array(rows: _*)))
+      depth: Int, width: Int): DataFrame =
+    probe.select(col(keyCol).as("key"),
+        posexplode(cmsBucketArray(col(keyCol), depth, width)))
       .toDF("key", "row", "bucket")
       .join(broadcast(sketch), Seq("row", "bucket"))
       .groupBy("key").agg(min("cnt").as("est"))
-  }
 
   val queries: Seq[GraftQuery] = Seq(
 

@@ -150,4 +150,27 @@ object CorpusStream {
     docs.withColumn("avg_nll", score(col("text")))
       .filter(col("avg_nll").isNull || col("avg_nll") <= maxAvgNll)
   }
+
+  /** Streaming count–min registers: maintain the depth×width counter
+    * table of [[graft.operators.Sketches.countMin]] over an unbounded
+    * key stream. The state IS the sketch — exactly depth·width rows no
+    * matter how many distinct keys flow through, which is the entire
+    * point: a streaming per-key `groupBy(key).count()` carries unbounded
+    * state and needs watermark eviction (losing old keys), while the CMS
+    * registers answer frequency point queries over the WHOLE stream
+    * history in O(d·w) state with the usual overestimate-only error.
+    * Identical bucket coordinates to the batch build (shared
+    * `cmsBucketArray`), so a snapshot of the streaming state equals the
+    * batch sketch of the same prefix row-for-row, and batch-side
+    * [[graft.operators.Sketches.countMinEstimate]] probes it unchanged.
+    * Run under Update/Complete output; pair with foreachBatch to publish
+    * register snapshots.
+    */
+  def streamingCountMin(keyed: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    keyed.filter(col(keyCol).isNotNull)
+      .select(posexplode(
+        graft.operators.Sketches.cmsBucketArray(col(keyCol), depth, width)))
+      .toDF("row", "bucket")
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
 }

@@ -96,4 +96,42 @@ class StreamOpsSpec extends SparkSuite {
       assert(rows("b")._3.isEmpty)
     } finally q.stop()
   }
+
+  test("streamingCountMin: registers equal the batch sketch of the same prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val regs = graft.streaming.CorpusStream
+      .streamingCountMin(input.toDF().toDF("k"), "k", depth = 3, width = 16)
+    val q = regs.writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val batch1 = Seq("a", "a", "b", "c")
+      val batch2 = Seq("a", "d", "d", "e", "b")
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("cms_out").orderBy("row", "bucket").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      // the streaming state after both batches must equal the BATCH sketch
+      // of the concatenated prefix, register for register
+      val expect = graft.operators.Sketches
+        .countMin((batch1 ++ batch2).toDF("k"), "k", 3, 16)
+        .orderBy("row", "bucket").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect)
+      // state is the register table: never more than depth*width rows
+      assert(got.size <= 3 * 16)
+      // and batch-side point estimates off the streaming registers dominate
+      // the true counts (overestimate-only)
+      val snap = spark.table("cms_out")
+      val exact = (batch1 ++ batch2).groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      val est = graft.operators.Sketches
+        .countMinEstimate(snap, exact.keys.toSeq.toDF("key"), "key", 3, 16)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      exact.foreach { case (k, c) => assert(est(k) >= c, s"key $k: ${est(k)} < $c") }
+    } finally q.stop()
+  }
 }
