@@ -264,7 +264,88 @@ object Ml {
           / lit(1e6)).as("mi_part"))
   }
 
+  /** Weighted isotonic regression over a bucketed axis by the max-min
+    * identity: the PAV fit at bucket i is
+    * f_i = max_{j ≤ i} min_{k ≥ i} avg(y over buckets [j, k]) — the
+    * closed form of pool-adjacent-violators (Robertson et al. 1988), which
+    * needs no sequential pooling loop and so lowers to three tiny joins.
+    * `bins` carries (i, n, np): bucket index, weight, positive count.
+    *
+    * Scale shape: the corpus-sized work happened UPSTREAM (the groupBy
+    * that built the buckets); everything here is O(B³) on the B-row
+    * bucket table via prefix sums → all (j,k) window averages → per-i
+    * min-then-max — B is a calibration grid (≤ a few hundred), so the
+    * cubic is constant work. Window averages are doubles of exact-int
+    * sums (identical IEEE division both engines); min/max never mix
+    * values from different expressions, so ordering is deterministic;
+    * the fit is micro-quantized only at output.
+    * Output: (i, n, frac_pos, iso) with iso nondecreasing in i.
+    */
+  def isotonicFit(bins: DataFrame): DataFrame = {
+    val wCum = Window.orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = (c: Column) => c.cast("double")
+    val pre = bins
+      .withColumn("cw", sum("n").over(wCum))
+      .withColumn("cs", sum("np").over(wCum))
+      .localCheckpoint(false) // B rows; feeds three legs
+    val lo = pre.select(col("i").as("j"),
+      (col("cw") - col("n")).as("w0"), (col("cs") - col("np")).as("s0"))
+    val hi = pre.select(col("i").as("k"), col("cw").as("w1"), col("cs").as("s1"))
+    val pairs = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        (d(col("s1") - col("s0")) / d(col("w1") - col("w0"))).as("avg"))
+    val m = pre.select(col("i")).join(pairs, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min("avg").as("mn"))
+      .groupBy("i").agg(max("mn").as("f"))
+    pre.select(col("i"), col("n"), col("np")).join(m, Seq("i"))
+      .select(col("i"), col("n"),
+        (floor(d(col("np")) / d(col("n")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("frac_pos"),
+        (floor(col("f") * lit(1e6) + lit(0.5)) / lit(1e6)).as("iso"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
+
+    // Isotonic (PAV) probability calibration of the frozen scorer on a
+    // 20-bucket score grid — the monotone recalibration map production
+    // scorers ship next to the Platt-style q_calibration diagnostic.
+    // Fit by the max-min identity (see isotonicFit).
+    GraftQuery(
+      "q_isotonic",
+      (s, dir) => isotonicFit(
+        scoredEvents(s, dir)
+          .withColumn("i", least(floor(col("sq") / lit(500L)), lit(19L)))
+          .groupBy("i").agg(count(lit(1)).as("n"),
+            sum(when(col("label") === "FRAUD", 1L).otherwise(0L)).as("np")))
+        .orderBy("i"),
+      Some(s"""WITH $scoredSql,
+              |bins AS (
+              |  SELECT least(CAST(floor(sq / 500) AS BIGINT), 19) AS i,
+              |    count(*) AS n,
+              |    CAST(sum(CASE WHEN label = 'FRAUD' THEN 1 ELSE 0 END) AS BIGINT) AS np
+              |  FROM scored GROUP BY 1),
+              |pre AS (
+              |  SELECT i, n, np,
+              |    CAST(sum(n) OVER wc AS BIGINT) AS cw,
+              |    CAST(sum(np) OVER wc AS BIGINT) AS cs
+              |  FROM bins
+              |  WINDOW wc AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |pairs AS (
+              |  SELECT a.i AS j, b.i AS k,
+              |    CAST(b.cs - (a.cs - a.np) AS DOUBLE)
+              |      / CAST(b.cw - (a.cw - a.n) AS DOUBLE) AS avg
+              |  FROM pre a JOIN pre b ON a.i <= b.i),
+              |m AS (
+              |  SELECT p.i, pr.j, min(pr.avg) AS mn
+              |  FROM pre p JOIN pairs pr ON pr.j <= p.i AND pr.k >= p.i
+              |  GROUP BY 1, 2),
+              |f AS (SELECT i, max(mn) AS f FROM m GROUP BY 1)
+              |SELECT p.i, p.n,
+              |  floor(CAST(p.np AS DOUBLE) / CAST(p.n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_pos,
+              |  floor(f.f * 1e6 + 0.5) / 1e6 AS iso
+              |FROM pre p JOIN f ON f.i = p.i
+              |ORDER BY p.i""".stripMargin),
+    ),
 
     // χ² and mutual information between event_type and the value decile
     // (50-wide buckets over [0, 500]) — the two filter-method feature

@@ -271,6 +271,30 @@ class Round16Spec extends SparkSuite {
     assert(r2.getLong(0) == 11L && r2.getDouble(1) > 0.0)
   }
 
+  test("isotonicFit: PAV textbook pools, monotone output, weighted merge") {
+    // frac sequence .2 .6 .4: the violator (.6,.4) pools to .5 -> fit .2 .5 .5
+    val bins = Seq((0L, 10L, 2L), (1L, 10L, 6L), (2L, 10L, 4L)).toDF("i", "n", "np")
+    val got = graft.operators.Ml.isotonicFit(bins).orderBy("i").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq == Seq((0L, 0.2), (1L, 0.5), (2L, 0.5)))
+    // weighted: (.6 w=30) vs (.4 w=10) pools to (18+4)/40 = .55
+    val wtd = Seq((0L, 30L, 18L), (1L, 10L, 4L)).toDF("i", "n", "np")
+    val g2 = graft.operators.Ml.isotonicFit(wtd).orderBy("i").collect()
+      .map(_.getDouble(3))
+    assert(g2.toSeq == Seq(0.55, 0.55))
+    // already-monotone input is a fixpoint
+    val mono = Seq((0L, 5L, 1L), (1L, 5L, 2L), (2L, 5L, 4L)).toDF("i", "n", "np")
+    val g3 = graft.operators.Ml.isotonicFit(mono).orderBy("i").collect()
+      .map(_.getDouble(3))
+    assert(g3.toSeq == Seq(0.2, 0.4, 0.8))
+    // monotonicity invariant on a longer zigzag
+    val zig = Seq((0L, 4L, 3L), (1L, 4L, 1L), (2L, 4L, 2L), (3L, 4L, 0L),
+      (4L, 4L, 4L)).toDF("i", "n", "np")
+    val g4 = graft.operators.Ml.isotonicFit(zig).orderBy("i").collect()
+      .map(_.getDouble(3))
+    assert(g4.sliding(2).forall(p => p(0) <= p(1)), g4.mkString(","))
+  }
+
   test("randomProjection: no shuffle in the plan (map-side only)") {
     val emb = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val plan = Similarity.randomProjection(emb, 8)
