@@ -28,10 +28,56 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JaroWinklerFunctions {
 
-  /** Exact Jaro–Winkler similarity in micros (0..1_000_000). */
+  /** Exact Jaro–Winkler similarity in micros (0..1_000_000). Hot path:
+    * both strings ASCII and ≤ 64 chars (every part/name corpus) runs
+    * allocation-free on the UTF8String bytes with long-bitmask match
+    * flags; anything else takes the general char-level path. Both paths
+    * compute the identical function.
+    */
   def jwMicros(ua: UTF8String, ub: UTF8String): Long = {
-    val a = ua.toString
-    val b = ub.toString
+    val n1 = ua.numBytes
+    val n2 = ub.numBytes
+    if (n1 == 0 || n2 == 0) return 0L
+    if (n1 <= 64 && n2 <= 64 && ua.numChars == n1 && ub.numChars == n2) {
+      // ASCII ≤64: bytes are chars, matched flags fit two longs
+      val win = math.max(math.max(n1, n2) / 2 - 1, 0)
+      var maskA = 0L
+      var maskB = 0L
+      var m = 0
+      var i = 0
+      while (i < n1) {
+        val ci = ua.getByte(i)
+        val hi = math.min(n2 - 1, i + win)
+        var j = math.max(0, i - win)
+        var searching = true
+        while (j <= hi && searching) {
+          if (((maskB >>> j) & 1L) == 0L && ci == ub.getByte(j)) {
+            maskA |= 1L << i; maskB |= 1L << j; m += 1; searching = false
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (m == 0) return 0L
+      var k = 0
+      var trans = 0
+      i = 0
+      while (i < n1) {
+        if (((maskA >>> i) & 1L) != 0L) {
+          while (((maskB >>> k) & 1L) == 0L) k += 1
+          if (ua.getByte(i) != ub.getByte(k)) trans += 1
+          k += 1
+        }
+        i += 1
+      }
+      var ell = 0
+      while (ell < 4 && ell < n1 && ell < n2 && ua.getByte(ell) == ub.getByte(ell))
+        ell += 1
+      finish(m, trans / 2, n1, n2, ell)
+    } else jwMicrosGeneral(ua.toString, ub.toString)
+  }
+
+  private def jwMicrosGeneral(a: String, b: String): Long = {
     val l1 = a.length
     val l2 = b.length
     if (l1 == 0 || l2 == 0) return 0L
@@ -64,12 +110,15 @@ object JaroWinklerFunctions {
       }
       i += 1
     }
-    val t = trans / 2
-    val num = m.toLong * m * (l1 + l2) + (m.toLong - t) * l1 * l2
-    val den = 3L * l1 * l2 * m
     var ell = 0
     while (ell < 4 && ell < l1 && ell < l2 && a.charAt(ell) == b.charAt(ell))
       ell += 1
+    finish(m, trans / 2, l1, l2, ell)
+  }
+
+  private def finish(m: Int, t: Int, l1: Int, l2: Int, ell: Int): Long = {
+    val num = m.toLong * m * (l1 + l2) + (m.toLong - t) * l1 * l2
+    val den = 3L * l1 * l2 * m
     val boost = ell > 0 && 10L * num > 7L * den
     val nN = if (boost) 10L * num + ell * (den - num) else num
     val nD = if (boost) 10L * den else den

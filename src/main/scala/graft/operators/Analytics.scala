@@ -218,6 +218,76 @@ object Analytics {
              |FROM cand ORDER BY cost, t LIMIT 1""".stripMargin),
     ),
 
+    // SAX symbolization (Lin et al. 2003) of each user's daily-spend
+    // series: integer-cent daily totals → per-user z-normalization →
+    // 5-day PAA segment means → symbols from the standard Gaussian
+    // breakpoints for alphabet 4 (−0.6745, 0, 0.6745). The symbol table
+    // is what a 100 TB motif/anomaly pipeline indexes instead of raw
+    // series: two user-keyed partial aggregates and a broadcast-joined
+    // stats frame, output bounded by users × segments. All moments are
+    // exact BIGINT cent sums; z is ONE double expression (the q_agg_ucl
+    // sqrt pattern); a flat series (σ = 0) maps to 'c' (z = 0) by
+    // convention.
+    GraftQuery(
+      "q_sax",
+      (s, dir) => {
+        val daily = Tables(s, dir, "events")
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast(LongType).as("d"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("c"))
+          .groupBy("user_id", "d").agg(sum("c").as("p"))
+        val stats = daily.groupBy("user_id").agg(
+          count(lit(1)).as("nd"), sum("p").as("sp"),
+          sum(col("p") * col("p")).as("sp2"))
+        val segs = daily.withColumn("seg", (col("d") / lit(5L)).cast(LongType))
+          .groupBy("user_id", "seg")
+          .agg(count(lit(1)).as("n_days"), sum("p").as("ssum"))
+        val d = (c: Column) => c.cast("double")
+        val mu = d(col("sp")) / d(col("nd"))
+        val sd = sqrt(greatest(lit(0.0),
+          d(col("sp2")) / d(col("nd")) - (d(col("sp")) / d(col("nd"))) * (d(col("sp")) / d(col("nd")))))
+        val z = when(sd > 0, (d(col("ssum")) / d(col("n_days")) - mu) / sd)
+          .otherwise(lit(0.0))
+        segs.join(stats, Seq("user_id"))
+          .select(col("user_id"), col("seg"), col("n_days"),
+            when(z < -0.6745, "a").when(z < 0.0, "b")
+              .when(z < 0.6745, "c").otherwise("d").as("symbol"))
+          .orderBy("user_id", "seg")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id,
+             |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+             |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS p
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT user_id, count(*) AS nd,
+             |    CAST(sum(p) AS BIGINT) AS sp, CAST(sum(p * p) AS BIGINT) AS sp2
+             |  FROM daily GROUP BY 1),
+             |segs AS (
+             |  SELECT user_id, d // 5 AS seg, count(*) AS n_days,
+             |    CAST(sum(p) AS BIGINT) AS ssum
+             |  FROM daily GROUP BY 1, 2),
+             |z AS (
+             |  SELECT g.user_id, g.seg, g.n_days,
+             |    CASE WHEN sqrt(greatest(0.0,
+             |        CAST(s.sp2 AS DOUBLE) / CAST(s.nd AS DOUBLE)
+             |        - (CAST(s.sp AS DOUBLE) / CAST(s.nd AS DOUBLE))
+             |          * (CAST(s.sp AS DOUBLE) / CAST(s.nd AS DOUBLE)))) > 0
+             |      THEN (CAST(g.ssum AS DOUBLE) / CAST(g.n_days AS DOUBLE)
+             |        - CAST(s.sp AS DOUBLE) / CAST(s.nd AS DOUBLE))
+             |        / sqrt(greatest(0.0,
+             |          CAST(s.sp2 AS DOUBLE) / CAST(s.nd AS DOUBLE)
+             |          - (CAST(s.sp AS DOUBLE) / CAST(s.nd AS DOUBLE))
+             |            * (CAST(s.sp AS DOUBLE) / CAST(s.nd AS DOUBLE))))
+             |      ELSE 0.0 END AS z
+             |  FROM segs g JOIN stats s USING (user_id))
+             |SELECT user_id, seg, n_days,
+             |  CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+             |       WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+             |FROM z ORDER BY user_id, seg""".stripMargin),
+    ),
+
     // Per-group OLS trend fit: SQL-standard regr_slope/intercept/r2 of
     // value on days-since-epoch-origin — the drift detector every metrics
     // warehouse runs. One partial-aggregated groupBy (regr_* state is 6

@@ -1295,13 +1295,32 @@ object Dedup {
     JaroWinklerMicros.register(df.sparkSession)
     val p = df.select(col(idCol).as("id"), col(nameCol).as("nm"),
       split(col(nameCol), " ").getItem(0).as("__blk"))
-    p.select(col("__blk"), col("id").as("a"), col("nm").as("na"))
-      .join(p.select(col("__blk"), col("id").as("b"), col("nm").as("nb")),
-        Seq("__blk"))
-      .filter(col("a") < col("b"))
+    // kernel work runs on DISTINCT names, not ids: with name multiplicity
+    // k the naive id-level join prices k² copies of every string pair —
+    // measured 100× wasted kernel mass on the sf0.1 fixture (20k parts,
+    // ~2k distinct names). Matched NAME pairs (plus identical-name
+    // groups, jw = 10⁶ by definition) expand back to id pairs through
+    // hash joins, so the output mass is paid exactly once, in the join
+    // that produces it.
+    val d = p.select("__blk", "nm").distinct()
+    val namePairs = d.select(col("__blk"), col("nm").as("na"))
+      .join(d.select(col("__blk"), col("nm").as("nb")), Seq("__blk"))
+      .filter(col("na") < col("nb"))
       .withColumn("jw", expr("jaro_winkler_micros(na, nb)"))
       .filter(col("jw") >= minMicros)
-      .select("a", "b", "jw")
+      .select("na", "nb", "jw")
+    val cross = namePairs
+      .join(p.select(col("nm").as("na"), col("id").as("ia")), Seq("na"))
+      .join(p.select(col("nm").as("nb"), col("id").as("ib")), Seq("nb"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("jw"))
+    val same = p.select(col("nm"), col("id").as("ia"))
+      .join(p.select(col("nm"), col("id").as("ib")), Seq("nm"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("a"), col("ib").as("b"),
+        lit(1000000L).as("jw"))
+      .filter(lit(minMicros) <= 1000000L)
+    cross.unionByName(same)
   }
 
   val queries: Seq[GraftQuery] = Seq(

@@ -203,6 +203,36 @@ class Round16Spec extends SparkSuite {
     assert(jw("DIXON", "DICKSONX") == jw("DICKSONX", "DIXON"))
   }
 
+  test("jaro_winkler_micros: bitmask fast path equals the general path") {
+    import graft.functions.JaroWinklerFunctions.jwMicros
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // force the general path with a 65-char twin of each string: padding
+    // both sides with the same 50-char suffix keeps them comparable pairs
+    val pad = "z" * 60
+    val pairs = Seq(
+      ("martha", "marhta"), ("red widget", "red widgit"),
+      ("abcdxxxx", "abcdyyyy"), ("a", "b"), ("same", "same"),
+      ("small ring", "small rings"), ("x" * 64, "x" * 63 + "y"),
+    )
+    pairs.foreach { case (a, b) =>
+      val fast = jwMicros(u(a), u(b))
+      val slow = jwMicros(u(a + pad), u(b + pad)) // both on the general path
+      // the padded pair is a DIFFERENT input; equality is checked against
+      // the general kernel directly instead
+      val general = {
+        val mth = graft.functions.JaroWinklerFunctions.getClass
+          .getDeclaredMethods.find(_.getName.contains("jwMicrosGeneral")).get
+        mth.setAccessible(true)
+        mth.invoke(graft.functions.JaroWinklerFunctions, a, b)
+          .asInstanceOf[Long]
+      }
+      assert(fast == general, s"($a,$b): fast $fast vs general $general")
+      assert(slow >= 0) // padded variant exercises the >64 route
+    }
+    // non-ASCII routes to the general path and still scores
+    assert(jwMicros(u("héllo"), u("hèllo")) > 0)
+  }
+
   test("jaroWinklerJoin: finds planted near-duplicates, never the cross product") {
     val parts = Seq(
       (1L, "red widget"), (2L, "red widgit"), (3L, "red bolt"),
