@@ -96,6 +96,86 @@ object Analytics {
       .limit(1)
   }
 
+  /** Frozen 2-state HMM for [[viterbi]]: integer-micro log-probabilities
+    * (ln·10⁶, negative longs), so the whole DP is exact (max, +) integer
+    * arithmetic — no float anywhere, bit-identical across engines and
+    * partitionings by construction. State 0 = normal browsing, state 1 =
+    * risky (error-prone) episode.
+    */
+  object HmmModel {
+    val pi: Array[Long] = Array(-300000L, -1400000L)
+    // t(s)(s') — sticky states, expensive 0→1 entry
+    val t: Array[Array[Long]] = Array(
+      Array(-200000L, -1700000L),
+      Array(-900000L, -600000L))
+    val emit: Map[String, Array[Long]] = Map(
+      "view" -> Array(-1000000L, -2000000L),
+      "click" -> Array(-1200000L, -2000000L),
+      "purchase" -> Array(-2000000L, -1500000L),
+      "signup" -> Array(-2500000L, -2500000L),
+      "error" -> Array(-3500000L, -800000L))
+    val emitDefault: Array[Long] = Array(-3000000L, -3000000L)
+  }
+
+  /** Viterbi MAP decoding of each user's event-type sequence under the
+    * frozen [[HmmModel]] — the sequence-labeling primitive (session
+    * phase segmentation, risky-episode detection) as a per-key DP.
+    *
+    * Scale shape: one shuffle keys users, then each sequence decodes in
+    * ONE task with O(len) state (forward scores + backpointers) — the
+    * legitimate `flatMapGroups` case: a per-key scan with a
+    * non-commutative recurrence no fixed set of window passes expresses.
+    * The contract is the usual sessionization bound (one user's events
+    * fit a task); ordering inside the group is (ts, event_id), imposed
+    * in-task so the decode is partition- and arrival-order-invariant.
+    * Ties break to state 0 everywhere (argmax uses ≥). Output:
+    * (user_id, rn, state) for every event position.
+    */
+  def viterbi(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast(LongType), unix_micros(col("ts")),
+        col("event_id").cast(LongType), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        val seq = it.toArray.sortBy(r => (r._2, r._3))
+        val n = seq.length
+        val v0 = new Array[Long](n)
+        val v1 = new Array[Long](n)
+        val bp0 = new Array[Int](n)
+        val bp1 = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val e = HmmModel.emit.getOrElse(seq(i)._4, HmmModel.emitDefault)
+          if (i == 0) {
+            v0(0) = HmmModel.pi(0) + e(0)
+            v1(0) = HmmModel.pi(1) + e(1)
+          } else {
+            val a00 = v0(i - 1) + HmmModel.t(0)(0)
+            val a10 = v1(i - 1) + HmmModel.t(1)(0)
+            val a01 = v0(i - 1) + HmmModel.t(0)(1)
+            val a11 = v1(i - 1) + HmmModel.t(1)(1)
+            bp0(i) = if (a00 >= a10) 0 else 1
+            bp1(i) = if (a01 >= a11) 0 else 1
+            v0(i) = math.max(a00, a10) + e(0)
+            v1(i) = math.max(a01, a11) + e(1)
+          }
+          i += 1
+        }
+        val path = new Array[Int](n)
+        path(n - 1) = if (v0(n - 1) >= v1(n - 1)) 0 else 1
+        i = n - 1
+        while (i > 0) {
+          path(i - 1) = if (path(i) == 0) bp0(i) else bp1(i)
+          i -= 1
+        }
+        (0 until n).iterator.map(j => (uid, (j + 1).toLong, path(j).toLong))
+      }
+      .toDF("user_id", "rn", "state")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // Kaplan–Meier survival curve (product-limit estimator), the classic
@@ -216,6 +296,61 @@ object Analytics {
              |  CAST(CAST(floor(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS mean_l,
              |  CAST(CAST(floor(CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS mean_r
              |FROM cand ORDER BY cost, t LIMIT 1""".stripMargin),
+    ),
+
+    // Viterbi MAP state path of each user's event sequence under the
+    // frozen 2-state integer-micro HMM (see viterbi / HmmModel). The
+    // oracle replays the DP as TWO recursive CTEs — forward scores with
+    // backpointers, then the backward path walk — with every constant
+    // emitted from the same HmmModel literals the engine decodes with.
+    GraftQuery(
+      "q_viterbi",
+      (s, dir) => viterbi(Tables(s, dir, "events")).orderBy("user_id", "rn"),
+      Some {
+        val em = (HmmModel.emit.toSeq.sortBy(_._1).flatMap { case (o, e) =>
+          Seq(s"(0, '$o', ${e(0)})", s"(1, '$o', ${e(1)})")
+        }).mkString(",\n    ")
+        val Array(pi0, pi1) = HmmModel.pi
+        val (t00, t01) = (HmmModel.t(0)(0), HmmModel.t(0)(1))
+        val (t10, t11) = (HmmModel.t(1)(0), HmmModel.t(1)(1))
+        s"""WITH RECURSIVE ev AS (
+           |  SELECT user_id,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+           |    event_type AS o,
+           |    count(*) OVER (PARTITION BY user_id) AS len
+           |  FROM events),
+           |em(s, o, e) AS (SELECT * FROM (VALUES
+           |    $em) AS t(s, o, e)),
+           |fwd(user_id, rn, len, v0, v1, bp0, bp1) AS (
+           |  SELECT e.user_id, e.rn, e.len,
+           |    $pi0 + e0.e, $pi1 + e1.e, 0, 0
+           |  FROM ev e
+           |  JOIN em e0 ON e0.s = 0 AND e0.o = e.o
+           |  JOIN em e1 ON e1.s = 1 AND e1.o = e.o
+           |  WHERE e.rn = 1
+           |  UNION ALL
+           |  SELECT e.user_id, e.rn, e.len,
+           |    greatest(f.v0 + $t00, f.v1 + $t10) + e0.e,
+           |    greatest(f.v0 + $t01, f.v1 + $t11) + e1.e,
+           |    CASE WHEN f.v0 + $t00 >= f.v1 + $t10 THEN 0 ELSE 1 END,
+           |    CASE WHEN f.v0 + $t01 >= f.v1 + $t11 THEN 0 ELSE 1 END
+           |  FROM fwd f
+           |  JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+           |  JOIN em e0 ON e0.s = 0 AND e0.o = e.o
+           |  JOIN em e1 ON e1.s = 1 AND e1.o = e.o),
+           |back(user_id, rn, state) AS (
+           |  SELECT user_id, rn,
+           |    CASE WHEN v0 >= v1 THEN 0 ELSE 1 END
+           |  FROM fwd WHERE rn = len
+           |  UNION ALL
+           |  SELECT b.user_id, b.rn - 1,
+           |    CASE WHEN b.state = 0 THEN f.bp0 ELSE f.bp1 END
+           |  FROM back b
+           |  JOIN fwd f ON f.user_id = b.user_id AND f.rn = b.rn
+           |  WHERE b.rn > 1)
+           |SELECT user_id, rn, CAST(state AS BIGINT) AS state
+           |FROM back ORDER BY user_id, rn""".stripMargin
+      },
     ),
 
     // SAX symbolization (Lin et al. 2003) of each user's daily-spend

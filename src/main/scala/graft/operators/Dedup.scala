@@ -1620,6 +1620,46 @@ object Dedup {
              |WHERE jw >= 900000 ORDER BY a, b""".stripMargin),
     ),
 
+    // Entity resolution end-to-end: blocked Jaro–Winkler pairing at
+    // ≥ 0.90 (q_jw_join's candidates, same blocking) → connected
+    // components over the match graph (the verified clusterPairs
+    // union-find / label-propagation machinery) → canonical id = cluster
+    // minimum. The full record-linkage pipeline a master-data system
+    // runs: every part keyed to its entity cluster, with cluster size.
+    GraftQuery(
+      "q_er",
+      (s, dir) => {
+        val parts = Tables(s, dir, "part")
+        val pairs = jaroWinklerJoin(parts, "p_partkey", "p_name", 900000L)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        clusterPairs(parts.select(col("p_partkey").as("doc_id")), pairs)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT p_partkey AS id, p_name AS nm,
+             |    split_part(p_name, ' ', 1) AS blk
+             |  FROM part),
+             |jw AS (
+             |  SELECT a, b FROM (
+             |    SELECT x.id AS a, y.id AS b,
+             |      CAST(floor(jaro_winkler_similarity(x.nm, y.nm) * 1e6 + 0.5)
+             |        AS BIGINT) AS jw
+             |    FROM p x JOIN p y ON y.blk = x.blk AND x.id < y.id)
+             |  WHERE jw >= 900000),
+             |edges AS (
+             |  SELECT a, b FROM jw UNION SELECT b, a FROM jw),
+             |reach(id, lab) AS (
+             |  SELECT id, id FROM p
+             |  UNION
+             |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+             |),
+             |labels AS (SELECT id AS doc_id, min(lab) AS canonical_id
+             |           FROM reach GROUP BY id)
+             |SELECT doc_id, canonical_id,
+             |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+             |FROM labels ORDER BY doc_id""".stripMargin),
+    ),
+
     GraftQuery(
       "q_ngram_jaccard",
       (s, dir) => ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text", "source")

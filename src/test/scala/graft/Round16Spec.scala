@@ -325,6 +325,54 @@ class Round16Spec extends SparkSuite {
     assert(g4.sliding(2).forall(p => p(0) <= p(1)), g4.mkString(","))
   }
 
+  test("viterbi: matches brute-force max-score path with the DP's tie rule") {
+    import java.sql.Timestamp
+    val M = Analytics.HmmModel
+    def score(obs: Seq[String], path: Seq[Int]): Long = {
+      val e0 = M.emit.getOrElse(obs.head, M.emitDefault)(path.head)
+      path.indices.drop(1).foldLeft(M.pi(path.head) + e0) { (acc, i) =>
+        acc + M.t(path(i - 1))(path(i)) +
+          M.emit.getOrElse(obs(i), M.emitDefault)(path(i))
+      }
+    }
+    def brute(obs: Seq[String]): Seq[Int] = {
+      val paths = Seq.fill(obs.length)(Seq(0, 1))
+        .foldLeft(Seq(Seq.empty[Int]))((acc, cs) => acc.flatMap(p => cs.map(p :+ _)))
+      // DP backtrace prefers state 0 at the END first, then earlier:
+      // among score ties, the reversed path lexicographically smallest
+      val top = paths.map(_ -> 0L).map { case (p, _) => (p, score(obs, p)) }
+      val mx = top.map(_._2).max
+      top.filter(_._2 == mx).map(_._1).minBy(_.reverse.mkString)
+    }
+    val scenarios = Seq(
+      Seq("view", "error", "error", "view"),
+      Seq("error", "error", "error"),
+      Seq("view", "click", "purchase", "view"),
+      Seq("click", "error", "view", "error", "error", "click"),
+      Seq("signup"),
+    )
+    val rows = scenarios.zipWithIndex.flatMap { case (obs, u) =>
+      obs.zipWithIndex.map { case (o, i) =>
+        (u.toLong, new Timestamp(86400000L + i * 60000L), (i + 1).toLong, o)
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.viterbi(df).orderBy("user_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2.toInt).toSeq }
+    scenarios.zipWithIndex.foreach { case (obs, u) =>
+      assert(got(u.toLong) == brute(obs), s"user $u obs $obs")
+    }
+    // arrival-order and partitioning invariance: decode sorts in-task
+    val shuffled = scala.util.Random.shuffle(rows).toDF(
+      "user_id", "ts", "event_id", "event_type").repartition(7)
+    val got2 = Analytics.viterbi(shuffled).orderBy("user_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got1 = Analytics.viterbi(df).orderBy("user_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got1 == got2)
+  }
+
   test("randomProjection: no shuffle in the plan (map-side only)") {
     val emb = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val plan = Similarity.randomProjection(emb, 8)
