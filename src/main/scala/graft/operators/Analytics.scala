@@ -353,6 +353,156 @@ object Analytics {
       },
     ),
 
+    // Holt's linear-trend double exponential smoothing (α = β = 1/2)
+    // over each event type's daily cent totals — the forecasting step
+    // up from q_ewma's level-only smoother. The recurrence runs in
+    // FIXED-POINT integer cents with truncating division (l' =
+    // (y + l + b) div 2; b' = (l' − l + b) div 2 — both engines truncate
+    // toward zero), so the whole trajectory is engine- and partition-
+    // exact with no float drift to adjudicate. Per-key scan in one task
+    // (the viterbi flatMapGroups shape, grid-bounded at days × types);
+    // the oracle replays it as a recursive CTE carrying (l, b). Output:
+    // final state + 1-day and 7-day linear forecasts per event type.
+    GraftQuery(
+      "q_holt",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast(LongType).as("d"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("c"))
+          .groupBy("event_type", "d").agg(sum("c").as("p"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (et, it) =>
+            val ys = it.toArray.sortBy(_._2).map(_._3)
+            if (ys.length < 2) Iterator.empty
+            else {
+              var l = ys(0)
+              var b = ys(1) - ys(0)
+              var i = 1
+              while (i < ys.length) {
+                val l2 = (ys(i) + l + b) / 2
+                b = (l2 - l + b) / 2
+                l = l2
+                i += 1
+              }
+              Iterator.single((et, ys.length.toLong, l, b, l + b, l + 7 * b))
+            }
+          }
+          .toDF("event_type", "n_days", "level", "trend", "fc_1", "fc_7")
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT event_type,
+             |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+             |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS p
+             |  FROM events GROUP BY 1, 2),
+             |seq AS (
+             |  SELECT event_type, p,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM daily),
+             |hw(event_type, rn, n, l, b) AS (
+             |  SELECT s1.event_type, CAST(2 AS BIGINT), s1.n,
+             |    (s2.p + s1.p + (s2.p - s1.p)) // 2,
+             |    (((s2.p + s1.p + (s2.p - s1.p)) // 2) - s1.p + (s2.p - s1.p)) // 2
+             |  FROM seq s1 JOIN seq s2
+             |    ON s2.event_type = s1.event_type AND s1.rn = 1 AND s2.rn = 2
+             |  WHERE s1.n >= 2
+             |  UNION ALL
+             |  SELECT h.event_type, h.rn + 1, h.n,
+             |    (s.p + h.l + h.b) // 2,
+             |    (((s.p + h.l + h.b) // 2) - h.l + h.b) // 2
+             |  FROM hw h JOIN seq s
+             |    ON s.event_type = h.event_type AND s.rn = h.rn + 1)
+             |SELECT event_type, n AS n_days, l AS level, b AS trend,
+             |  l + b AS fc_1, l + 7 * b AS fc_7
+             |FROM hw WHERE rn = n ORDER BY event_type""".stripMargin),
+    ),
+
+    // Wald's sequential probability ratio test (SPRT) — the SEQUENTIAL
+    // twin of q_ab_test's fixed-horizon comparison: walk the
+    // (ts, event_id)-ordered trial stream accumulating the binomial
+    // log-likelihood ratio for H1: p = 0.25 vs H0: p = 0.15 (trial =
+    // any event, success = purchase), and stop at the first crossing of
+    // the ln((1−β)/α) = ±ln 19 bounds (α = β = 0.05). Per-trial LLR
+    // increments are the two CONSTANTS ln(p1/p0) / ln((1−p1)/(1−p0))
+    // quantized once to micros, so the cumulative walk is an exact
+    // BIGINT window sum and "first crossing" is an integer comparison —
+    // the whole test is a distributed prefix sum — a per-day cumulative
+    // window plus a global offset window over the DAY aggregates (grid-
+    // bounded), never one all-rows window — and "first crossing" is one
+    // min() over crossing positions. Output: one row (n_trials,
+    // n_at_decision, decision, llr_micros at the decision point; the
+    // decision row falls back to the last trial when the walk never
+    // exits the continue band).
+    GraftQuery(
+      "q_sprt",
+      (s, dir) => {
+        val up = math.floor(math.log(0.25 / 0.15) * 1e6 + 0.5).toLong
+        val dn = math.floor(math.log(0.75 / 0.85) * 1e6 + 0.5).toLong
+        val bound = math.floor(math.log(19.0) * 1e6 + 0.5).toLong
+        val wDay = Window.partitionBy("day").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wDays = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inDay = Tables(s, dir, "events")
+          .select(col("ts"), col("event_id"),
+            date_trunc("day", col("ts")).as("day"),
+            when(col("event_type") === "purchase", lit(up)).otherwise(lit(dn))
+              .as("inc"))
+          .withColumn("llr_in", sum("inc").over(wDay))
+          .withColumn("rn_in", count(lit(1)).over(wDay))
+        val offsets = inDay.groupBy("day")
+          .agg(sum("inc").as("dsum"), count(lit(1)).as("dcnt"))
+          .withColumn("off_llr", sum("dsum").over(wDays) - col("dsum"))
+          .withColumn("off_rn", sum("dcnt").over(wDays) - col("dcnt"))
+          .select("day", "off_llr", "off_rn")
+        val walk = inDay.join(broadcast(offsets), Seq("day"))
+          .select((col("off_llr") + col("llr_in")).as("llr"),
+            (col("off_rn") + col("rn_in")).as("rn"))
+          .localCheckpoint(false)
+        val firstCross = walk
+          .filter(col("llr") >= bound || col("llr") <= -bound)
+          .agg(min("rn").as("nd"))
+        walk.crossJoin(broadcast(firstCross))
+          .withColumn("nt", max("rn").over(Window.partitionBy()))
+          .filter(col("rn") === coalesce(col("nd"), col("nt")))
+          .select(col("nt").as("n_trials"), col("rn").as("n_at_decision"),
+            when(col("llr") >= bound, "accept_h1")
+              .when(col("llr") <= -bound, "accept_h0")
+              .otherwise("continue").as("decision"),
+            col("llr").as("llr_micros"))
+      },
+      Some {
+        val up = math.floor(math.log(0.25 / 0.15) * 1e6 + 0.5).toLong
+        val dn = math.floor(math.log(0.75 / 0.85) * 1e6 + 0.5).toLong
+        val bound = math.floor(math.log(19.0) * 1e6 + 0.5).toLong
+        s"""WITH walk AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN event_type = 'purchase' THEN $up ELSE $dn END)
+           |      OVER w AS BIGINT) AS llr,
+           |    CAST(count(*) OVER w AS BIGINT) AS rn
+           |  FROM events
+           |  WINDOW w AS (ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |cross_at AS (
+           |  SELECT min(rn) AS nd FROM walk
+           |  WHERE llr >= $bound OR llr <= -$bound),
+           |tot AS (SELECT max(rn) AS nt FROM walk)
+           |SELECT t.nt AS n_trials, w.rn AS n_at_decision,
+           |  CASE WHEN w.llr >= $bound THEN 'accept_h1'
+           |       WHEN w.llr <= -$bound THEN 'accept_h0'
+           |       ELSE 'continue' END AS decision,
+           |  w.llr AS llr_micros
+           |FROM walk w, cross_at c, tot t
+           |WHERE w.rn = coalesce(c.nd, t.nt)""".stripMargin
+      },
+    ),
+
     // SAX symbolization (Lin et al. 2003) of each user's daily-spend
     // series: integer-cent daily totals → per-user z-normalization →
     // 5-day PAA segment means → symbols from the standard Gaussian

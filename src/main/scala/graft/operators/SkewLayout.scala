@@ -15,6 +15,26 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object SkewLayout {
 
+  /** Rendezvous (highest-random-weight) owner of each key among `shards`
+    * shards: weight(key, sh) = the engine-shared 48-bit md5 fold of
+    * "sh_key", owner = argmax (ties → higher shard id, matching the
+    * struct-max order). The routing every distributed cache uses because
+    * removing one shard remaps ONLY that shard's keys (minimal
+    * disruption, no ring state). Map-side only: the argmax folds the
+    * `shards` hash expressions per row inside codegen — no shuffle, no
+    * lookup table. Output: (keyCol, shard).
+    */
+  def hrwOwner(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 64)
+    val best = array((0 until shards).map { sh =>
+      struct(
+        Sketches.hash48(concat(lit(s"${sh}_"), col(keyCol).cast("string")))
+          .as("w"),
+        lit(sh.toLong).as("sh"))
+    }: _*)
+    df.select(col(keyCol), array_max(best).getField("sh").as("shard"))
+  }
+
   /** Salt-replicated equi-join: the fact side gets a deterministic salt in
     * [0, salts) hashed from `saltBy` (a per-row unique column, so hot keys
     * spread across `salts` reducers), the dim side is replicated once per
@@ -108,6 +128,36 @@ object SkewLayout {
     // Z-order layout key over (o_totalprice, o_custkey) at 8 bits/dim:
     // emit the key and the leading-byte bucket a writer would range-
     // partition on. The oracle replicates the integer bit-interleave.
+    GraftQuery(
+      "q_hrw",
+      (s, dir) => {
+        // Rendezvous (highest-random-weight) routing of users onto 8
+        // shards (see hrwOwner), then one count per shard to check
+        // balance.
+        hrwOwner(Tables(s, dir, "events")
+            .select(col("user_id")).distinct(), "user_id", 8)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_keys"), min("user_id").as("min_key"),
+            max("user_id").as("max_key"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH keys AS (SELECT DISTINCT user_id FROM events),
+              |w AS (
+              |  SELECT user_id, sh,
+              |    ${Sketches.hash48Sql("sh || '_' || CAST(user_id AS VARCHAR)")} AS wt
+              |  FROM keys CROSS JOIN (SELECT unnest(range(0, 8)) AS sh)),
+              |owner AS (
+              |  SELECT user_id, sh AS shard
+              |  FROM (SELECT user_id, sh, wt,
+              |          row_number() OVER (PARTITION BY user_id
+              |            ORDER BY wt DESC, sh DESC) AS rk
+              |        FROM w)
+              |  WHERE rk = 1)
+              |SELECT shard, count(*) AS n_keys, min(user_id) AS min_key,
+              |  max(user_id) AS max_key
+              |FROM owner GROUP BY shard ORDER BY shard""".stripMargin),
+    ),
+
     GraftQuery(
       "q_zorder",
       (s, dir) => {

@@ -373,6 +373,38 @@ class Round16Spec extends SparkSuite {
     assert(got1 == got2)
   }
 
+  test("hrwOwner: minimal disruption — dropping a shard remaps only its keys") {
+    import graft.operators.SkewLayout.hrwOwner
+    val keys = (1L to 500L).toDF("k")
+    val with8 = hrwOwner(keys, "k", 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shards 0..6 only = dropping shard 7 (the argmax over a prefix)
+    val with7 = hrwOwner(keys, "k", 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = with8.filter { case (k, s) => with7(k) != s }
+    // exactly the keys shard 7 owned moved; everyone else is untouched
+    assert(moved.keySet == with8.filter(_._2 == 7L).keySet)
+    assert(with8.count(_._2 == 7L) > 0) // the property was actually exercised
+    // every shard owns something at n=500 (balance sanity)
+    assert(with8.values.toSet == (0L to 7L).toSet)
+    // map-side: no Exchange in the plan
+    val plan = hrwOwner(keys, "k", 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("holt recurrence: hand-stepped fixed-point trajectory") {
+    // y = [10, 14, 22]: l1=10 b1=4; step y=14: l=(14+10+4)/2=14,
+    // b=(14-10+4)/2=4; step y=22: l=(22+14+4)/2=20, b=(20-14+4)/2=5
+    var l = 10L; var b = 4L
+    for (y <- Seq(14L, 22L)) {
+      val l2 = (y + l + b) / 2; b = (l2 - l + b) / 2; l = l2
+    }
+    assert((l, b) == ((20L, 5L)))
+    // negative trend truncates toward zero in BOTH engines (DuckDB //
+    // semantics pinned at dev time: -7 // 2 = -3)
+    assert(-7L / 2L == -3L)
+  }
+
   test("randomProjection: no shuffle in the plan (map-side only)") {
     val emb = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val plan = Similarity.randomProjection(emb, 8)
