@@ -26,7 +26,7 @@ class MLSpec extends SparkSuite {
   test("logistic scorer: probabilities in (0,1), label = margin sign, monotone in speed") {
     val s = spark
     import s.implicits._
-    val scored = operators.Ml.queries.head.fn(spark, sf("sf0.001"))
+    val scored = operators.Ml.queries.find(_.name == "q_ml_score").get.fn(spark, sf("sf0.001"))
     val rows = scored.select("ml_score", "ml_label").as[(Double, String)].collect()
     assert(rows.nonEmpty)
     // closed interval: 4-decimal rounding collapses extreme margins to 0/1
