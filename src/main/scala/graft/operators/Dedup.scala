@@ -1290,11 +1290,26 @@ object Dedup {
     * remedy at scale is the usual second blocking coordinate (length
     * band), not a bigger cluster. Output: (a, b, jw_micros ≥ minMicros).
     */
-  def jaroWinklerJoin(df: DataFrame, idCol: String, nameCol: String,
+  /** Matched DISTINCT-name pairs under the first-token blocking at
+    * `minMicros` — the kernel-bearing core shared by [[jaroWinklerJoin]]
+    * (which expands to id pairs) and q_er (which only needs one edge per
+    * matched name pair). Output: (na, nb, jw), na < nb. */
+  def jaroWinklerNamePairs(df: DataFrame, nameCol: String,
       minMicros: Long): DataFrame = {
     JaroWinklerMicros.register(df.sparkSession)
-    val p = df.select(col(idCol).as("id"), col(nameCol).as("nm"),
-      split(col(nameCol), " ").getItem(0).as("__blk"))
+    val d = df.select(col(nameCol).as("nm"),
+      split(col(nameCol), " ").getItem(0).as("__blk")).distinct()
+    d.select(col("__blk"), col("nm").as("na"))
+      .join(d.select(col("__blk"), col("nm").as("nb")), Seq("__blk"))
+      .filter(col("na") < col("nb"))
+      .withColumn("jw", expr("jaro_winkler_micros(na, nb)"))
+      .filter(col("jw") >= minMicros)
+      .select("na", "nb", "jw")
+  }
+
+  def jaroWinklerJoin(df: DataFrame, idCol: String, nameCol: String,
+      minMicros: Long): DataFrame = {
+    val p = df.select(col(idCol).as("id"), col(nameCol).as("nm"))
     // kernel work runs on DISTINCT names, not ids: with name multiplicity
     // k the naive id-level join prices k² copies of every string pair —
     // measured 100× wasted kernel mass on the sf0.1 fixture (20k parts,
@@ -1302,13 +1317,7 @@ object Dedup {
     // groups, jw = 10⁶ by definition) expand back to id pairs through
     // hash joins, so the output mass is paid exactly once, in the join
     // that produces it.
-    val d = p.select("__blk", "nm").distinct()
-    val namePairs = d.select(col("__blk"), col("nm").as("na"))
-      .join(d.select(col("__blk"), col("nm").as("nb")), Seq("__blk"))
-      .filter(col("na") < col("nb"))
-      .withColumn("jw", expr("jaro_winkler_micros(na, nb)"))
-      .filter(col("jw") >= minMicros)
-      .select("na", "nb", "jw")
+    val namePairs = jaroWinklerNamePairs(df, nameCol, minMicros)
     val cross = namePairs
       .join(p.select(col("nm").as("na"), col("id").as("ia")), Seq("na"))
       .join(p.select(col("nm").as("nb"), col("id").as("ib")), Seq("nb"))
@@ -1621,18 +1630,34 @@ object Dedup {
     ),
 
     // Entity resolution end-to-end: blocked Jaro–Winkler pairing at
-    // ≥ 0.90 (q_jw_join's candidates, same blocking) → connected
-    // components over the match graph (the verified clusterPairs
-    // union-find / label-propagation machinery) → canonical id = cluster
-    // minimum. The full record-linkage pipeline a master-data system
-    // runs: every part keyed to its entity cluster, with cluster size.
+    // ≥ 0.90 (q_jw_join's kernel, same blocking) → connected components
+    // over the match graph (the verified clusterPairs union-find /
+    // label-propagation machinery) → canonical id = cluster minimum.
+    // The full record-linkage pipeline a master-data system runs: every
+    // part keyed to its entity cluster, with cluster size.
+    //
+    // CONNECTIVITY edges, not the q_jw_join pair listing: a name held by
+    // k records is a clique the CC only needs as a (k−1)-edge star to
+    // its min id, and a matched NAME pair needs ONE representative edge,
+    // not the k_a·k_b bipartite product. The id-level listing fed to
+    // clusterPairs at 16× name multiplicity was ~25M edges and wedged
+    // the propagation rounds (caught by this round's scale probe); the
+    // star+representative graph is |records| + |matched name pairs|
+    // edges with identical components.
     GraftQuery(
       "q_er",
       (s, dir) => {
         val parts = Tables(s, dir, "part")
-        val pairs = jaroWinklerJoin(parts, "p_partkey", "p_name", 900000L)
-          .select(col("a").as("doc_a"), col("b").as("doc_b"))
-        clusterPairs(parts.select(col("p_partkey").as("doc_id")), pairs)
+        val p = parts.select(col("p_partkey").as("id"), col("p_name").as("nm"))
+        val rep = p.groupBy("nm").agg(min("id").as("rep"))
+        val stars = p.join(rep, Seq("nm")).filter(col("id") =!= col("rep"))
+          .select(col("id").as("doc_a"), col("rep").as("doc_b"))
+        val nameEdges = jaroWinklerNamePairs(parts, "p_name", 900000L)
+          .join(rep.select(col("nm").as("na"), col("rep").as("ra")), Seq("na"))
+          .join(rep.select(col("nm").as("nb"), col("rep").as("rb")), Seq("nb"))
+          .select(col("ra").as("doc_a"), col("rb").as("doc_b"))
+        clusterPairs(parts.select(col("p_partkey").as("doc_id")),
+            stars.unionByName(nameEdges))
           .orderBy("doc_id")
       },
       Some("""WITH RECURSIVE p AS (
