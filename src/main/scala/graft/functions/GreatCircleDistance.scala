@@ -81,6 +81,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       PackedDot16.builder))
     e.injectFunction((JaroWinklerMicros.identifier, JaroWinklerMicros.info,
       JaroWinklerMicros.builder))
+    e.injectFunction((DtwBand.identifier, DtwBand.info, DtwBand.builder))
     e.injectOptimizerRule(_ => ZeroDistanceFold)
     // whole-operator tier: broadcast interval-index join replacing the
     // BNLJ plan for banded-dimension range joins (graft.plans)

@@ -353,6 +353,103 @@ object Analytics {
       },
     ),
 
+    // Banded dynamic time warping between adjacent users' daily-spend
+    // series — the time-series similarity kernel (Sakoe–Chiba radius 3)
+    // as a native codegen expression over integer cents (see
+    // functions.DtwBand; pure (min, +) DP, no float). Pairing is the
+    // rouge/bleu rank-adjacency convention; pairs whose lengths differ
+    // by more than the radius are excluded in BOTH engines (the band
+    // cannot connect the corners). The oracle replays the banded DP as
+    // a recursive CTE advancing one matrix ROW per step, the 7 in-band
+    // cells resolved by chained lateral column aliases.
+    GraftQuery(
+      "q_dtw",
+      (s, dir) => {
+        graft.functions.DtwBand.register(s)
+        val daily = Tables(s, dir, "events")
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast(LongType).as("d"),
+            floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("c"))
+          .groupBy("user_id", "d").agg(sum("c").as("p"))
+        val ser = daily.groupBy("user_id").agg(
+          transform(array_sort(collect_list(struct(col("d"), col("p")))),
+            x => x.getField("p")).as("arr"),
+          count(lit(1)).as("n"))
+        val rk = ser.withColumn("r",
+          row_number().over(Window.orderBy("user_id")))
+        rk.select(col("user_id").as("ua"), col("arr").as("a"),
+            col("n").as("na"), col("r"))
+          .join(rk.select(col("user_id").as("ub"), col("arr").as("b"),
+            col("n").as("nb"), (col("r") - 1).as("r")), Seq("r"))
+          .filter(abs(col("na") - col("nb")) <= 3)
+          .select(col("ua"), col("ub"), col("na"), col("nb"),
+            expr("dtw_band(a, b)").as("dtw"))
+          .orderBy("ua")
+      },
+      Some {
+        val INF = "1000000000000000"
+        val W = 7 // band width: 2*radius + 1
+        // pv(x) = D(i, x) read from the carried row list vs (valid for
+        // lo0 <= x <= hi0, else INF; x = 0 is off-row for i >= 1)
+        def pv(x: String) =
+          s"(CASE WHEN $x >= lo0 AND $x <= hi0 THEN vs[($x - lo0 + 1)::INT] ELSE $INF END)"
+        // chained aliases m_k (three-way min) and u_k (cap + cost add)
+        val stepAliases = (1 to W).map { k =>
+          val j = s"(lo1 + ${k - 1})"
+          val prevU = if (k == 1) INF else s"u${k - 1}"
+          s"""least(${pv(s"($j - 1)")}, ${pv(j)}, $prevU) AS m$k,
+             |      CASE WHEN $j <= hi1 AND m$k < $INF
+             |        THEN abs(a[(i + 1)::INT] - b[$j::INT]) + m$k
+             |        ELSE $INF END AS u$k""".stripMargin
+        }.mkString(",\n      ")
+        val baseAliases = (1 to W).map { k =>
+          if (k == 1)
+            s"CASE WHEN 1 <= least(m, 4) THEN abs(a[1] - b[1]) ELSE $INF END AS u1"
+          else
+            s"""CASE WHEN $k <= least(m, 4) AND u${k - 1} < $INF
+               |        THEN abs(a[1] - b[$k]) + u${k - 1} ELSE $INF END AS u$k""".stripMargin
+        }.mkString(",\n      ")
+        val us = (1 to W).map("u" + _).mkString(", ")
+        s"""WITH RECURSIVE daily AS (
+           |  SELECT user_id,
+           |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+           |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS p
+           |  FROM events GROUP BY 1, 2),
+           |ser AS (
+           |  SELECT user_id, list(p ORDER BY d) AS arr, count(*) AS n
+           |  FROM daily GROUP BY 1),
+           |rk AS (
+           |  SELECT user_id, arr, n,
+           |    row_number() OVER (ORDER BY user_id) AS r
+           |  FROM ser),
+           |pr AS (
+           |  SELECT x.user_id AS ua, y.user_id AS ub, x.arr AS a, y.arr AS b,
+           |    x.n AS n, y.n AS m
+           |  FROM rk x JOIN rk y ON y.r = x.r + 1
+           |  WHERE abs(x.n - y.n) <= 3),
+           |rec(ua, ub, a, b, n, m, i, vs) AS (
+           |  SELECT ua, ub, a, b, n, m, CAST(1 AS BIGINT),
+           |    list_value($us)
+           |  FROM (
+           |    SELECT *,
+           |      $baseAliases
+           |    FROM pr)
+           |  UNION ALL
+           |  SELECT ua, ub, a, b, n, m, i + 1, list_value($us)
+           |  FROM (
+           |    SELECT *,
+           |      greatest(1, i - 3) AS lo0, least(m, i + 3) AS hi0,
+           |      greatest(1, i + 1 - 3) AS lo1, least(m, i + 1 + 3) AS hi1,
+           |      $stepAliases
+           |    FROM rec WHERE i < n)
+           |)
+           |SELECT ua, ub, n AS na, m AS nb,
+           |  vs[(m - greatest(1, n - 3) + 1)::INT] AS dtw
+           |FROM rec WHERE i = n ORDER BY ua""".stripMargin
+      },
+    ),
+
     // Holt's linear-trend double exponential smoothing (α = β = 1/2)
     // over each event type's daily cent totals — the forecasting step
     // up from q_ewma's level-only smoother. The recurrence runs in

@@ -405,6 +405,23 @@ class Round16Spec extends SparkSuite {
     assert(-7L / 2L == -3L)
   }
 
+  test("dtw_band: hand-computed DP goldens, warp alignment, band sentinel") {
+    import graft.functions.DtwBandFunctions.{dtwBand, Inf}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def dtw(a: Seq[Long], b: Seq[Long]) =
+      dtwBand(ArrayData.toArrayData(a.toArray), ArrayData.toArrayData(b.toArray))
+    assert(dtw(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 0L)
+    // warping absorbs the step shift entirely: [0,0,10] vs [0,10,10] -> 0
+    assert(dtw(Seq(0L, 0L, 10L), Seq(0L, 10L, 10L)) == 0L)
+    // hand-stepped 2x2: D22 = |5-2| + min(1,2,4) = 4
+    assert(dtw(Seq(1L, 5L), Seq(2L, 2L)) == 4L)
+    // length gap beyond the radius: the band cannot connect the corners
+    assert(dtw(Seq(1L, 2L, 3L), Seq.fill(8)(1L)) == Inf)
+    // symmetry (cost is |a-b|, band is symmetric for equal lengths)
+    assert(dtw(Seq(3L, 1L, 4L, 1L, 5L), Seq(2L, 7L, 1L, 8L, 2L)) ==
+      dtw(Seq(2L, 7L, 1L, 8L, 2L), Seq(3L, 1L, 4L, 1L, 5L)))
+  }
+
   test("randomProjection: no shuffle in the plan (map-side only)") {
     val emb = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val plan = Similarity.randomProjection(emb, 8)
