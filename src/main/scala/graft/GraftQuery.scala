@@ -48,4 +48,41 @@ object Tables {
       fixed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else fixed
   }
+
+  /** r16 optimization (guide §2.5 "input skew ... otherwise repartition
+    * immediately after the read"): [[apply]] with a round-robin fan-out for
+    * queries whose SCAN STAGE carries heavy fused per-row work (hash folds,
+    * tokenization). The driver fixtures are single parquet files with ONE
+    * row group, so everything Spark fuses into the scan — broadcast-join
+    * probes, projections, partial aggregates, expression evaluation — runs
+    * in one task regardless of core count (a row group is the minimum
+    * split unit). The fan-out spreads that work across the session's cores
+    * for one narrow bounded exchange.
+    *
+    * NOT applied blanket in [[apply]]: the r16 A/B measured the blanket
+    * form a net LOSS (q_assoc_rules 2.24 -> 3.97 s, q_tfidf 0.77 -> 1.22 —
+    * queries that re-read a table pay the exchange per read, and cheap-map
+    * queries pay it for nothing), against isolated wins where the fused
+    * map work dominates (q_cms 2.86 -> 1.68 s). Callers opt in per site,
+    * with the A/B number recorded at the call.
+    *
+    * The gate is data-derived, not core-count-derived: fires only for a
+    * SINGLE regular file (directory-backed tables already get one split
+    * per part file) smaller than spark.sql.files.maxPartitionBytes (past
+    * that the writer emits multiple row groups and the scan parallelizes
+    * naturally — so at production scale this is a no-op). The target
+    * follows the session's parallelism, capped (conf graft.scan.fanOutMax,
+    * default 64) so a large cluster doesn't shred a sub-128 MB file into
+    * thousands of empty tasks.
+    */
+  def fanOut(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val f = new java.io.File(s"$dir/$name.parquet")
+    if (!f.isFile) return df
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    if (f.length >= maxSplit) return df
+    val cap = spark.conf.getOption("graft.scan.fanOutMax").map(_.toInt).getOrElse(64)
+    df.repartition(math.max(2, math.min(spark.sparkContext.defaultParallelism, cap)))
+  }
 }

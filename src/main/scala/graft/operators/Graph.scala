@@ -475,14 +475,62 @@ object Graph {
     */
   def copurchaseWeightedEdges(cp: DataFrame, minShared: Long,
       hotDegree: Int = 512, salts: Int = 16, hubPath: String = "auto"): DataFrame = {
-    require(Seq("auto", "salted", "prefilter").contains(hubPath),
-      s"hubPath must be auto|salted|prefilter, got $hubPath")
-    val flagged = cp.join(cp.groupBy("p").agg(count(lit(1)).as("__d")), Seq("p"))
+    require(Seq("auto", "salted", "prefilter", "plain").contains(hubPath),
+      s"hubPath must be auto|salted|prefilter|plain, got $hubPath")
+    // r16 optimization: "auto" MEASURES the item-degree distribution before
+    // choosing a path (one agg job over the part-level degree frame, ~#items
+    // rows). A hub-free incidence (max degree <= hotDegree) with bounded
+    // cold pair mass takes the bare self-join + count — no degree-flag join,
+    // no per-entity hash-image arrays, no empty-hot prefix/candB/hotShared
+    // machinery. On the near-uniform sf fixtures that machinery was pure
+    // overhead: the r16 PathAB probe read prefilter 3.61/3.00 s vs plain
+    // 2.81/2.41 s (m=3/m=4, sf0.1, min-of-3) with ZERO hub items to route,
+    // while on zipf20k (max degree 5681, hot mass 34.4M pairs) prefilter
+    // keeps its 6-10x win (5.51 vs 31.97 s) — so the choice must be
+    // data-derived, not static. The mass bound (conf
+    // graft.copurchase.plainColdMax, default 2^26) guards the plain path's
+    // pair EXCHANGE on dense-but-hub-free inputs: maxd <= hotDegree already
+    // bounds any single join key's output at hotDegree^2/2 pairs, so the
+    // only remaining risk is total exchange mass, which at 2^26 pairs x
+    // ~24 B/row is ~1.6 GB spread across the shuffle — acceptable on one
+    // box and trivial on a cluster; past it the conjunctive-filter path
+    // kills candidates inside the join task instead of shipping them.
+    // Results are path-identical (SkewGraphSpec pins plain/salted/prefilter
+    // pairwise on fixed + randomized fixtures; the q_triangles oracle pins
+    // the auto route end-to-end).
+    val (path, degForFlag) =
+      if (hubPath != "auto") (hubPath, None)
+      else {
+        val plainMax = cp.sparkSession.conf.getOption(
+          "graft.copurchase.plainColdMax").map(_.toLong).getOrElse(1L << 26)
+        val deg = cp.groupBy("p").agg(count(lit(1)).as("__d"))
+          .localCheckpoint(false)
+        val st = deg.agg(max(col("__d")).as("m"),
+          sum(when(col("__d") <= hotDegree,
+            expr("__d * (__d - 1) DIV 2")).otherwise(lit(0L))).as("cm")).head()
+        val maxd = if (st.isNullAt(0)) 0L else st.getLong(0)
+        val coldMass = if (st.isNullAt(1)) 0L else st.getLong(1)
+        val p0 =
+          if (maxd <= hotDegree && coldMass <= plainMax) "plain"
+          else if (minShared >= 2) "prefilter"
+          else "salted"
+        (p0, Some(deg))
+      }
+    if (path == "plain") {
+      // hub-free: every item's fan-out is <= hotDegree, so the plain
+      // self-join + count IS the minimal plan (one narrow exchange of the
+      // candidate pairs, partial-aggregated map-side)
+      return cp.as("x").join(cp.as("y"),
+          col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+        .groupBy(col("x.c").as("src"), col("y.c").as("dst"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+        .select(col("src"), col("dst"), col("shared").as("w"))
+    }
+    val flagged = cp.join(degForFlag.getOrElse(
+      cp.groupBy("p").agg(count(lit(1)).as("__d"))), Seq("p"))
     val cold = flagged.filter(col("__d") <= hotDegree).select("c", "p")
     val hot = flagged.filter(col("__d") > hotDegree).select("c", "p")
-    val path =
-      if (hubPath == "auto") { if (minShared >= 2) "prefilter" else "salted" }
-      else hubPath
     if (path == "prefilter") prefilterEdges(cold, hot, minShared)
     else {
       val coldPairs = cold.as("x").join(cold.as("y"),
