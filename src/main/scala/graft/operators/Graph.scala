@@ -2690,8 +2690,16 @@ object Graph {
           .localCheckpoint(false)
         // hub-safe weighted edge build — NOT a raw cp ⋈ cp (see
         // copurchaseWeightedEdges: the raw form measured 12× slower on
-        // the skewed fixture)
-        val e = copurchaseWeightedEdges(cp, minShared = 3)
+        // the skewed fixture). hubPath pinned to "prefilter" (r16): this
+        // query re-joins the checkpointed edge frame six times, and the
+        // plain path's edge checkpoint comes out of the wide pair-count
+        // exchange with ~2x the partitions — the six relaxation rounds
+        // then run as fleets of near-empty tasks. A/B at sf0.1 (QProbe
+        // min-of-4, same session): prefilter 4.74 s vs auto/plain 5.19 s,
+        // the one copurchase rider where the downstream shape outweighs
+        // the cheaper build; prefilter is also the correct arm on skewed
+        // fixtures, so pinning loses nothing at scale.
+        val e = copurchaseWeightedEdges(cp, minShared = 3, hubPath = "prefilter")
           .select(col("src").as("a"), col("dst").as("b"), col("w"))
           .localCheckpoint(false)
         val nodes = e.select(col("a").as("node"))
