@@ -615,9 +615,20 @@ object Dedup {
     // both self-join legs read this frame — materialize the tokenize +
     // df-join + window prep once (lazy localCheckpoint, the tiledPairScan
     // discipline) instead of running it twice
+    // r16: explicit key repartition at kernel parallelism — the
+    // tiledSelfPairs discipline applied here too. The prefix legs are a
+    // few MB, so AQE's byte-based coalescing fused the candidate join and
+    // the verify behind it into ~4 tasks at sf0.1 and serialized the
+    // O(collisions) intersect work (a session-wide
+    // coalescePartitions.minPartitionSize=128k A/B read q_setsim_prefix
+    // 4.04 -> 2.06 s but regressed the iterative graph family ~1.5x, so
+    // the rebalance is pinned AT the operator, where the CPU density is
+    // known, not in the session conf). User repartitions are exempt from
+    // AQE coalescing; both legs share the one exchange.
     val prefix = ranked
       .filter(col("idx") <= col("sz") - ceil(tauTimes(col("sz"))) + 1)
       .select("tok", "__id", "idx", "sz")
+      .repartition(kernelParallelism(ranked), col("tok"))
       .localCheckpoint(false)
     // candidate join = prefix-token collision + size filter + the PPJoin
     // POSITIONAL filter: a collision at (rarest-first) positions (ia, ib)
@@ -634,6 +645,11 @@ object Dedup {
             .cast("double") * lit(1.0 + tau) >=
             lit(tau) * (col("a.sz") + col("b.sz")) - lit(1e-9))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      // user repartition BEFORE the distinct: the distinct reuses this
+      // partitioning (same keys, required distribution satisfied), so the
+      // pair dedup and the verify behind it run at kernel parallelism
+      // instead of AQE's byte-coalesced handful of tasks
+      .repartition(kernelParallelism(ranked), col("doc_a"), col("doc_b"))
       .distinct()
     // Two-pass verify. Pass 1 runs ONE intersect per candidate, over LONG
     // hash arrays: the division-form jaccard filter would land on the join
@@ -647,13 +663,22 @@ object Dedup {
     // survivors with the EXACT string sets in the oracle's own
     // division-form arithmetic, behind a checkpoint barrier so the
     // recheck can't be pushed back into the join condition.
+    // r16: the hash-filter join carries ONLY the long-hash arrays and
+    // sizes; the exact string sets (ta/tb) attach AFTER the filter, to the
+    // few survivors. Before, every candidate row copied both docs' full
+    // string-token arrays through the join just so the filter could read
+    // their sizes — the sizes are size(th) by construction
+    // (array_distinct'd both), so the strings were pure dead weight in
+    // the hot loop. The kernel repartition above sets this stage's
+    // parallelism too (it reads the cands exchange).
     val pass1 = cands
-      .join(setsH.select(col("__id").as("doc_a"),
-        col("ts").as("ta"), col("th").as("tha")), "doc_a")
-      .join(setsH.select(col("__id").as("doc_b"),
-        col("ts").as("tb"), col("th").as("thb")), "doc_b")
+      .join(setsH.select(col("__id").as("doc_a"), col("th").as("tha")), "doc_a")
+      .join(setsH.select(col("__id").as("doc_b"), col("th").as("thb")), "doc_b")
       .filter(size(array_intersect(col("tha"), col("thb"))).cast("double") *
-        lit(1.0 + tau) >= lit(tau) * (size(col("ta")) + size(col("tb"))) - lit(1e-9))
+        lit(1.0 + tau) >= lit(tau) * (size(col("tha")) + size(col("thb"))) - lit(1e-9))
+      .select("doc_a", "doc_b")
+      .join(setsH.select(col("__id").as("doc_a"), col("ts").as("ta")), "doc_a")
+      .join(setsH.select(col("__id").as("doc_b"), col("ts").as("tb")), "doc_b")
       .select("doc_a", "doc_b", "ta", "tb")
       .localCheckpoint(false)
     pass1
