@@ -1377,11 +1377,16 @@ object Similarity {
       if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
     }
     val prep = emb.select(col("vec_id"), quantized("embedding").as("q"))
+    // r16: each projection is one zip_with/aggregate over a BAKED sign
+    // literal array, not a d-term element_at sum. The old form built a
+    // k·d-node expression tree (1024 nodes at k=16, d=64) whose janino
+    // compile dominated the query at any data size — the work per row is
+    // identical integer multiply-adds, only the plan is constant-size now.
+    // Signs, order of addition (index-ascending fold), and the resulting
+    // integers are unchanged.
     val ys = (0 until k).map { j =>
-      (0 until d).map { i =>
-        val t = element_at(col("q"), i + 1)
-        if (sign(i, j) > 0) t else -t
-      }.reduce(_ + _)
+      val sj = typedlit((0 until d).map(i => sign(i, j).toLong))
+      aggregate(zip_with(col("q"), sj, (x, s) => x * s), lit(0L), (acc, v) => acc + v)
     }
     prep.select(col("vec_id"), posexplode(array(ys: _*)))
       .toDF("vec_id", "j", "y")
