@@ -498,23 +498,42 @@ object Graph {
     // Results are path-identical (SkewGraphSpec pins plain/salted/prefilter
     // pairwise on fixed + randomized fixtures; the q_triangles oracle pins
     // the auto route end-to-end).
+    // Session override for the auto route (r17): `graft.copurchase.forcePath`
+    // pins every auto caller to one arm without touching call sites — the
+    // A/B hook for rider-level measurements, and the production escape hatch
+    // when the operator's data probe is known-wrong for a workload. Explicit
+    // hubPath arguments (q_critical_path's prefilter pin) stay pinned.
+    val forced = cp.sparkSession.conf.getOption("graft.copurchase.forcePath")
+      // the spark.-prefixed spelling reaches the session from -D system
+      // properties / spark-submit --conf, which only forward spark.* keys
+      .orElse(cp.sparkSession.conf.getOption("spark.graft.copurchase.forcePath"))
+      .filter(Seq("salted", "prefilter", "plain").contains(_))
     val (path, degForFlag) =
       if (hubPath != "auto") (hubPath, None)
+      else if (forced.isDefined) (forced.get, None)
       else {
         val plainMax = cp.sparkSession.conf.getOption(
           "graft.copurchase.plainColdMax").map(_.toLong).getOrElse(1L << 26)
-        val deg = cp.groupBy("p").agg(count(lit(1)).as("__d"))
-          .localCheckpoint(false)
-        val st = deg.agg(max(col("__d")).as("m"),
-          sum(when(col("__d") <= hotDegree,
-            expr("__d * (__d - 1) DIV 2")).otherwise(lit(0L))).as("cm")).head()
+        // r17: the probe is ONE aggregate job, no localCheckpoint — the
+        // r16 shape checkpointed the full degree frame before the 1-row
+        // stats agg so the hub arms could reuse it, but the common
+        // (hub-free) outcome is "plain", which never touches deg: the
+        // checkpoint materialization was ~0.3-0.5 s of serial wall paid
+        // by every auto rider for nothing. The rare hub routes now
+        // recompute the degree groupBy once inside the flagged join
+        // (cp is materialized by contract, so that recompute is a single
+        // exchange over it — noise next to the hub machinery it gates).
+        val st = cp.groupBy("p").agg(count(lit(1)).as("__d"))
+          .agg(max(col("__d")).as("m"),
+            sum(when(col("__d") <= hotDegree,
+              expr("__d * (__d - 1) DIV 2")).otherwise(lit(0L))).as("cm")).head()
         val maxd = if (st.isNullAt(0)) 0L else st.getLong(0)
         val coldMass = if (st.isNullAt(1)) 0L else st.getLong(1)
         val p0 =
           if (maxd <= hotDegree && coldMass <= plainMax) "plain"
           else if (minShared >= 2) "prefilter"
           else "salted"
-        (p0, Some(deg))
+        (p0, None)
       }
     if (path == "plain") {
       // hub-free: every item's fan-out is <= hotDegree, so the plain
