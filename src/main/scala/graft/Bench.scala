@@ -139,6 +139,21 @@ object Bench {
       // stays exercised for correctness.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "8192")
+      // r17 (guide §6 input split size): the default 4 MiB
+      // files.openCostInBytes floors maxSplitBytes at 4 MiB, which for the
+      // ≤11 MiB fixture files caps every scan at ~3 tasks REGARDLESS of
+      // core count — so the scan legs (and everything fused into them)
+      // could not use the cores, and the 8-vs-32-core scaling run measured
+      // ~1.0 on every query. At 512 KiB the split size follows
+      // bytesPerCore = totalBytes/defaultParallelism (scale- and
+      // core-adaptive), so small inputs parallelize and core count shows.
+      // At production file sizes (hundreds of MB+) bytesPerCore and the
+      // 128 MiB maxPartitionBytes dominate and this setting is inert; its
+      // only packing effect (many tiny files per split) is also ~unchanged
+      // since split capacity shrinks with the same constant. Env-overridable
+      // to keep the bench parameterised rather than tuned to one box.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "524288"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

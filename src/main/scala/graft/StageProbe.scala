@@ -18,6 +18,9 @@ object StageProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // keep probe sessions split-compatible with Bench (r17)
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "524288"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,6 +42,8 @@ object StageProbe {
       }
     })
 
+    // r17: comma-separated list — one JVM amortizes warmup across a sweep
+    name.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { r =>
       stages.clear()
@@ -58,6 +63,7 @@ object StageProbe {
         println(f"[stageprobe] ${s.wallMs}%6d ms wall ${s.taskMs}%7d ms task ${s.tasks}%3d t " +
           f"${s.shufReadMB}%7.1f MB r ${s.shufWriteMB}%7.1f MB w ${s.recs}%9d rec  ${s.name}")
       }
+    }
     }
     spark.stop()
   }

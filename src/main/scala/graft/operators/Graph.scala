@@ -963,8 +963,15 @@ object Graph {
     val e = edges
       .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
-    val bi = e.select(col("x").as("u"), col("y").as("v"))
-      .union(e.select(col("y").as("u"), col("x").as("v")))
+    // both directions in ONE pass over e (r17): the union-of-two-selects
+    // shape evaluated the caller's edge derivation twice while BUILDING
+    // the checkpoint — for the copurchase riders that is the full
+    // pair-count aggregate re-run per leg (StageProbe: a 169.8 MB double
+    // read of the 84.9 MB pair exchange, ~13-15 s of task CPU at sf0.1)
+    val bi = e.select(explode(array(
+        struct(col("x").as("u"), col("y").as("v")),
+        struct(col("y").as("u"), col("x").as("v")))).as("__p"))
+      .select(col("__p.u").as("u"), col("__p.v").as("v"))
       .distinct().localCheckpoint(false)
     val seedsN = seeds.select(col("id").cast("long").as("node")).distinct()
       .localCheckpoint(false)
@@ -1153,8 +1160,12 @@ object Graph {
     val e = edges
       .select(col("src").cast("long").as("x"), col("dst").cast("long").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
-    val bi = e.select(col("x").as("u"), col("y").as("v"))
-      .union(e.select(col("y").as("u"), col("x").as("v")))
+    // both directions in one pass over e — same rationale as [[bfsHops]]
+    // (r17: the two-select union re-ran the caller's edge aggregate per leg)
+    val bi = e.select(explode(array(
+        struct(col("x").as("u"), col("y").as("v")),
+        struct(col("y").as("u"), col("x").as("v")))).as("__p"))
+      .select(col("__p.u").as("u"), col("__p.v").as("v"))
       .distinct().localCheckpoint(false)
     // deterministic pivots: the nSources lowest node ids (a 1-row-per-
     // source global top-k, not a full sort — limit pushes the k-floor
@@ -1299,8 +1310,12 @@ object Graph {
       .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
-    val bi = und.select(col("a").as("u"), col("b").as("v"))
-      .union(und.select(col("b").as("u"), col("a").as("v")))
+    // both directions in one pass over und — same rationale as [[bfsHops]]
+    // (r17: the two-select union re-ran the caller's edge aggregate per leg)
+    val bi = und.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("__p"))
+      .select(col("__p.u").as("u"), col("__p.v").as("v"))
       .localCheckpoint(false)
     if (localCutoff > 0 && bi.count() <= localCutoff) return localLpa(bi, rounds)
     var lab = bi.select(col("u").as("node")).distinct()
